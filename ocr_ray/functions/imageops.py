@@ -1,0 +1,209 @@
+"""Numpy image primitives.
+
+The reference implements these with OpenCV; this sandbox has no cv2, so
+they are rebuilt on numpy with identical *semantics* where it matters:
+
+- rotate_expand     ~ cv2.warpAffine with expanded bbox
+                      (reference deskew math, app/ocr/preprocessing/steps/deskew.py:46-96)
+- otsu_threshold    ~ cv2.threshold(..., THRESH_OTSU)
+                      (steps/binarization.py:45-56)
+- adaptive_threshold~ cv2.adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C)
+                      approximated with a box-mean via integral image
+                      (steps/binarization.py:58-86: block = clamp(min(h,w)//20, 11, 101), C=11)
+- median3x3         ~ cv2.medianBlur(k=3) (stand-in for fastNlMeansDenoising,
+                      steps/noise_removal.py:12-53 — same role: kill salt&pepper)
+- estimate_skew     ~ Canny+HoughLines median angle (analyzer.py:123-155),
+                      rebuilt as the projection-profile method (Postl 1988):
+                      the angle whose de-sheared horizontal projection has
+                      maximal variance.
+
+All functions take/return uint8 or bool 2-D arrays and are deterministic.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "rotate_expand",
+    "otsu_threshold",
+    "adaptive_threshold",
+    "median3x3",
+    "box_mean",
+    "estimate_skew",
+    "integral_image",
+]
+
+
+def rotate_expand(img: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndarray:
+    """Rotate by ``angle_deg`` (counter-clockwise, like cv2 convention used by
+    the reference deskew) onto an expanded canvas, bilinear interpolation,
+    borders filled with ``fill``.
+
+    Expanded size matches the reference formula
+    (deskew.py: new_w = h*|sin| + w*|cos|, new_h = h*|cos| + w*|sin|).
+    """
+    if abs(angle_deg) < 1e-9:
+        return img.copy()
+    h, w = img.shape[:2]
+    theta = np.deg2rad(angle_deg)
+    c, s = np.cos(theta), np.sin(theta)
+    new_w = int(np.ceil(h * abs(s) + w * abs(c)))
+    new_h = int(np.ceil(h * abs(c) + w * abs(s)))
+    # inverse mapping: for each output pixel, source coordinate
+    cy_o, cx_o = (new_h - 1) / 2.0, (new_w - 1) / 2.0
+    cy_i, cx_i = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = np.meshgrid(np.arange(new_h), np.arange(new_w), indexing="ij")
+    dy = ys - cy_o
+    dx = xs - cx_o
+    # inverse rotation (rotate output coords by -angle to find source)
+    sx = c * dx - s * dy + cx_i
+    sy = s * dx + c * dy + cy_i
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = sx - x0
+    fy = sy - y0
+    valid = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    x0c = np.clip(x0, 0, w - 2)
+    y0c = np.clip(y0, 0, h - 2)
+    im = img.astype(np.float32)
+    v00 = im[y0c, x0c]
+    v01 = im[y0c, x0c + 1]
+    v10 = im[y0c + 1, x0c]
+    v11 = im[y0c + 1, x0c + 1]
+    out = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    out = np.where(valid, out, float(fill))
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def otsu_threshold(img: np.ndarray) -> tuple[int, np.ndarray]:
+    """Return (threshold, binary) where binary is uint8 {0,255}; pixels
+    > threshold become 255 (matches cv2 THRESH_BINARY+OTSU semantics)."""
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0, np.zeros_like(img)
+    omega = np.cumsum(hist)
+    mu = np.cumsum(hist * np.arange(256))
+    mu_t = mu[-1]
+    w0 = omega
+    w1 = total - omega
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = np.where(
+            (w0 > 0) & (w1 > 0),
+            (mu_t * w0 - mu) ** 2 / (w0 * w1),
+            0.0,
+        )
+    t = int(np.argmax(sigma_b))
+    return t, np.where(img > t, 255, 0).astype(np.uint8)
+
+
+def integral_image(img: np.ndarray) -> np.ndarray:
+    ii = np.zeros((img.shape[0] + 1, img.shape[1] + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(img, axis=0), axis=1, out=ii[1:, 1:])
+    return ii
+
+
+def box_mean(img: np.ndarray, k: int) -> np.ndarray:
+    """Local mean over a k x k window (edge-clamped), float64 output."""
+    if k % 2 == 0:
+        k += 1
+    r = k // 2
+    padded = np.pad(img.astype(np.float64), r, mode="edge")
+    ii = integral_image(padded)
+    h, w = img.shape
+    ys = np.arange(h)
+    xs = np.arange(w)
+    y0, y1 = ys[:, None], ys[:, None] + k
+    x0, x1 = xs[None, :], xs[None, :] + k
+    s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+    return s / (k * k)
+
+
+def adaptive_threshold(img: np.ndarray, block: int = 0, c: int = 11) -> np.ndarray:
+    """Adaptive mean threshold: pixel > local_mean - c -> 255 else 0.
+
+    ``block`` defaults to the reference rule clamp(min(h,w)//20, 11, 101)
+    forced odd (steps/binarization.py:69-76)."""
+    h, w = img.shape
+    if block <= 0:
+        block = min(h, w) // 20
+    block = max(11, min(101, block))
+    if block % 2 == 0:
+        block += 1
+    local = box_mean(img, block)
+    return np.where(img.astype(np.float64) > local - c, 255, 0).astype(np.uint8)
+
+
+def median3x3(img: np.ndarray) -> np.ndarray:
+    """3x3 median filter (edge-clamped) — vectorized via stacked shifts."""
+    p = np.pad(img, 1, mode="edge")
+    h, w = img.shape
+    stack = np.empty((9, h, w), dtype=img.dtype)
+    idx = 0
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            stack[idx] = p[dy : dy + h, dx : dx + w]
+            idx += 1
+    return np.median(stack, axis=0).astype(img.dtype)
+
+
+def _projection_sharpness(ys: np.ndarray, xs: np.ndarray, tan_t: float, nbins: int) -> float:
+    # variance of the binned horizontal projection: maximal when rows of
+    # ink align. (Gradient energy is sharper on line art but rewards the
+    # high-frequency fluctuation of smeared dense patterns; variance is
+    # robust across both. 1-px bins: finer sub-binning interacts badly
+    # with integer pixel coordinates at t=0.)
+    proj = ys - xs * tan_t
+    bins = np.clip(np.rint(proj).astype(np.int64), 0, nbins - 1)
+    counts = np.bincount(bins, minlength=nbins).astype(np.float64)
+    return float(np.var(counts))
+
+
+def estimate_skew(
+    img: np.ndarray,
+    max_angle: float = 6.0,
+    coarse_step: float = 0.2,
+    fine_step: float = 0.02,
+    ink_threshold: int = 128,
+    max_points: int = 200_000,
+) -> float:
+    """Estimate page skew; returns the CORRECTION angle in degrees, i.e.
+    ``rotate_expand(img, estimate_skew(img))`` straightens the page.
+
+    Projection-profile method (Postl 1988): choose the de-shear angle
+    maximizing gradient energy of the horizontal ink projection; coarse
+    scan then local refine. Plays the role of the reference's
+    Canny+Hough median-angle detector (analyzer.py:123-155) with the
+    same contract (degrees in (-max_angle, max_angle), 0.0 = no signal).
+    """
+    dark = img < ink_threshold
+    ys, xs = np.nonzero(dark)
+    if ys.size < 50:
+        return 0.0
+    if ys.size > max_points:
+        sel = np.linspace(0, ys.size - 1, max_points).astype(np.int64)
+        ys, xs = ys[sel], xs[sel]
+    ys = ys.astype(np.float64)
+    xs = xs.astype(np.float64)
+    # pad so projections stay in [0, nbins) for BOTH shear directions —
+    # clamping would pile mass into an edge bin and fake a variance peak
+    pad = img.shape[1] * np.tan(np.deg2rad(max_angle))
+    nbins = img.shape[0] + 2 * int(np.ceil(pad)) + 2
+    ys = ys + pad
+
+    def best_in(angles: np.ndarray) -> float:
+        scores = [
+            _projection_sharpness(ys, xs, np.tan(np.deg2rad(a)), nbins) for a in angles
+        ]
+        return float(angles[int(np.argmax(scores))])
+
+    coarse = np.arange(-max_angle, max_angle + coarse_step / 2, coarse_step)
+    a0 = best_in(coarse)
+    fine = np.arange(a0 - coarse_step, a0 + coarse_step + fine_step / 2, fine_step)
+    a1 = best_in(fine)
+    return float(np.round(a1, 3))
