@@ -1,0 +1,117 @@
+"""Dedup sketches: shingles, MinHash, SimHash, winnowing fingerprints.
+
+Vectorized numpy implementations designed for `map_batches` use: one
+call processes a whole batch of documents. All hashes are deterministic
+(no PYTHONHASHSEED dependence) via crc32/blake2 and fixed LCG
+parameters, so pipeline reruns and cross-process stages agree.
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "char_shingles",
+    "shingle_hashes",
+    "minhash_signature",
+    "band_keys",
+    "jaccard",
+    "simhash64",
+    "hamming64",
+    "winnow_fingerprints",
+]
+
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.default_rng(0xC0FFEE)
+_N_PERM = 64
+_A = _RNG.integers(1, _MERSENNE, _N_PERM, dtype=np.int64).astype(np.uint64)
+_B = _RNG.integers(0, _MERSENNE, _N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def char_shingles(text: str, k: int = 5) -> set[str]:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return {t} if t else set()
+    return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique uint64 hashes of the k-shingles."""
+    sh = char_shingles(text, k)
+    if not sh:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.fromiter(
+        (zlib.crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh)
+    )
+    return np.unique(out)
+
+
+def minhash_signature(hashes: np.ndarray, n_perm: int = _N_PERM) -> np.ndarray:
+    """MinHash signature (uint64[n_perm]) from shingle hashes."""
+    if hashes.size == 0:
+        return np.full(n_perm, np.uint64(_MERSENNE), dtype=np.uint64)
+    # (a*x + b) mod mersenne prime, vectorized over perms x shingles
+    x = hashes[None, :]
+    vals = (_A[:n_perm, None] * x + _B[:n_perm, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
+    """LSH banding: hash each band of the signature to one bucket key.
+    bands=16 over 64 perms -> rows r=4; collision prob = 1-(1-J^4)^16
+    (~0.97 at J=0.8, ~0.21 at J=0.4)."""
+    rows = len(sig) // bands
+    keys = []
+    for b in range(bands):
+        chunk = sig[b * rows : (b + 1) * rows].tobytes()
+        keys.append((b << 32) | zlib.crc32(chunk))
+    return keys
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted unique hash arrays."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (crc32-seeded blake-free)."""
+    tokens = text.lower().split()
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 8) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003): min hash in each sliding window
+    of k-gram hashes -> sorted unique uint64 fingerprints."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return np.zeros(0, dtype=np.uint64)
+    grams = np.fromiter(
+        (zlib.crc32(t[i : i + k].encode()) for i in range(len(t) - k + 1)),
+        dtype=np.uint64,
+    )
+    if grams.size <= window:
+        return np.unique(grams.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(grams, window).min(axis=1)
+    return np.unique(mins)

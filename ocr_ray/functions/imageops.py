@@ -52,31 +52,25 @@ def rotate_expand(img: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndar
     # inverse mapping: for each output pixel, source coordinate
     cy_o, cx_o = (new_h - 1) / 2.0, (new_w - 1) / 2.0
     cy_i, cx_i = (h - 1) / 2.0, (w - 1) / 2.0
-    ys, xs = np.meshgrid(np.arange(new_h), np.arange(new_w), indexing="ij")
-    dy = ys - cy_o
-    dx = xs - cx_o
-    # inverse rotation (rotate output coords by -angle to find source)
-    sx = c * dx - s * dy + cx_i
-    sy = s * dx + c * dy + cy_i
-    x0 = np.floor(sx).astype(np.int64)
-    y0 = np.floor(sy).astype(np.int64)
+    # separable inverse mapping in float32: source coords = outer sums of
+    # per-row and per-column terms (no full meshgrid materialization)
+    oy = np.arange(new_h, dtype=np.float32) - np.float32(cy_o)
+    ox = np.arange(new_w, dtype=np.float32) - np.float32(cx_o)
+    c32, s32 = np.float32(c), np.float32(s)
+    sx = (c32 * ox)[None, :] + (-s32 * oy)[:, None] + np.float32(cx_i)
+    sy = (s32 * ox)[None, :] + (c32 * oy)[:, None] + np.float32(cy_i)
+    x0 = np.floor(sx).astype(np.int32)
+    y0 = np.floor(sy).astype(np.int32)
     fx = sx - x0
     fy = sy - y0
     valid = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
     x0c = np.clip(x0, 0, w - 2)
     y0c = np.clip(y0, 0, h - 2)
     im = img.astype(np.float32)
-    v00 = im[y0c, x0c]
-    v01 = im[y0c, x0c + 1]
-    v10 = im[y0c + 1, x0c]
-    v11 = im[y0c + 1, x0c + 1]
-    out = (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
-    out = np.where(valid, out, float(fill))
+    top = im[y0c, x0c] * (1 - fx) + im[y0c, x0c + 1] * fx
+    bot = im[y0c + 1, x0c] * (1 - fx) + im[y0c + 1, x0c + 1] * fx
+    out = top * (1 - fy) + bot * fy
+    out = np.where(valid, out, np.float32(fill))
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
@@ -157,20 +151,22 @@ def _projection_sharpness(ys: np.ndarray, xs: np.ndarray, tan_t: float, nbins: i
     # ink align. (Gradient energy is sharper on line art but rewards the
     # high-frequency fluctuation of smeared dense patterns; variance is
     # robust across both. 1-px bins: finer sub-binning interacts badly
-    # with integer pixel coordinates at t=0.)
+    # with integer pixel coordinates at t=0.) E[c^2]-E[c]^2 via dot —
+    # E[c] is the constant npoints/nbins, so one pass suffices.
     proj = ys - xs * tan_t
     bins = np.clip(np.rint(proj).astype(np.int64), 0, nbins - 1)
     counts = np.bincount(bins, minlength=nbins).astype(np.float64)
-    return float(np.var(counts))
+    mean = ys.size / nbins
+    return float(counts @ counts / nbins - mean * mean)
 
 
 def estimate_skew(
     img: np.ndarray,
     max_angle: float = 6.0,
-    coarse_step: float = 0.2,
+    coarse_step: float = 0.5,
     fine_step: float = 0.02,
     ink_threshold: int = 128,
-    max_points: int = 200_000,
+    max_points: int = 25_000,
 ) -> float:
     """Estimate page skew; returns the CORRECTION angle in degrees, i.e.
     ``rotate_expand(img, estimate_skew(img))`` straightens the page.
@@ -202,8 +198,9 @@ def estimate_skew(
         ]
         return float(angles[int(np.argmax(scores))])
 
-    coarse = np.arange(-max_angle, max_angle + coarse_step / 2, coarse_step)
-    a0 = best_in(coarse)
-    fine = np.arange(a0 - coarse_step, a0 + coarse_step + fine_step / 2, fine_step)
-    a1 = best_in(fine)
-    return float(np.round(a1, 3))
+    # 3-stage coarse-to-fine: ~40 evaluations instead of a dense scan
+    a0 = best_in(np.arange(-max_angle, max_angle + coarse_step / 2, coarse_step))
+    mid_step = 0.1
+    a1 = best_in(np.arange(a0 - coarse_step, a0 + coarse_step + mid_step / 2, mid_step))
+    a2 = best_in(np.arange(a1 - mid_step, a1 + mid_step + fine_step / 2, fine_step))
+    return float(np.round(a2, 3))

@@ -64,7 +64,8 @@ def _deskew(img: np.ndarray, a: dict) -> np.ndarray:
     angle = a["skew_angle"]
     out = rotate_expand(img, angle, fill=255)
     for _ in range(2):
-        resid = estimate_skew(out)
+        # residuals are small by construction: search a narrow range only
+        resid = estimate_skew(out, max_angle=0.9, coarse_step=0.1)
         if abs(resid) <= 0.1:
             break
         angle += resid

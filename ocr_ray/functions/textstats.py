@@ -1,0 +1,53 @@
+"""Text analysis for training-data pipelines: token counts, quality
+scores, language-ID heuristic. Vectorized (pandas string kernels /
+compiled regexes) for map_batches use."""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["token_count", "quality_columns", "lang_id_batch", "TOKEN_RE"]
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+_WS_RE = re.compile(r"\S+")
+
+# tiny function-word profiles for the lang-id heuristic
+_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "in", "is"},
+    "es": {"el", "la", "de", "que", "y", "en", "un"},
+    "de": {"der", "die", "und", "das", "ist", "ein", "zu"},
+    "fr": {"le", "la", "de", "et", "un", "est", "les"},
+}
+
+
+def token_count(texts: pd.Series) -> pd.Series:
+    """Count of [a-z0-9]+ tokens in the lowercased text (the BPE-ish
+    regex tokenizer's unit count)."""
+    return texts.str.lower().str.count(TOKEN_RE).astype("int64")
+
+
+def quality_columns(texts: pd.Series) -> pd.DataFrame:
+    """Deterministic quality-score components (SQL-reproducible):
+    n_chars_q = raw length, n_words = whitespace tokens,
+    n_periods = '.' count."""
+    return pd.DataFrame(
+        {
+            "n_chars_q": texts.str.len().astype("int64"),
+            "n_words": texts.str.count(_WS_RE).astype("int64"),
+            "n_periods": texts.str.count(re.escape(".")).astype("int64"),
+        }
+    )
+
+
+def lang_id_batch(texts: pd.Series) -> pd.Series:
+    """Stopword-profile language ID: argmax profile hit-rate, 'und'
+    (undetermined) when nothing matches."""
+    langs = list(_PROFILES)
+    out = []
+    for t in texts:
+        words = set(str(t).lower().split())
+        scores = np.array([len(words & _PROFILES[l]) for l in langs])
+        out.append(langs[int(scores.argmax())] if scores.max() > 0 else "und")
+    return pd.Series(out, index=texts.index, dtype="object")

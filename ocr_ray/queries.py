@@ -1,0 +1,803 @@
+"""Driver-facing query catalog (SURVEY.md §2 coverage + training-data ops).
+
+Each entry: name -> callable(sf_dir) returning a Dataset / DataFrame /
+pyarrow Table, with a matching ANSI-SQL oracle in ORACLE_SQL where the
+operator is SQL-expressible (the driver diffs them via DuckDB at
+sf=0.01). Column names match the SQL aliases exactly; float aggregates
+are rounded on BOTH sides so summation order can't flip the value hash.
+
+Scale notes are in each docstring: the point is not the sf0.01 result
+but that the same plan holds at 100 TB (partial aggregation before
+shuffles, broadcast small sides, bucketed hash joins, banded LSH
+instead of all-pairs).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .functions import hashing as H
+from .functions import textstats as TS
+
+# --------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, nd in cols.items():
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+def _partial_group_sum(ds: ray.data.Dataset, keys: list[str], sums: dict[str, str],
+                       counts: str | None = None) -> pd.DataFrame:
+    """Scalable grouped sum: partial per-batch aggregation inside
+    map_batches (one row per key per batch) then a tiny driver-side
+    final combine. At cluster scale the final combine is a
+    groupby().aggregate() over the small partials; sf results fit in
+    one pandas frame, so we combine locally to keep tests fast."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False).agg(
+            **{out: (src, "sum") for out, src in sums.items()},
+            **({counts: (keys[0], "size")} if counts else {}),
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    agg = {out: "sum" for out in sums}
+    if counts:
+        agg[counts] = "sum"
+    return parts.groupby(keys, as_index=False).agg(agg)
+
+
+# --------------------------------------------------------------- relational
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan -> partial per-batch agg -> small
+    final combine. Column pruning at the read; no full-row shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1999-01-01"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "l_extendedprice": t["l_extendedprice"],
+            "disc_price": disc_price,
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = _partial_group_sum(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "l_quantity", "sum_base_price": "l_extendedprice", "sum_disc_price": "disc_price"},
+        counts="n",
+    )
+    out["avg_qty"] = out["sum_qty"] / out["n"]
+    out = _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_topk(sf_dir: str):
+    """Top-10 orders by revenue: partial per-key sums, then combine +
+    global top-k (sort on the SMALL aggregated set, never the raw rows)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    agg = _partial_group_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["l_orderkey"], {"revenue": "rev"})
+    agg = _round_cols(agg, {"revenue": 2})
+    top = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return top.reset_index(drop=True)
+
+
+SQL_REVENUE_TOPK = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_order_priority_revenue(sf_dir: str):
+    """Bucketed hash join lineitem |><| orders: both sides get
+    bucket = key % B, tagged, unioned, then per-bucket pandas merge in
+    map_groups — the explicit partitioned join pattern (no broadcast,
+    both sides large at scale; B=32 here, proportional to cluster at 100TB)."""
+    B = 32
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        key = t["l_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key, "rev": rev,
+            "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
+            "side": pa.array(["l"] * t.num_rows),
+        })
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "rev": pa.nulls(t.num_rows, pa.float64()),
+            "o_orderpriority": t["o_orderpriority"],
+            "side": pa.array(["o"] * t.num_rows),
+        })
+
+    both = li.map_batches(li_prep, batch_format="pyarrow").union(
+        orders.map_batches(o_prep, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "l"][["key", "rev"]]
+        right = g[g["side"] == "o"][["key", "o_orderpriority"]]
+        j = left.merge(right, on="key", how="inner")
+        return j.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    parts = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    out = _round_cols(out, {"revenue": 2})
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_ORDER_PRIORITY_REVENUE = """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_mktsegment_stats(sf_dir: str):
+    """Broadcast join: the small customer dim is ray.put ONCE and read
+    inside each task (never re-shipped per batch); orders stream through
+    a stateless map_batches doing a dict lookup + partial agg."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def agg(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        batch["c_mktsegment"] = batch["o_custkey"].map(lookup)
+        return batch.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+        )
+
+    parts = orders.map_batches(agg, batch_format="pandas", batch_size=65536).to_pandas()
+    out = parts.groupby("c_mktsegment", as_index=False).agg(
+        n_orders=("n_orders", "sum"), total_price=("total_price", "sum")
+    )
+    out = _round_cols(out, {"total_price": 2})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_MKTSEGMENT_STATS = """
+SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_large_part_items(sf_dir: str):
+    """Broadcast SEMI-join: key set of big parts filters lineitem inside
+    map_batches (no shuffle), then grouped count."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_size"])
+    keys = parts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_size"], 40)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    keyset_ref = ray.put(set(keys["p_partkey"]))
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        keyset = ray.get(keyset_ref)
+        kept = batch[batch["l_partkey"].isin(keyset)]
+        return kept.groupby("l_returnflag", as_index=False).agg(n_items=("l_partkey", "size"))
+
+    out = li.map_batches(filt, batch_format="pandas", batch_size=65536).to_pandas()
+    out = out.groupby("l_returnflag", as_index=False).agg(n_items=("n_items", "sum"))
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_LARGE_PART_ITEMS = """
+SELECT l_returnflag, COUNT(*) AS n_items
+FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+GROUP BY l_returnflag
+"""
+
+
+def q_distinct_flags(sf_dir: str):
+    """Distinct over low-cardinality keys = partial distinct per batch,
+    tiny final distinct (never a full shuffle)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    parts = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    return parts.drop_duplicates().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# --------------------------------------------------------------- events
+
+def q_event_type_stats(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = _partial_group_sum(ds, ["event_type"], {"sum_value": "value"}, counts="n_events")
+    out["avg_value"] = out["sum_value"] / out["n_events"]
+    out = _round_cols(out, {"sum_value": 2, "avg_value": 6})
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, ROUND(SUM(value), 2) AS sum_value,
+       ROUND(SUM(value) / COUNT(*), 6) AS avg_value, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_hourly_user_windows(sf_dir: str):
+    """Tumbling 1h event-time windows per user: the window key is
+    computed IN the batch (floor ts), then it's a plain grouped agg —
+    the streaming-shaped workload pattern from the Ray guide."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_window(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df[["user_id", "window_start", "value"]]
+
+    out = _partial_group_sum(
+        ds.map_batches(add_window, batch_format="pandas"),
+        ["user_id", "window_start"], {"sum_value": "value"}, counts="n_events",
+    )
+    out = _round_cols(out, {"sum_value": 4})
+    out["n_events"] = out["n_events"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+SQL_HOURLY_USER_WINDOWS = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n_events
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Session windows (gap > 30 min) per user: groupby(user).map_groups
+    over ts-sorted groups — ordering established inside the group, not
+    globally (SURVEY.md §4.3)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_sessions": [int(gaps.sum()) + 1]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_SESSIONS = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions FROM d GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------- documents
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: content hash in map_batches, keep min doc_id per
+    hash. Partial min per batch -> tiny final min (hash-partition +
+    per-group first at scale)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_and_min(df: pd.DataFrame) -> pd.DataFrame:
+        df["h"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+        return df.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
+
+    parts = ds.map_batches(hash_and_min, batch_format="pandas", batch_size=8192).to_pandas()
+    out = parts.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_tokens": TS.token_count(df["text"])})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        q = TS.quality_columns(df["text"])
+        q.insert(0, "doc_id", df["doc_id"].astype("int64"))
+        return q
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+SQL_QUALITY_SCORES = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+       CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic (stopword profiles). Not SQL-expressible ->
+    rows-only driver check; accuracy is exercised in unit tests."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang_pred": TS.lang_id_batch(df["text"])})
+
+    preds = ds.map_batches(f, batch_format="pandas").to_pandas()
+    out = preds.groupby("lang_pred", as_index=False).size().rename(columns={"size": "n_docs"})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang_pred").reset_index(drop=True)
+
+
+def q_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (rolling-hash). Deterministic
+    ints; rows-only check (sketch, not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            fp = H.winnow_fingerprints(text)
+            rows.append((int(doc_id), int(fp.size), int(fp.min()) if fp.size else 0,
+                         int(fp.max()) if fp.size else 0))
+        return pd.DataFrame(rows, columns=["doc_id", "n_fp", "min_fp", "max_fp"])
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def q_dedup_minhash(sf_dir: str):
+    """Near-dup via MinHash-LSH: per-batch signatures -> explode to
+    (band_key, doc_id) -> groupby band_key -> candidate pairs ->
+    verified n-gram Jaccard >= 0.5. Banding keeps it O(n) vs the O(n^2)
+    all-pairs scan; verification broadcasts the (small) text column
+    here — at 100TB it becomes a bucketed self-join on doc_id instead."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sig = H.minhash_signature(H.shingle_hashes(text))
+            for key in H.band_keys(sig):
+                rows.append((int(key), int(doc_id)))
+        return pd.DataFrame(rows, columns=["band_key", "doc_id"])
+
+    tdf = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    texts_ref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(out, columns=["a", "b"]) if out else pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+
+    cands = ds.map_batches(sigs, batch_format="pandas") \
+              .groupby("band_key").map_groups(pairs, batch_format="pandas").to_pandas()
+    cands = cands.drop_duplicates()
+
+    texts = ray.get(texts_ref)
+    rows = []
+    for a, b in zip(cands["a"], cands["b"]):
+        j = H.jaccard(H.shingle_hashes(texts[a]), H.shingle_hashes(texts[b]))
+        if j >= 0.5:
+            rows.append((int(a), int(b), round(j, 4)))
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """Near-dup via 64-bit SimHash, Hamming <= 6, blocked on 16-bit
+    chunks (a pair within distance 6 shares at least one of 4 exact
+    16-bit blocks... pigeonhole over 4 blocks holds for <=3 differing
+    blocks; distance<=6 can touch at most 3 blocks only if spread —
+    conservative recall blocking, standard practice)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            s = H.simhash64(text)
+            for blk in range(4):
+                rows.append(((blk << 16) | ((s >> (16 * blk)) & 0xFFFF), int(doc_id), s))
+        return pd.DataFrame(rows, columns=["block_key", "doc_id", "sim"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(set(zip(g["doc_id"], g["sim"])))
+        out = []
+        for i in range(len(recs)):
+            for jx in range(i + 1, len(recs)):
+                d = H.hamming64(int(recs[i][1]), int(recs[jx][1]))
+                if d <= 6:
+                    out.append((int(recs[i][0]), int(recs[jx][0]), d))
+        return pd.DataFrame(out, columns=["a", "b", "hamming"]) if out else pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")})
+
+    out = ds.map_batches(sigs, batch_format="pandas") \
+            .groupby("block_key").map_groups(pairs, batch_format="pandas").to_pandas()
+    return out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------- embeddings
+
+def _emb_matrix(sf_dir: str):
+    df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors (vec_id < 8):
+    the query matrix is broadcast once; each batch does one matmul.
+    Deterministic tie-break (rounded sim desc, vec_id asc)."""
+    ids_all, mat_all = _emb_matrix(sf_dir)
+    qmask = ids_all < 8
+    qids = ids_all[qmask]
+    qmat = mat_all[qmask]
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qnorm))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qn = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ qn.T  # (batch, nq)
+        vids = df["vec_id"].to_numpy()
+        out = []
+        for j, qid in enumerate(qids_):
+            for i in range(len(vids)):
+                out.append((int(qid), int(vids[i]), round(float(sims[i, j]), 9)))
+        return pd.DataFrame(out, columns=["qid", "vec_id", "sim"])
+
+    scored = ds.map_batches(score, batch_format="pandas", batch_size=4096).to_pandas()
+    scored = scored.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+    top = scored.groupby("qid", as_index=False).head(5).copy()
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    out = top[["qid", "vec_id", "rank"]].astype("int64")
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_similar_pairs(sf_dir: str):
+    """Embedding near-dup pairs (cosine >= 0.32): block-matmul against
+    the broadcast matrix — O(n*n/B) matmuls, each vectorized. At 100TB
+    this becomes IVF/LSH bucketing; the sf corpus has no high-cosine
+    dups so the threshold exercises the mid range."""
+    ids_all, mat_all = _emb_matrix(sf_dir)
+    normed = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
+    ref = ray.put((ids_all, normed))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        ids_, all_n = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ all_n.T
+        vids = df["vec_id"].to_numpy()
+        rows = []
+        for i in range(len(vids)):
+            for j in np.nonzero(np.round(sims[i], 6) >= 0.32)[0]:
+                a, b = int(vids[i]), int(ids_[j])
+                if a < b:
+                    rows.append((a, b, round(float(sims[i, j]), 6)))
+        return pd.DataFrame(rows, columns=["a", "b", "cos_sim"]) if rows else pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")})
+
+    out = ds.map_batches(block, batch_format="pandas", batch_size=2048).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+SQL_EMBEDDING_SIMILAR_PAIRS = """
+SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.32
+"""
+
+
+def q_knn_lsh(sf_dir: str):
+    """ANN via random-hyperplane LSH: 8 tables x 8 planes, multi-probe
+    over all hamming-1 buckets (9 probes/table) — the scale path where
+    candidates come from bucket matches instead of an all-pairs scan.
+    Rows-only check; recall vs brute force is asserted in unit tests."""
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((8, 8, 64))  # tables x planes x dim
+    ids_all, mat_all = _emb_matrix(sf_dir)
+    normed = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
+    qmask = ids_all < 8
+    qids, qmat = ids_all[qmask], normed[qmask]
+
+    def bucket(m):  # (n,64) -> (n, tables) uint8 bucket codes
+        bits = np.einsum("tpd,nd->ntp", planes, m) > 0
+        return (bits << np.arange(8)).sum(axis=2)
+
+    data_buckets = bucket(normed)  # (n, tables)
+    q_buckets = bucket(qmat)
+    probe_masks = np.concatenate([[0], 1 << np.arange(8)])  # exact + hamming-1
+    rows = []
+    for qi, qid in enumerate(qids):
+        probes = q_buckets[qi][None, :] ^ probe_masks[:, None]  # (9, tables)
+        cand = np.nonzero((data_buckets[:, None, :] == probes[None, :, :]).any(axis=(1, 2)))[0]
+        sims = normed[cand] @ qmat[qi]
+        order = np.lexsort((ids_all[cand], -np.round(sims, 9)))[:5]
+        for rank, o in enumerate(order, 1):
+            rows.append((int(qid), int(ids_all[cand[o]]), rank))
+    return pd.DataFrame(rows, columns=["qid", "vec_id", "rank"])
+
+
+# --------------------------------------------------------------- extraction
+
+_EXTRACTION_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _extraction_spans(sf_dir: str) -> pd.DataFrame:
+    """Run the flagship pipeline over the interleaved view of the
+    documents table; return exploded output spans (cached per sf_dir —
+    several queries share it)."""
+    if sf_dir in _EXTRACTION_CACHE:
+        return _EXTRACTION_CACHE[sf_dir]
+    from .pipelines.extraction import build_extraction
+    from .stages.interleave import docs_to_interleaved
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    interleaved = docs.map_batches(docs_to_interleaved, batch_format="pyarrow")
+    result = build_extraction(interleaved).take_all()
+    rows = []
+    for r in result:
+        for s in r["spans"]:
+            rows.append((r["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"]))
+    df = pd.DataFrame(rows, columns=["doc_id", "offset", "kind", "text", "media_ref"])
+    _EXTRACTION_CACHE[sf_dir] = df
+    return df
+
+
+def q_extraction_span_counts(sf_dir: str):
+    """End-to-end flagship gate: span counts by kind after full
+    extraction; the SQL oracle reproduces the deterministic interleave
+    rules (stages/interleave.py) with modular arithmetic."""
+    df = _extraction_spans(sf_dir)
+    out = df.groupby("kind", as_index=False).size().rename(columns={"size": "n_spans"})
+    out["n_spans"] = out["n_spans"].astype("int64")
+    return out.sort_values("kind").reset_index(drop=True)
+
+
+SQL_EXTRACTION_SPAN_COUNTS = """
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_spans FROM (
+  SELECT 'text' AS kind FROM documents
+  UNION ALL SELECT 'html' FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT 'image' FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT 'pdf' FROM documents WHERE doc_id % 25 = 0
+) GROUP BY kind
+"""
+
+
+def q_extraction_text_identity(sf_dir: str):
+    """Text spans must survive extraction byte-identical: compare char
+    counts per doc against the raw table."""
+    df = _extraction_spans(sf_dir)
+    t = df[df["kind"] == "text"].copy()
+    t["extracted_chars"] = t["text"].str.len().astype("int64")
+    return t[["doc_id", "extracted_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_EXTRACTION_TEXT_IDENTITY = """
+SELECT printf('tdoc-%08d', doc_id) AS doc_id,
+       CAST(length(text) AS BIGINT) AS extracted_chars
+FROM documents
+"""
+
+
+def q_extraction_ocr_roundtrip(sf_dir: str):
+    """OCR path gate: every synthetic image span must decode back to its
+    exact payload (the first 160 chars of the source text) through the
+    full degrade -> preprocess -> split -> decode -> merge pipeline."""
+    df = _extraction_spans(sf_dir)
+    t = df[df["kind"] == "image"].copy()
+    t["ocr_chars"] = t["text"].str.len().astype("int64")
+    return t[["doc_id", "ocr_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_EXTRACTION_OCR_ROUNDTRIP = """
+SELECT printf('tdoc-%08d', doc_id) AS doc_id,
+       CAST(length(substr(text, 1, 160)) AS BIGINT) AS ocr_chars
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def q_extraction_html_strip(sf_dir: str):
+    """HTML boilerplate gate: stripped content of the deterministic
+    wrapper = trimmed first 120 chars of the source text."""
+    df = _extraction_spans(sf_dir)
+    t = df[df["kind"] == "html"].copy()
+    t["stripped_chars"] = t["text"].str.len().astype("int64")
+    return t[["doc_id", "stripped_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_EXTRACTION_HTML_STRIP = """
+SELECT printf('tdoc-%08d', doc_id) AS doc_id,
+       CAST(length(trim(substr(text, 1, 120))) AS BIGINT) AS stripped_chars
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_extraction_pdf_pages(sf_dir: str):
+    """PDF fan-out/stitch gate: page-marker count in the stitched span
+    equals the deterministic page count (1 + doc_id % 3)."""
+    df = _extraction_spans(sf_dir)
+    t = df[df["kind"] == "pdf"].copy()
+    t["n_pages"] = t["text"].str.count("=== Page ").astype("int64")
+    return t[["doc_id", "n_pages"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_EXTRACTION_PDF_PAGES = """
+SELECT printf('tdoc-%08d', doc_id) AS doc_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_pages
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def q_extraction_synth_corpus(sf_dir: str):
+    """Flagship pipeline over the native synthetic interleaved corpus
+    (oracle = pure-Python extractor, enforced in pytest; driver check is
+    rows-only). Corpus size scales with sf."""
+    from .pipelines.extraction import run_extraction
+    from .synth.corpus import write_corpus
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n_docs = max(30, int(float(sf) * 2000))
+    out_dir = f"/tmp/ocr_ray_corpus/q_sf{sf}"
+    write_corpus(out_dir, n_docs, seed=42, heavy_frac=0.01, n_files=8)
+    rows = run_extraction(out_dir).take_all()
+    flat = []
+    for r in rows:
+        for s in r["spans"]:
+            flat.append((r["doc_id"], s["offset"], s["kind"], len(s["text"])))
+    return pd.DataFrame(flat, columns=["doc_id", "offset", "kind", "extracted_chars"]) \
+             .sort_values(["doc_id", "offset"]).reset_index(drop=True)
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_topk": q_revenue_topk,
+    "order_priority_revenue": q_order_priority_revenue,
+    "mktsegment_stats": q_mktsegment_stats,
+    "large_part_items": q_large_part_items,
+    "distinct_flags": q_distinct_flags,
+    "event_type_stats": q_event_type_stats,
+    "hourly_user_windows": q_hourly_user_windows,
+    "user_sessions": q_user_sessions,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "embedding_similar_pairs": q_embedding_similar_pairs,
+    "extraction_span_counts": q_extraction_span_counts,
+    "extraction_text_identity": q_extraction_text_identity,
+    "extraction_ocr_roundtrip": q_extraction_ocr_roundtrip,
+    "extraction_html_strip": q_extraction_html_strip,
+    "extraction_pdf_pages": q_extraction_pdf_pages,
+    "extraction_synth_corpus": q_extraction_synth_corpus,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "revenue_topk": SQL_REVENUE_TOPK,
+    "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
+    "mktsegment_stats": SQL_MKTSEGMENT_STATS,
+    "large_part_items": SQL_LARGE_PART_ITEMS,
+    "distinct_flags": SQL_DISTINCT_FLAGS,
+    "event_type_stats": SQL_EVENT_TYPE_STATS,
+    "hourly_user_windows": SQL_HOURLY_USER_WINDOWS,
+    "user_sessions": SQL_USER_SESSIONS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
+    "extraction_span_counts": SQL_EXTRACTION_SPAN_COUNTS,
+    "extraction_text_identity": SQL_EXTRACTION_TEXT_IDENTITY,
+    "extraction_ocr_roundtrip": SQL_EXTRACTION_OCR_ROUNDTRIP,
+    "extraction_html_strip": SQL_EXTRACTION_HTML_STRIP,
+    "extraction_pdf_pages": SQL_EXTRACTION_PDF_PAGES,
+}

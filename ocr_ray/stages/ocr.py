@@ -1,0 +1,72 @@
+"""Stage 2: the OCR actor pool.
+
+A callable CLASS for ``map_batches(..., concurrency=N)`` — the Ray
+Data actor-pool pattern standing in for the reference's
+load-once/extract-many engine contract (BaseOCREngine,
+app/ocr/base.py:37-116; GOT/Qari/DeepSeek engines §2.5 M1-M4):
+expensive setup once per actor in ``__init__`` (here: engine config +
+prebuilt preprocessing step chain; for a real model: weights), then
+per-batch extraction in ``__call__``.
+
+Rows with ``done=True`` (text/html) pass through untouched; media rows
+(image spans, pdf pages) are rendered from their synth:// ref (the
+stand-in for fetching payload bytes) and OCR'd via the shared pure
+core (functions/extract.ocr_page). PDF pages get their page marker
+here so later joins are plain associative concatenations.
+
+Lineage: ``steps`` (comma-joined preprocessing steps applied — mirror
+of the reference's steps_applied, pipeline.py:162-170) and ``split_method``
+columns are added for media rows.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import get_engine
+from ..functions.extract import ocr_page, page_block
+from ..functions.preprocess import build_steps
+from ..synth.media import render_ref
+
+OCR_SCHEMA_EXTRA = [("steps", pa.string()), ("split_method", pa.string())]
+
+
+class OcrPageExtractor:
+    """Actor: OCR every not-yet-done row of a unit-row batch."""
+
+    def __init__(self, engine_name: str = "synth"):
+        self.engine = get_engine(engine_name)
+        # prebuilt step chain ~ model warm-load (once per actor)
+        self.steps = build_steps(self.engine.preprocess)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        done = batch.column("done").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        units = batch.column("unit").to_pylist()
+        totals = batch.column("total_units").to_pylist()
+        texts = batch.column("text").to_pylist()
+        steps_col = [""] * len(done)
+        method_col = [""] * len(done)
+        for i, is_done in enumerate(done):
+            if is_done:
+                continue
+            if kinds[i] == "pdf":
+                img = render_ref(refs[i], page_number=units[i])
+            else:
+                img = render_ref(refs[i])
+            text, applied, method = ocr_page(img, self.engine)
+            if kinds[i] == "pdf":
+                text = page_block(units[i], totals[i], text, self.engine)
+            texts[i] = text
+            steps_col[i] = ",".join(applied)
+            method_col[i] = method
+        out = batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+        )
+        out = out.set_column(
+            out.schema.get_field_index("done"),
+            "done",
+            pa.array([True] * len(done), pa.bool_()),
+        )
+        out = out.append_column("steps", pa.array(steps_col, pa.string()))
+        return out.append_column("split_method", pa.array(method_col, pa.string()))

@@ -1,0 +1,88 @@
+"""Stages 3-4: salted partial merge + per-doc stitch.
+
+The re-stitch required by the north rule (and the analogue of the
+reference's ordered page concat, app/worker/tasks.py:177-223 /
+chunk-order merge, merger.py:119-147): group extracted unit rows by
+``doc_id``, re-establish order by sorting carried provenance columns
+``(offset, unit)`` INSIDE the group — global dataset order is never
+relied on, so the streaming executor runs unordered at full speed
+(SURVEY.md §4.3).
+
+Skew handling (SURVEY.md §4.2 "salted keys"): a heavy pdf span (up to
+~80 page rows here, unbounded in the wild) first goes through an
+optional pre-merge grouped by ``(doc_id, offset, salt)`` with
+``salt = (page-1) // salt_width`` — partial merges of CONTIGUOUS page
+ranges, which makes the final per-doc merge an associative concat of a
+few partials instead of one task holding every page of the hottest
+document. Both groupbys shuffle only post-extraction text rows (a few
+percent of input bytes).
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..functions.extract import join_units
+from ..synth.corpus import DOC_SCHEMA
+
+
+def make_salt_premerge(engine: EngineConfig):
+    """Grouped partial merge of pdf-page unit rows; identity for
+    single-unit groups. Input/output: unit-row schema (pandas groups)."""
+    sep = engine.stitch.page_separator
+
+    def premerge(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 1:
+            return group.drop(columns=["salt"])
+        g = group.sort_values("unit")
+        first = g.iloc[0]
+        merged = sep.join(g["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": [first["doc_id"]],
+                "offset": [first["offset"]],
+                "kind": [first["kind"]],
+                "media_ref": [first["media_ref"]],
+                # partials stay ordered by their smallest page number
+                "unit": [int(g["unit"].min())],
+                "total_units": [int(first["total_units"])],
+                "text": [merged],
+                "done": [True],
+                "steps": [""],
+                "split_method": [""],
+            }
+        )
+
+    return premerge
+
+
+def make_doc_stitch(engine: EngineConfig):
+    """Final per-doc stitch: unit rows -> one (doc_id, spans) row with
+    spans ordered by offset (list<struct> matching the input schema)."""
+
+    def stitch(group: pa.Table) -> pa.Table:
+        doc_id = group.column("doc_id")[0].as_py()
+        df = group.select(["offset", "kind", "media_ref", "unit", "text"]).to_pandas()
+        spans = []
+        for offset, span_rows in df.groupby("offset", sort=True):
+            span_rows = span_rows.sort_values("unit")
+            first = span_rows.iloc[0]
+            text = (
+                first["text"]
+                if len(span_rows) == 1
+                else join_units(list(span_rows["text"]), engine)
+            )
+            spans.append(
+                {
+                    "kind": first["kind"],
+                    "text": text,
+                    "media_ref": first["media_ref"],
+                    "offset": int(offset),
+                }
+            )
+        return pa.Table.from_pylist(
+            [{"doc_id": doc_id, "spans": spans}], schema=DOC_SCHEMA
+        )
+
+    return stitch

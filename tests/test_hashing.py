@@ -1,0 +1,54 @@
+import numpy as np
+
+from ocr_ray.functions import hashing as H
+
+
+def test_shingles_and_jaccard():
+    a = H.shingle_hashes("the quick brown fox jumps over the lazy dog")
+    b = H.shingle_hashes("the quick brown fox jumped over the lazy dog")
+    c = H.shingle_hashes("completely different content here")
+    assert H.jaccard(a, a) == 1.0
+    assert H.jaccard(a, b) > 0.6
+    assert H.jaccard(a, c) < 0.1
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(60)]
+    t1 = " ".join(words)
+    t2 = " ".join(words[:48] + [f"x{i}" for i in range(12)])  # ~high overlap
+    h1, h2 = H.shingle_hashes(t1), H.shingle_hashes(t2)
+    true_j = H.jaccard(h1, h2)
+    s1, s2 = H.minhash_signature(h1), H.minhash_signature(h2)
+    est = (s1 == s2).mean()
+    assert abs(est - true_j) < 0.2
+    _ = rng
+
+
+def test_band_keys_collide_for_near_dups():
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    s1 = H.minhash_signature(H.shingle_hashes(t))
+    s2 = H.minhash_signature(H.shingle_hashes(t + " tail"))
+    assert set(H.band_keys(s1)) & set(H.band_keys(s2))
+    far = H.minhash_signature(H.shingle_hashes("something else entirely unrelated"))
+    assert not set(H.band_keys(s1)) & set(H.band_keys(far))
+
+
+def test_simhash_locality():
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a = H.simhash64(t)
+    b = H.simhash64(t.replace("kappa", "kappb"))
+    c = H.simhash64("totally unrelated words like quartz marble onyx")
+    assert H.hamming64(a, b) < H.hamming64(a, c)
+    assert H.hamming64(a, a) == 0
+
+
+def test_winnow_deterministic_and_contained():
+    t = "the quick brown fox jumps over the lazy dog near the river bank"
+    f1 = H.winnow_fingerprints(t)
+    f2 = H.winnow_fingerprints(t)
+    assert np.array_equal(f1, f2)
+    # fingerprints of a superstring share most of the substring's prints
+    f3 = H.winnow_fingerprints(t + " and keeps going onward")
+    shared = np.intersect1d(f1, f3).size
+    assert shared >= f1.size * 0.7

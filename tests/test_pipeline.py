@@ -1,0 +1,60 @@
+"""Span-sequence equality of the Ray pipeline vs the pure-Python oracle
+(the graft's correctness criterion), plus invariance properties."""
+import numpy as np
+import pytest
+import ray.data
+
+from ocr_ray.pipelines.extraction import build_extraction, run_extraction
+from ocr_ray.pipelines.oracle import extract_corpus
+from ocr_ray.synth.corpus import generate_docs, write_corpus
+
+N_DOCS = 14
+SEED = 7
+
+
+def _span_seq(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    docs = generate_docs(N_DOCS, seed=SEED, heavy_frac=0.1).to_pylist()
+    return {d["doc_id"]: _span_seq(d["spans"]) for d in extract_corpus(docs)}
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(out, N_DOCS, seed=SEED, heavy_frac=0.1, n_files=2)
+    return out
+
+
+def test_pipeline_matches_oracle(ray_session, corpus_dir, oracle_result):
+    rows = run_extraction(corpus_dir).take_all()
+    assert len(rows) == N_DOCS
+    for r in rows:
+        assert _span_seq(r["spans"]) == oracle_result[r["doc_id"]], r["doc_id"]
+
+
+def test_pipeline_unsalted_matches_oracle(ray_session, corpus_dir, oracle_result):
+    rows = run_extraction(corpus_dir, salted=False).take_all()
+    for r in rows:
+        assert _span_seq(r["spans"]) == oracle_result[r["doc_id"]]
+
+
+def test_input_row_order_invariance(ray_session, oracle_result):
+    """Stitch must re-sort by offset, not trust arrival order: feed the
+    same docs reversed and block-scrambled."""
+    docs = generate_docs(N_DOCS, seed=SEED, heavy_frac=0.1).to_pylist()
+    rng = np.random.default_rng(0)
+    rng.shuffle(docs)
+    ds = ray.data.from_items(docs).repartition(5)
+    rows = build_extraction(ds).take_all()
+    for r in rows:
+        assert _span_seq(r["spans"]) == oracle_result[r["doc_id"]]
+
+
+def test_rerun_deterministic(ray_session, corpus_dir):
+    a = {r["doc_id"]: _span_seq(r["spans"]) for r in run_extraction(corpus_dir).take_all()}
+    b = {r["doc_id"]: _span_seq(r["spans"]) for r in run_extraction(corpus_dir).take_all()}
+    assert a == b

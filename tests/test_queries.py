@@ -1,0 +1,63 @@
+"""Driver-contract conformance at sf0.001: Ray query vs DuckDB oracle
+(the same comparison CORRECTNESS_r{N}.json records at sf0.01)."""
+import duckdb
+import pandas as pd
+import pytest
+import ray.data
+
+from ocr_ray import queries as Q
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# fast, representative subset (full catalog is checked by the driver)
+SUBSET = [
+    "pricing_summary",
+    "revenue_topk",
+    "order_priority_revenue",
+    "mktsegment_stats",
+    "user_sessions",
+    "dedup_exact",
+    "token_counts",
+    "knn_bruteforce",
+    "embedding_similar_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(df):
+    if isinstance(df, ray.data.Dataset):
+        df = df.to_pandas()
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, con, name):
+    mine = _norm(Q.QUERIES[name](SF))
+    orc = _norm(con.execute(Q.ORACLE_SQL[name]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False, rtol=1e-9, atol=1e-9)
+
+
+def test_rows_only_queries_run(ray_session):
+    for name in ["lang_id", "fingerprints", "dedup_minhash", "dedup_simhash", "knn_lsh"]:
+        out = Q.QUERIES[name](SF)
+        if isinstance(out, ray.data.Dataset):
+            out = out.to_pandas()
+        assert len(out) >= 0 and len(out.columns) >= 1
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session):
+    bf = Q.QUERIES["knn_bruteforce"](SF)
+    ann = Q.QUERIES["knn_lsh"](SF)
+    bf_sets = bf.groupby("qid")["vec_id"].apply(set)
+    ann_sets = ann.groupby("qid")["vec_id"].apply(set)
+    recalls = [len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets.index]
+    assert sum(recalls) / len(recalls) >= 0.5  # multi-probe LSH on 64-dim
