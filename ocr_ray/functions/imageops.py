@@ -134,16 +134,24 @@ def adaptive_threshold(img: np.ndarray, block: int = 0, c: int = 11) -> np.ndarr
 
 
 def median3x3(img: np.ndarray) -> np.ndarray:
-    """3x3 median filter (edge-clamped) — vectorized via stacked shifts."""
-    p = np.pad(img, 1, mode="edge")
+    """3x3 median filter (edge-clamped) — median-of-9 selection network
+    (19 elementwise min/max pairs) instead of a full sort per pixel."""
+    pad = np.pad(img, 1, mode="edge")
     h, w = img.shape
-    stack = np.empty((9, h, w), dtype=img.dtype)
-    idx = 0
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            stack[idx] = p[dy : dy + h, dx : dx + w]
-            idx += 1
-    return np.median(stack, axis=0).astype(img.dtype)
+    p = [pad[dy : dy + h, dx : dx + w] for dy in (0, 1, 2) for dx in (0, 1, 2)]
+
+    def srt(i: int, j: int) -> None:
+        lo = np.minimum(p[i], p[j])
+        p[j] = np.maximum(p[i], p[j])
+        p[i] = lo
+
+    for i, j in (
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ):
+        srt(i, j)
+    return np.ascontiguousarray(p[4])
 
 
 def _projection_sharpness(ys: np.ndarray, xs: np.ndarray, tan_t: float, nbins: int) -> float:

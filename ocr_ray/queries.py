@@ -26,6 +26,10 @@ import ray.data
 from .functions import hashing as H
 from .functions import textstats as TS
 
+# candidate-pair self-joins hash their (huge-cardinality) key space into
+# this many shuffle partitions; each partition does one vectorized merge
+_PAIR_BUCKETS = 64
+
 # --------------------------------------------------------------- helpers
 
 
@@ -437,28 +441,50 @@ def q_dedup_minhash(sf_dir: str):
             sig = H.minhash_signature(H.shingle_hashes(text))
             for key in H.band_keys(sig):
                 rows.append((int(key), int(doc_id)))
-        return pd.DataFrame(rows, columns=["band_key", "doc_id"])
+        out = pd.DataFrame(rows, columns=["band_key", "doc_id"])
+        # bounded shuffle width: millions of band keys hash into B
+        # partitions, so the groupby has B vectorized groups instead of
+        # one tiny pandas group per distinct key
+        out["bucket"] = out["band_key"].to_numpy() & (_PAIR_BUCKETS - 1)
+        return out
 
     tdf = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
     texts_ref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["a", "b"]) if out else pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
+        m = g.merge(g, on="band_key")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"}) if len(out) else \
+            pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
 
     cands = ds.map_batches(sigs, batch_format="pandas") \
-              .groupby("band_key").map_groups(pairs, batch_format="pandas").to_pandas()
+              .groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
     cands = cands.drop_duplicates()
+    if not len(cands):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
 
-    texts = ray.get(texts_ref)
-    rows = []
-    for a, b in zip(cands["a"], cands["b"]):
-        j = H.jaccard(H.shingle_hashes(texts[a]), H.shingle_hashes(texts[b]))
-        if j >= 0.5:
-            rows.append((int(a), int(b), round(j, 4)))
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).sort_values(["a", "b"]).reset_index(drop=True)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # texts broadcast once via ray.put; shingle sets cached per doc
+        # within the batch (each doc appears in many candidate pairs)
+        texts = ray.get(texts_ref)
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(i: int) -> np.ndarray:
+            if i not in cache:
+                cache[i] = H.shingle_hashes(texts[i])
+            return cache[i]
+
+        js = np.array([H.jaccard(sh(a), sh(b)) for a, b in zip(df["a"], df["b"])])
+        out = df.assign(jaccard=np.round(js, 4))
+        return out[out["jaccard"] >= 0.5]
+
+    res = ray.data.from_pandas(cands).map_batches(
+        verify, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    return res.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -475,22 +501,26 @@ def q_dedup_simhash(sf_dir: str):
             s = H.simhash64(text)
             for blk in range(4):
                 rows.append(((blk << 16) | ((s >> (16 * blk)) & 0xFFFF), int(doc_id), s))
-        return pd.DataFrame(rows, columns=["block_key", "doc_id", "sim"])
+        out = pd.DataFrame(rows, columns=["block_key", "doc_id", "sim"])
+        out["bucket"] = out["block_key"].to_numpy() & (_PAIR_BUCKETS - 1)
+        return out
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(g["doc_id"], g["sim"])))
-        out = []
-        for i in range(len(recs)):
-            for jx in range(i + 1, len(recs)):
-                d = H.hamming64(int(recs[i][1]), int(recs[jx][1]))
-                if d <= 6:
-                    out.append((int(recs[i][0]), int(recs[jx][0]), d))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"]) if out else pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-             "hamming": pd.Series([], dtype="int64")})
+        m = g.merge(g, on="block_key")
+        m = m[m["doc_id_x"] < m["doc_id_y"]].drop_duplicates(["doc_id_x", "doc_id_y"])
+        if not len(m):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")})
+        # vectorized popcount of sim_x ^ sim_y via uint8 view
+        x = m["sim_x"].to_numpy(dtype=np.uint64) ^ m["sim_y"].to_numpy(dtype=np.uint64)
+        d = np.unpackbits(x.view(np.uint8)).reshape(len(m), 8 * 8).sum(axis=1)
+        m = m.assign(hamming=d.astype(np.int64))
+        m = m[m["hamming"] <= 6]
+        return m.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})[["a", "b", "hamming"]]
 
     out = ds.map_batches(sigs, batch_format="pandas") \
-            .groupby("block_key").map_groups(pairs, batch_format="pandas").to_pandas()
+            .groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
     return out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
 
 

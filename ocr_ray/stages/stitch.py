@@ -38,7 +38,7 @@ def make_salt_premerge(engine: EngineConfig):
         g = group.sort_values("unit")
         first = g.iloc[0]
         merged = sep.join(g["text"])
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_id": [first["doc_id"]],
                 "offset": [first["offset"]],
@@ -53,6 +53,9 @@ def make_salt_premerge(engine: EngineConfig):
                 "split_method": [""],
             }
         )
+        # keep dtypes identical to pass-through groups (int32 provenance
+        # columns) so downstream blocks share one schema
+        return out.astype({c: group.dtypes[c] for c in out.columns})
 
     return premerge
 

@@ -257,18 +257,36 @@ def _decode_band(band: np.ndarray) -> str | None:
     # row-0 cell means are most decisive (far from 0.5). The row COUNT
     # is then taken from the decoded length prefix, not from the fuzzy
     # frame height.
-    candidates: list[tuple[float, int, int]] = []
-    for dy in (-2, -1, 0, 1, 2, 3):
-        for dx in (-2, -1, 0, 1, 2, 3):
-            m = _cell_means(ii, top + FRAME + dy, left + FRAME + dx, 1, h, w)
-            if float(m.mean()) > 0.85:
-                continue  # sampling inside the solid frame, not the data grid
-            conf = float(np.abs(m - 0.5).mean())
-            candidates.append((conf, dy, dx))
-    candidates.sort(reverse=True)
+    offs = np.arange(-2, 4)
+    k = 4
+    ys_all = np.clip(
+        np.rint(top + FRAME + offs + 1).astype(np.int64), 0, h - k
+    )  # (6,)
+    xs_all = np.clip(
+        np.rint(left + FRAME + offs[:, None] + np.arange(BITS_PER_ROW) * CELL + 1)
+        .astype(np.int64),
+        0,
+        w - k,
+    )  # (6, 64)
+    y_lo = ys_all[:, None, None]
+    y_hi = y_lo + k
+    x_lo = xs_all[None, :, :]
+    x_hi = x_lo + k
+    m_all = (
+        ii[y_hi, x_hi] - ii[y_lo, x_hi] - ii[y_hi, x_lo] + ii[y_lo, x_lo]
+    ) / (k * k)  # (6 dy, 6 dx, 64 bits): row-0 cell means for every offset
+    in_frame = m_all.mean(axis=2) > 0.85  # sampling the solid frame, not data
+    conf = np.abs(m_all - 0.5).mean(axis=2)
+    conf[in_frame] = -1.0
+    order = np.argsort(conf, axis=None)[::-1]
+    candidates = [
+        (float(conf.flat[i]), int(offs[i // 6]), int(offs[i % 6]), i)
+        for i in order
+        if conf.flat[i] >= 0.0
+    ]
     pow16 = 1 << np.arange(15, -1, -1)
-    for _conf, dy, dx in candidates:
-        m0 = _cell_means(ii, top + FRAME + dy, left + FRAME + dx, 1, h, w)
+    for _conf, dy, dx, flat_i in candidates:
+        m0 = m_all[flat_i // 6, flat_i % 6]
         row0 = (m0 > 0.5).astype(np.int64).ravel()
         length = int((row0[:16] * pow16).sum())
         need = 16 + length * 8 + 32  # + crc32
