@@ -92,6 +92,10 @@ class PipelineConfig:
     ocr_batch_size: int = 16             # media rows per batch (rows are image-scale)
     text_batch_size: int = 4096          # text/html rows per batch
     num_output_partitions: int = 16      # checkpointable output partition count
+    stitch_partitions: int = 0           # shuffle width for the stitch groupbys
+                                         # (0 -> auto: max(8, CPUs // 2))
+    salt_premerge: bool = False          # skew escape hatch: salted partial merge
+                                         # of heavy multi-unit spans (extra shuffle)
 
 
 DEFAULT_ENGINE = EngineConfig()

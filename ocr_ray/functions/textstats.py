@@ -8,7 +8,7 @@ import re
 import numpy as np
 import pandas as pd
 
-__all__ = ["token_count", "quality_columns", "lang_id_batch", "TOKEN_RE"]
+__all__ = ["token_count", "quality_columns", "lang_id_batch", "word_ngrams", "TOKEN_RE"]
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
 _WS_RE = re.compile(r"\S+")
@@ -20,6 +20,18 @@ _PROFILES = {
     "de": {"der", "die", "und", "das", "ist", "ein", "zu"},
     "fr": {"le", "la", "de", "et", "un", "est", "les"},
 }
+
+
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    """Set of word n-grams of the lowercased [a-z0-9]+ token stream
+    (the exact-Jaccard dedup unit; shorter texts yield the full token
+    tuple as a single gram)."""
+    toks = TOKEN_RE.findall(text.lower())
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
 def token_count(texts: pd.Series) -> pd.Series:

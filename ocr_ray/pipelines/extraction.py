@@ -33,36 +33,61 @@ def _pool_size(cfg: PipelineConfig) -> int:
     if cfg.ocr_pool_size > 0:
         return cfg.ocr_pool_size
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    # leave headroom for the stateless prepare/stitch stages so the
-    # pipeline doesn't serialize behind the pool
-    return max(2, cpus - max(2, cpus // 8))
+    # nearly the whole node: the read fuses into the pool's input and
+    # the stitch shuffle only runs after the pool drains, so reserving
+    # CPUs for other stages just idles them during the OCR phase
+    return max(2, cpus - 1)
+
+
+def _stitch_partitions(cfg: PipelineConfig) -> int:
+    """Shuffle width for the stitch groupbys: proportional to the
+    cluster (so N vs 4N runs scale), floored so tiny clusters still
+    parallelize. Coalescing the many small post-OCR blocks before the
+    sort removes most per-task shuffle overhead."""
+    if cfg.stitch_partitions > 0:
+        return cfg.stitch_partitions
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(8, cpus // 2)
 
 
 def build_extraction(
     ds: ray.data.Dataset,
     engine_name: str = "synth",
     cfg: PipelineConfig | None = None,
-    salted: bool = True,
+    salted: bool | None = None,
 ) -> ray.data.Dataset:
+    """``salted=None`` (default) reads ``cfg.salt_premerge``: the salted
+    partial merge is the skew ESCAPE HATCH for corpora whose heaviest
+    documents would overload a single stitch task (>~10^4 units/doc).
+    It costs one extra shuffle of the (small) text rows, so it stays off
+    when the unit-count distribution is bounded — same correctness
+    either way (tests run both paths)."""
     cfg = cfg or PipelineConfig()
     engine = get_engine(engine_name)
-    units = ds.map_batches(prepare_batch, batch_format="pyarrow", zero_copy_batch=True)
+    if salted is None:
+        salted = cfg.salt_premerge
+    use_salt = salted and engine.stitch.salt_width > 0
+    units = ds.map_batches(
+        prepare_batch,
+        fn_kwargs={"salt_width": engine.stitch.salt_width if use_salt else 0},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pool = _pool_size(cfg)
     extracted = units.map_batches(
         OcrPageExtractor,
         fn_constructor_kwargs={"engine_name": engine_name},
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,
-        concurrency=_pool_size(cfg),
+        concurrency=pool,
         num_cpus=1,
     )
-    if salted and engine.stitch.salt_width > 0:
-        w = engine.stitch.salt_width
-        extracted = extracted.add_column(
-            "salt", lambda df: (df["unit"].astype(int).clip(lower=1) - 1) // w,
-            batch_format="pandas",
-        )
+    # coalesce the many small post-OCR blocks so the shuffle's per-task
+    # overhead doesn't swamp the (small) stitch compute
+    extracted = extracted.repartition(_stitch_partitions(cfg))
+    if use_salt:
         extracted = extracted.groupby(["doc_id", "offset", "salt"]).map_groups(
-            make_salt_premerge(engine), batch_format="pandas"
+            make_salt_premerge(engine), batch_format="pyarrow"
         )
     return extracted.groupby("doc_id").map_groups(
         make_doc_stitch(engine), batch_format="pyarrow"
@@ -74,7 +99,7 @@ def run_extraction(
     output_path: str | None = None,
     engine_name: str = "synth",
     cfg: PipelineConfig | None = None,
-    salted: bool = True,
+    salted: bool | None = None,
 ) -> ray.data.Dataset:
     out = build_extraction(read_corpus(input_path), engine_name, cfg, salted)
     if output_path is not None:

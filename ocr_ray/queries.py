@@ -782,6 +782,274 @@ def q_extraction_synth_corpus(sf_dir: str):
              .sort_values(["doc_id", "offset"]).reset_index(drop=True)
 
 
+# --------------------------------------------------------------- joins / set ops / sort
+
+def q_asof_last_order(sf_dir: str):
+    """As-of join (events -> most recent order at/before the event):
+    both sides tagged + unioned, grouped by the shared key, ordered
+    INSIDE the group — the merge-asof shape Ray Data lacks natively
+    (SURVEY.md §2.8). At 100TB the groupby is the one shuffle; both
+    inputs are pruned to the join columns at the read."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["user_id"].astype("int64"),
+                             "t": df["ts"],
+                             "event_id": df["event_id"].astype("int64"),
+                             "is_order": False})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["o_custkey"].astype("int64"),
+                             "t": df["o_orderdate"],
+                             "event_id": np.int64(-1),
+                             "is_order": True})
+
+    both = ev.map_batches(tag_events, batch_format="pandas").union(
+        od.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "is_order"])
+        last_order = g["t"].where(g["is_order"]).ffill()
+        evr = ~g["is_order"]
+        days = (g.loc[evr, "t"].dt.normalize() - last_order[evr].dt.normalize()).dt.days
+        out = pd.DataFrame({"event_id": g.loc[evr, "event_id"],
+                            "user_id": g.loc[evr, "k"],
+                            "days_since_order": days})
+        return out.dropna(subset=["days_since_order"]).astype(
+            {"event_id": "int64", "user_id": "int64", "days_since_order": "int64"})
+
+    out = both.groupby("k").map_groups(asof, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ASOF_LAST_ORDER = """
+SELECT e.event_id, CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(date_diff('day', o.o_orderdate, CAST(e.ts AS DATE)) AS BIGINT)
+         AS days_since_order
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_party_nation_counts(sf_dir: str):
+    """Set op + broadcast join: customers UNION ALL suppliers counted
+    per nation, nation names joined from a driver-read broadcast dict
+    (ray.put once, read per batch — never a shuffle for a 25-row side)."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    names_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda df: pd.DataFrame({"k": df["c_nationkey"].astype("int64")}),
+        batch_format="pandas")
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda df: pd.DataFrame({"k": df["s_nationkey"].astype("int64")}),
+        batch_format="pandas")
+
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(names_ref)
+        out = df.groupby("k", as_index=False).size()
+        out["n_name"] = out["k"].map(names)
+        return out[["n_name", "size"]]
+
+    parts = cust.union(supp).map_batches(partial_count, batch_format="pandas").to_pandas()
+    out = parts.groupby("n_name", as_index=False)["size"].sum() \
+               .rename(columns={"size": "n_parties"})
+    out["n_parties"] = out["n_parties"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SQL_PARTY_NATION_COUNTS = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_parties
+FROM (SELECT c_nationkey AS k FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier) p
+JOIN nation ON n_nationkey = p.k
+GROUP BY n_name
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit: Ray's range-partitioned distributed sort,
+    deterministic tie-break on the key. The only stage that touches
+    every row; columns pruned at the read."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+    df = top.to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    return df.astype({"o_orderkey": "int64", "o_custkey": "int64"})
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic ~25% sample: hash-prefix filter (md5(text)[0] in
+    0..3) — reproducible across runs/cluster sizes, unlike random_sample;
+    the idiom for carving stable eval slices out of a 100TB corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [hashlib.md5(t.encode()).hexdigest()[0] in "0123" for t in df["text"]]
+        return pd.DataFrame({"doc_id": df.loc[keep, "doc_id"].astype("int64")})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SAMPLE_DOCUMENTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')
+"""
+
+
+def q_dedup_ngram(sf_dir: str):
+    """Exact word-3-gram Jaccard >= 0.3 within length-bucket blocks
+    (each doc emitted to its bucket AND the next, so pairs within 32
+    chars of length always co-locate): one boolean doc x gram matrix
+    per block, intersections via a single matmul — no per-pair Python.
+    Quadratic within a block — this is the exact-verification variant;
+    MinHash-LSH (dedup_minhash) is the 100TB path. Rows-only check;
+    recall vs minhash's strong pairs asserted in unit tests."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def add_block(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["n_chars"] // 32).astype("int64")
+        lo = df[["doc_id", "text"]].assign(block=b)
+        hi = df[["doc_id", "text"]].assign(block=b + 1)
+        return pd.concat([lo, hi], ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if len(g) < 2:
+            return empty
+        gram_sets = [TS.word_ngrams(t, 3) for t in g["text"]]
+        vocab: dict[str, int] = {}
+        for s in gram_sets:
+            for ng in s:
+                vocab.setdefault(ng, len(vocab))
+        if not vocab:
+            return empty
+        m = np.zeros((len(g), len(vocab)), dtype=np.float32)
+        for i, s in enumerate(gram_sets):
+            for ng in s:
+                m[i, vocab[ng]] = 1.0
+        inter = m @ m.T
+        sizes = m.sum(axis=1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        ids = g["doc_id"].to_numpy()
+        ai, bi = np.nonzero(np.triu(jac >= 0.3, k=1))
+        if not ai.size:
+            return empty
+        a, b = ids[ai], ids[bi]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"a": a2.astype("int64"), "b": b2.astype("int64"),
+                             "jaccard": np.round(jac[ai, bi], 4)})
+
+    out = ds.map_batches(add_block, batch_format="pandas") \
+            .groupby("block").map_groups(pairs, batch_format="pandas").to_pandas()
+    # same-bucket pairs meet twice (block b and b+1): dedupe
+    out = out.drop_duplicates(["a", "b"])
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_knn_ivf(sf_dir: str):
+    """ANN via IVF: deterministic k-means coarse quantizer (seeded init,
+    5 Lloyd iterations), nprobe=3 lists searched per query, exact rerank
+    inside the probed lists. The scale path: centroids broadcast, list
+    assignment is a map_batches matmul, each query touches nprobe/nlist
+    of the corpus. Rows-only (approximate); recall asserted in tests."""
+    ids_all, mat_all = _emb_matrix(sf_dir)
+    normed = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
+    nlist, nprobe = 8, 3
+    rng = np.random.default_rng(7)
+    cent = normed[rng.choice(len(normed), nlist, replace=False)].copy()
+    for _ in range(5):
+        assign = np.argmax(normed @ cent.T, axis=1)
+        for c in range(nlist):
+            sel = normed[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    assign = np.argmax(normed @ cent.T, axis=1)
+    qmask = ids_all < 8
+    qids, qmat = ids_all[qmask], normed[qmask]
+    rows = []
+    for qi, qid in enumerate(qids):
+        lists = np.argsort(-(cent @ qmat[qi]))[:nprobe]
+        cand = np.nonzero(np.isin(assign, lists))[0]
+        sims = normed[cand] @ qmat[qi]
+        order = np.lexsort((ids_all[cand], -np.round(sims, 9)))[:5]
+        for rank, o in enumerate(order, 1):
+            rows.append((int(qid), int(ids_all[cand[o]]), rank))
+    return pd.DataFrame(rows, columns=["qid", "vec_id", "rank"])
+
+
+# --------------------------------------------------------------- multimodal
+
+def _media_payloads(sf_dir: str):
+    """Deterministic fake media: every 5th doc gets a 6-frame 32x48
+    uint8 'video' payload seeded by doc_id (binary column + metadata —
+    the multimodal column convention, stages/multimodal.py)."""
+    from .stages import multimodal as MM
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["doc_id"] % 5 == 0]
+        payloads = []
+        for d in sel["doc_id"]:
+            rng = np.random.default_rng(1000 + int(d))
+            payloads.append(
+                MM.encode_frames(rng.integers(0, 256, (6, 32, 48), dtype=np.uint8)))
+        return pd.DataFrame({"media_id": sel["doc_id"].astype("int64"),
+                             "payload": payloads})
+
+    return ds.map_batches(gen, batch_format="pandas")
+
+
+def q_multimodal_image_stats(sf_dir: str):
+    """Binary-payload decode + per-image features via an actor-pool
+    stage (warm setup in __init__, small batch_size for MB-scale rows).
+    Deterministic output; rows-only driver check."""
+    from .stages import multimodal as MM
+
+    out = _media_payloads(sf_dir).map_batches(
+        MM.ImageStats, batch_format="pyarrow",
+        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=2,
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_multimodal_frame_sample(sf_dir: str):
+    """Frame sampling fan-out (1 video row -> ceil(6/4)=2 frame rows)
+    through the FrameSampler actor stage — the media analogue of the
+    pdf page fan-out. Deterministic; rows-only driver check."""
+    from .stages import multimodal as MM
+
+    out = _media_payloads(sf_dir).map_batches(
+        MM.FrameSampler, batch_format="pyarrow",
+        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=2,
+    )
+    stats = out.map_batches(
+        MM.ImageStats, batch_format="pyarrow",
+        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=2,
+    ).to_pandas()
+    return stats.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -808,6 +1076,14 @@ QUERIES = {
     "extraction_html_strip": q_extraction_html_strip,
     "extraction_pdf_pages": q_extraction_pdf_pages,
     "extraction_synth_corpus": q_extraction_synth_corpus,
+    "asof_last_order": q_asof_last_order,
+    "party_nation_counts": q_party_nation_counts,
+    "top_orders": q_top_orders,
+    "sample_documents": q_sample_documents,
+    "dedup_ngram": q_dedup_ngram,
+    "knn_ivf": q_knn_ivf,
+    "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLE_SQL = {
@@ -830,4 +1106,8 @@ ORACLE_SQL = {
     "extraction_ocr_roundtrip": SQL_EXTRACTION_OCR_ROUNDTRIP,
     "extraction_html_strip": SQL_EXTRACTION_HTML_STRIP,
     "extraction_pdf_pages": SQL_EXTRACTION_PDF_PAGES,
+    "asof_last_order": SQL_ASOF_LAST_ORDER,
+    "party_nation_counts": SQL_PARTY_NATION_COUNTS,
+    "top_orders": SQL_TOP_ORDERS,
+    "sample_documents": SQL_SAMPLE_DOCUMENTS,
 }

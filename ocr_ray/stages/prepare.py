@@ -36,6 +36,7 @@ UNIT_SCHEMA = pa.schema(
         ("media_ref", pa.string()),
         ("unit", pa.int32()),
         ("total_units", pa.int32()),
+        ("salt", pa.int32()),
         ("text", pa.string()),
         ("done", pa.bool_()),
     ]
@@ -61,8 +62,12 @@ def explode_docs(batch: pa.Table) -> pa.Table:
     )
 
 
-def prepare_batch(batch: pa.Table) -> pa.Table:
-    """Full stage-1 transform: explode + cheap extract + pdf fan-out."""
+def prepare_batch(batch: pa.Table, salt_width: int = 0) -> pa.Table:
+    """Full stage-1 transform: explode + cheap extract + pdf fan-out.
+
+    ``salt_width`` > 0 assigns each pdf page row a salt
+    ``(page-1) // salt_width`` (0 for single-unit rows) so the salted
+    premerge groupby needs no extra add_column operator downstream."""
     rows = explode_docs(batch)
     kind = rows.column("kind")
     is_text = pc.equal(kind, "text")
@@ -87,6 +92,7 @@ def prepare_batch(batch: pa.Table) -> pa.Table:
         out["media_ref"].extend(non_pdf.column("media_ref").to_pylist())
         out["unit"].extend([0] * n)
         out["total_units"].extend([1] * n)
+        out["salt"].extend([0] * n)
         out["text"].extend(extracted)
         out["done"].extend([k != "image" for k in kinds])
 
@@ -104,6 +110,7 @@ def prepare_batch(batch: pa.Table) -> pa.Table:
             out["media_ref"].append(ref)
             out["unit"].append(page)
             out["total_units"].append(pages)
+            out["salt"].append((page - 1) // salt_width if salt_width > 0 else 0)
             out["text"].append("")
             out["done"].append(False)
     _ = is_text, is_html

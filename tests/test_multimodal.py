@@ -1,0 +1,63 @@
+"""Multimodal binary-column stages: codec round-trip, actor stages,
+fan-out provenance (stages/multimodal.py)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_ray.stages import multimodal as MM
+
+
+def test_frame_codec_roundtrip():
+    rng = np.random.default_rng(0)
+    for shape in [(32, 48), (3, 16, 16), (1, 1, 1)]:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = MM.decode_frames(MM.encode_frames(arr))
+        expect = arr[None] if arr.ndim == 2 else arr
+        assert np.array_equal(out, expect)
+
+
+def test_frame_codec_rejects_malformed():
+    with pytest.raises(ValueError):
+        MM.decode_frames(b"nope")
+    with pytest.raises(ValueError):
+        MM.decode_frames(MM.encode_frames(np.zeros((2, 4, 4), np.uint8))[:-5])
+    with pytest.raises(ValueError):
+        MM.encode_frames(np.zeros((4, 4), np.float32))
+
+
+def test_compressed_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_compressed_image(b"\x89PNG\r\n")
+
+
+def _batch(n_frames=6, h=10, w=8, n=3):
+    rng = np.random.default_rng(1)
+    return pa.table({
+        "media_id": pa.array(list(range(n)), pa.int64()),
+        "payload": pa.array(
+            [MM.encode_frames(rng.integers(0, 256, (n_frames, h, w), dtype=np.uint8))
+             for _ in range(n)], pa.binary()),
+    })
+
+
+def test_image_stats_stage():
+    out = MM.ImageStats()(_batch())
+    assert out.column_names == ["media_id", "height", "width", "ink_frac"]
+    assert out.column("height").to_pylist() == [10, 10, 10]
+    assert all(0.0 <= v <= 1.0 for v in out.column("ink_frac").to_pylist())
+
+
+def test_resize_stage_roundtrip():
+    out = MM.ImageResize(5, 4)(_batch())
+    frames = MM.decode_frames(out.column("payload")[0].as_py())
+    assert frames.shape == (6, 5, 4)
+    assert out.column("height").to_pylist() == [5, 5, 5]
+
+
+def test_frame_sampler_fanout_provenance():
+    out = MM.FrameSampler(every_k=4)(_batch(n_frames=6))
+    # 6 frames, k=4 -> indices 0 and 4 per media
+    assert out.num_rows == 6
+    assert out.column("frame_idx").to_pylist() == [0, 4] * 3
+    f = MM.decode_frames(out.column("payload")[0].as_py())
+    assert f.shape == (1, 10, 8)

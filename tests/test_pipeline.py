@@ -36,8 +36,10 @@ def test_pipeline_matches_oracle(ray_session, corpus_dir, oracle_result):
         assert _span_seq(r["spans"]) == oracle_result[r["doc_id"]], r["doc_id"]
 
 
-def test_pipeline_unsalted_matches_oracle(ray_session, corpus_dir, oracle_result):
-    rows = run_extraction(corpus_dir, salted=False).take_all()
+def test_pipeline_salted_matches_oracle(ray_session, corpus_dir, oracle_result):
+    """The skew escape hatch (salted partial merge, extra shuffle) must
+    produce byte-identical spans to the default single-stitch path."""
+    rows = run_extraction(corpus_dir, salted=True).take_all()
     for r in rows:
         assert _span_seq(r["spans"]) == oracle_result[r["doc_id"]]
 

@@ -21,6 +21,10 @@ SUBSET = [
     "token_counts",
     "knn_bruteforce",
     "embedding_similar_pairs",
+    "asof_last_order",
+    "party_nation_counts",
+    "top_orders",
+    "sample_documents",
 ]
 
 
@@ -52,6 +56,40 @@ def test_rows_only_queries_run(ray_session):
         if isinstance(out, ray.data.Dataset):
             out = out.to_pandas()
         assert len(out) >= 0 and len(out.columns) >= 1
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    bf = Q.QUERIES["knn_bruteforce"](SF)
+    ann = Q.QUERIES["knn_ivf"](SF)
+    bf_sets = bf.groupby("qid")["vec_id"].apply(set)
+    ann_sets = ann.groupby("qid")["vec_id"].apply(set)
+    recalls = [len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets.index]
+    assert sum(recalls) / len(recalls) >= 0.5  # nprobe=3 of nlist=8
+
+
+def test_dedup_ngram_finds_planted_pair(ray_session):
+    # sf0.001 documents contain exact/near duplicate pairs by
+    # construction; the blocked n-gram scan must agree with minhash on
+    # the high-jaccard ones that share source + length bucket
+    ng = Q.QUERIES["dedup_ngram"](SF)
+    assert set(ng.columns) == {"a", "b", "jaccard"}
+    assert (ng["jaccard"] >= 0.3).all()
+    mh = Q.QUERIES["dedup_minhash"](SF)
+    if len(mh):
+        strong = set(map(tuple, mh[mh["jaccard"] >= 0.9][["a", "b"]].to_numpy()))
+        found = set(map(tuple, ng[["a", "b"]].to_numpy()))
+        # every very-strong near-dup pair has near-equal length, so
+        # blocking cannot split it
+        assert strong <= found or len(strong) == 0
+
+
+def test_multimodal_queries_deterministic(ray_session):
+    a = Q.QUERIES["multimodal_image_stats"](SF)
+    b = Q.QUERIES["multimodal_image_stats"](SF)
+    pd.testing.assert_frame_equal(a, b)
+    fs = Q.QUERIES["multimodal_frame_sample"](SF)
+    assert fs["frame_idx"].isin([0, 4]).all()
+    assert len(fs) == 2 * len(a)
 
 
 def test_knn_lsh_recall_vs_bruteforce(ray_session):
