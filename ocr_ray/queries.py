@@ -143,13 +143,22 @@ def q_order_priority_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
     def li_prep(t: pa.Table) -> pa.Table:
+        # combiner BEFORE the shuffle: ~4 line items share an orderkey,
+        # so partial (sum, count) per key shrinks the exchange ~4x
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        key = t["l_orderkey"]
+        partial = (
+            pa.table({"key": t["l_orderkey"], "rev": rev})
+            .group_by("key")
+            .aggregate([("rev", "sum"), ("rev", "count")])
+        )
+        key = partial["key"]
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key, "rev": rev,
-            "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
-            "side": pa.array(["l"] * t.num_rows),
+            "key": key,
+            "rev": partial["rev_sum"],
+            "n": pc.cast(partial["rev_count"], pa.int64()),
+            "o_orderpriority": pa.nulls(partial.num_rows, pa.string()),
+            "side": pa.array(["l"] * partial.num_rows),
         })
 
     def o_prep(t: pa.Table) -> pa.Table:
@@ -158,6 +167,7 @@ def q_order_priority_revenue(sf_dir: str):
             "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
             "key": key,
             "rev": pa.nulls(t.num_rows, pa.float64()),
+            "n": pa.nulls(t.num_rows, pa.int64()),
             "o_orderpriority": t["o_orderpriority"],
             "side": pa.array(["o"] * t.num_rows),
         })
@@ -167,11 +177,11 @@ def q_order_priority_revenue(sf_dir: str):
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == "l"][["key", "rev"]]
+        left = g[g["side"] == "l"][["key", "rev", "n"]]
         right = g[g["side"] == "o"][["key", "o_orderpriority"]]
         j = left.merge(right, on="key", how="inner")
         return j.groupby("o_orderpriority", as_index=False).agg(
-            revenue=("rev", "sum"), n_items=("rev", "size")
+            revenue=("rev", "sum"), n_items=("n", "sum")
         )
 
     parts = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas").to_pandas()
@@ -1020,6 +1030,14 @@ def _media_payloads(sf_dir: str):
     return ds.map_batches(gen, batch_format="pandas")
 
 
+def _media_pool() -> int:
+    """Actor-pool size for multimodal stages: never reserve so many
+    CPUs that stacked fixed pools starve the upstream read (a 2+2 pool
+    chain on a 4-CPU cluster deadlocks the streaming executor)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, cpus // 8)
+
+
 def q_multimodal_image_stats(sf_dir: str):
     """Binary-payload decode + per-image features via an actor-pool
     stage (warm setup in __init__, small batch_size for MB-scale rows).
@@ -1028,7 +1046,7 @@ def q_multimodal_image_stats(sf_dir: str):
 
     out = _media_payloads(sf_dir).map_batches(
         MM.ImageStats, batch_format="pyarrow",
-        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=2,
+        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=_media_pool(),
     ).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
 
@@ -1039,13 +1057,14 @@ def q_multimodal_frame_sample(sf_dir: str):
     pdf page fan-out. Deterministic; rows-only driver check."""
     from .stages import multimodal as MM
 
+    conc = _media_pool()
     out = _media_payloads(sf_dir).map_batches(
         MM.FrameSampler, batch_format="pyarrow",
-        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=2,
+        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
     )
     stats = out.map_batches(
         MM.ImageStats, batch_format="pyarrow",
-        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=2,
+        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
     ).to_pandas()
     return stats.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 

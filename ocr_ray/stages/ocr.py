@@ -31,11 +31,21 @@ OCR_SCHEMA_EXTRA = [("steps", pa.string()), ("split_method", pa.string())]
 
 
 class OcrPageExtractor:
-    """Actor: OCR every not-yet-done row of a unit-row batch."""
+    """Actor: OCR every not-yet-done row of a unit-row batch.
 
-    def __init__(self, engine_name: str = "synth"):
+    Engine "switching" (reference OCRModelManager.switch_model,
+    app/ocr/manager.py:168-241) is dissolved into per-row ROUTING: the
+    actor warm-loads every engine named in ``engine_names`` once, and a
+    row carrying an ``engine`` column is extracted with that engine's
+    config; rows without one use ``engine_name``. No shared mutable
+    state, no drain/reload — two kinds of documents just take different
+    code paths through the same pool."""
+
+    def __init__(self, engine_name: str = "synth", engine_names: list[str] | None = None):
         self.engine = get_engine(engine_name)
-        # prebuilt step chain ~ model warm-load (once per actor)
+        # prebuilt step chains ~ model warm-load (once per actor)
+        self.engines = {n: get_engine(n) for n in (engine_names or [engine_name])}
+        self.engines.setdefault(engine_name, self.engine)
         self.steps = build_steps(self.engine.preprocess)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -45,18 +55,24 @@ class OcrPageExtractor:
         units = batch.column("unit").to_pylist()
         totals = batch.column("total_units").to_pylist()
         texts = batch.column("text").to_pylist()
+        routes = (
+            batch.column("engine").to_pylist()
+            if batch.schema.get_field_index("engine") >= 0
+            else None
+        )
         steps_col = [""] * len(done)
         method_col = [""] * len(done)
         for i, is_done in enumerate(done):
             if is_done:
                 continue
+            engine = self.engines.get(routes[i], self.engine) if routes else self.engine
             if kinds[i] == "pdf":
                 img = render_ref(refs[i], page_number=units[i])
             else:
                 img = render_ref(refs[i])
-            text, applied, method = ocr_page(img, self.engine)
+            text, applied, method = ocr_page(img, engine)
             if kinds[i] == "pdf":
-                text = page_block(units[i], totals[i], text, self.engine)
+                text = page_block(units[i], totals[i], text, engine)
             texts[i] = text
             steps_col[i] = ",".join(applied)
             method_col[i] = method
