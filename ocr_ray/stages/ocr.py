@@ -62,15 +62,24 @@ class OcrPageExtractor:
         )
         steps_col = [""] * len(done)
         method_col = [""] * len(done)
+        error_col = [""] * len(done)
         for i, is_done in enumerate(done):
             if is_done:
                 continue
             engine = self.engines.get(routes[i], self.engine) if routes else self.engine
-            if kinds[i] == "pdf":
-                img = render_ref(refs[i], page_number=units[i])
-            else:
-                img = render_ref(refs[i])
-            text, applied, method = ocr_page(img, engine)
+            try:
+                if kinds[i] == "pdf":
+                    img = render_ref(refs[i], page_number=units[i])
+                else:
+                    img = render_ref(refs[i])
+                text, applied, method = ocr_page(img, engine)
+            except Exception as ex:  # noqa: BLE001
+                # error-side semantics: one unreadable ref must never
+                # kill the job (the reference 400s the request,
+                # file_validation.py; a 100TB pipeline tags the row)
+                texts[i] = ""
+                error_col[i] = f"{type(ex).__name__}: {ex}"[:200]
+                continue
             if kinds[i] == "pdf":
                 text = page_block(units[i], totals[i], text, engine)
             texts[i] = text
@@ -85,4 +94,5 @@ class OcrPageExtractor:
             pa.array([True] * len(done), pa.bool_()),
         )
         out = out.append_column("steps", pa.array(steps_col, pa.string()))
-        return out.append_column("split_method", pa.array(method_col, pa.string()))
+        out = out.append_column("split_method", pa.array(method_col, pa.string()))
+        return out.append_column("error", pa.array(error_col, pa.string()))

@@ -50,3 +50,22 @@ def test_unknown_route_falls_back_to_default():
     actor = OcrPageExtractor("synth")
     out = actor(_unit_batch(ref, "no-such-engine"))
     assert out.column("text")[0].as_py() == text
+
+
+def test_bad_media_ref_is_tagged_not_fatal(ray_session):
+    """A corrupt media_ref yields an empty-text span + error column, not
+    a task failure (error-side semantics at 100TB)."""
+    import ray.data
+    from ocr_ray.pipelines.extraction import build_extraction
+
+    docs = [
+        {"doc_id": "ok", "spans": [
+            {"kind": "text", "text": "fine", "media_ref": "", "offset": 0}]},
+        {"doc_id": "bad", "spans": [
+            {"kind": "image", "text": "", "media_ref": "synth://image/bad/0?t=!!!notb64", "offset": 0},
+            {"kind": "text", "text": "still here", "media_ref": "", "offset": 1}]},
+    ]
+    rows = {r["doc_id"]: r["spans"] for r in build_extraction(ray.data.from_items(docs)).take_all()}
+    assert rows["ok"][0]["text"] == "fine"
+    assert rows["bad"][0]["text"] == ""          # failed span -> empty, tagged upstream
+    assert rows["bad"][1]["text"] == "still here"  # rest of the doc survives
