@@ -115,3 +115,52 @@ def winnow_fingerprints(text: str, k: int = 5, window: int = 8) -> np.ndarray:
 
     mins = sliding_window_view(grams, window).min(axis=1)
     return np.unique(mins)
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+_HLL_P = 12           # 2^12 = 4096 registers, ~1.6% standard error
+_HLL_M = 1 << _HLL_P
+
+
+def hll_registers(values: np.ndarray) -> np.ndarray:
+    """HyperLogLog register array (uint8[4096]) for a batch of uint64
+    hashes (Flajolet et al. 2007). Registers from different batches
+    combine with elementwise max — the associative combiner that makes
+    approx-distinct a cheap pre-aggregated shuffle at 100TB."""
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    if values.size == 0:
+        return regs
+    v = values.astype(np.uint64)
+    # mix so low bits are well distributed (splitmix64 finalizer)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    v = v ^ (v >> np.uint64(31))
+    idx = (v >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = v << np.uint64(_HLL_P)
+    # rank = position of first set bit in the remaining 64-P bits, 1-based
+    nbits = 64 - _HLL_P
+    rank = np.full(v.size, nbits + 1, dtype=np.uint8)
+    found = np.zeros(v.size, dtype=bool)
+    for b in range(nbits):
+        hit = ~found & ((rest >> np.uint64(63 - b)) & np.uint64(1)).astype(bool)
+        rank[hit] = b + 1
+        found |= hit
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL cardinality estimate (with linear counting
+    for the small range)."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)

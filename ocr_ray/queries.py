@@ -1038,6 +1038,25 @@ def _media_pool() -> int:
     return max(1, cpus // 8)
 
 
+def q_approx_distinct_orderkeys(sf_dir: str):
+    """Approximate COUNT(DISTINCT l_orderkey) via HyperLogLog (4096
+    registers, ~1.6% error): each batch emits one register array, the
+    tiny final reduce is an elementwise max — distinct-counting with NO
+    shuffle of the keys, the only viable shape at 100TB. Rows-only
+    check; accuracy vs exact asserted in unit tests."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def regs(df: pd.DataFrame) -> pd.DataFrame:
+        r = H.hll_registers(df["l_orderkey"].to_numpy(dtype=np.uint64))
+        return pd.DataFrame({"regs": [r.tobytes()]})
+
+    parts = ds.map_batches(regs, batch_format="pandas", batch_size=65536).to_pandas()
+    merged = np.zeros(4096, dtype=np.uint8)
+    for b in parts["regs"]:
+        merged = H.hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
+    return pd.DataFrame({"approx_distinct": [int(round(H.hll_estimate(merged)))]})
+
+
 def q_multimodal_image_stats(sf_dir: str):
     """Binary-payload decode + per-image features via an actor-pool
     stage (warm setup in __init__, small batch_size for MB-scale rows).
@@ -1101,6 +1120,7 @@ QUERIES = {
     "sample_documents": q_sample_documents,
     "dedup_ngram": q_dedup_ngram,
     "knn_ivf": q_knn_ivf,
+    "approx_distinct_orderkeys": q_approx_distinct_orderkeys,
     "multimodal_image_stats": q_multimodal_image_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }

@@ -52,3 +52,31 @@ def test_winnow_deterministic_and_contained():
     f3 = H.winnow_fingerprints(t + " and keeps going onward")
     shared = np.intersect1d(f1, f3).size
     assert shared >= f1.size * 0.7
+
+
+def test_hll_accuracy_and_merge():
+    import numpy as np
+    from ocr_ray.functions import hashing as H
+
+    rng = np.random.default_rng(3)
+    vals = np.unique(rng.integers(0, 2**63, 30000, dtype=np.uint64))
+    # batched registers merged with max == one-shot registers
+    one = H.hll_registers(vals)
+    merged = np.zeros(4096, dtype=np.uint8)
+    for chunk in np.array_split(vals, 11):
+        merged = H.hll_merge(merged, H.hll_registers(chunk))
+    assert np.array_equal(one, merged)
+    est = H.hll_estimate(merged)
+    assert abs(est - len(vals)) / len(vals) < 0.05
+
+
+def test_hll_query_vs_exact(ray_session):
+    import duckdb
+    from ocr_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    est = int(Q.QUERIES["approx_distinct_orderkeys"](sf)["approx_distinct"].iloc[0])
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
