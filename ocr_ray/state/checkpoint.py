@@ -68,8 +68,16 @@ class Manifest:
             if v.get("status") == "done" and v.get("fingerprint") == fingerprint
         }
 
-    def mark_done(self, part: int, fingerprint: str, rows: int, secs: float, docs_per_sec: float) -> None:
-        self.data["partitions"][str(part)] = {
+    def mark_done(
+        self,
+        part: int,
+        fingerprint: str,
+        rows: int,
+        secs: float,
+        docs_per_sec: float,
+        lineage: dict | None = None,
+    ) -> None:
+        rec = {
             "status": "done",
             "fingerprint": fingerprint,
             "rows": rows,
@@ -77,6 +85,9 @@ class Manifest:
             "docs_per_sec": round(docs_per_sec, 3),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if lineage:
+            rec["lineage"] = lineage
+        self.data["partitions"][str(part)] = rec
 
     def save(self) -> None:
         tmp = self.path + ".tmp"
@@ -144,13 +155,27 @@ def run_checkpointed(
     out.write_parquet(output_dir, partition_cols=["part"])
     secs = max(time.time() - t0, 1e-9)
 
-    total_rows = 0
+    from dataclasses import asdict
+
+    engine_cfg = None
+    try:
+        from ..config import get_engine
+
+        engine_cfg = format(
+            zlib.crc32(json.dumps(asdict(get_engine(engine_name)), sort_keys=True).encode()),
+            "08x",
+        )
+    except Exception:  # noqa: BLE001 - lineage is best-effort metadata
+        pass
+    lineage = {"engine": engine_name, "engine_config_crc": engine_cfg,
+               "num_partitions": num_partitions}
+    per_part_rows = {p: _count_rows(output_dir, p) for p in todo}
+    total_rows = sum(per_part_rows.values())
     for p in todo:
-        rows = _count_rows(output_dir, p)
-        total_rows += rows
-    for p in todo:
-        rows = _count_rows(output_dir, p)
-        manifest.mark_done(p, fp, rows, secs / len(todo), total_rows / secs / len(todo))
+        manifest.mark_done(
+            p, fp, per_part_rows[p], secs / len(todo),
+            total_rows / secs / len(todo), lineage=lineage,
+        )
     manifest.save()
     _ = ray  # session owned by caller
     return {
