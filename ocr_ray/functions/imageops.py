@@ -31,7 +31,41 @@ __all__ = [
     "box_mean",
     "estimate_skew",
     "integral_image",
+    "resize_factor",
 ]
+
+
+def resize_factor(img: np.ndarray, factor: float) -> np.ndarray:
+    """Scale by ``factor`` (reference ScalingStep, steps/scaling.py:12-136:
+    INTER_CUBIC up / INTER_AREA down — here bilinear up / box-mean down,
+    the same roles without cv2).
+
+    Upscale: separable bilinear sampling. Downscale: integer box mean
+    when the factor is close to 1/k, else bilinear."""
+    if factor == 1.0:
+        return img
+    h, w = img.shape
+    nh, nw = max(1, int(round(h * factor))), max(1, int(round(w * factor)))
+    if factor < 1.0:
+        k = int(round(1.0 / factor))
+        if k >= 2 and abs(1.0 / k - factor) < 0.01 and h % k == 0 and w % k == 0:
+            return (
+                img.reshape(h // k, k, w // k, k).mean(axis=(1, 3)).round()
+                .astype(np.uint8)
+            )
+    sy = np.clip((np.arange(nh, dtype=np.float32) + 0.5) * (h / nh) - 0.5, 0, h - 1)
+    sx = np.clip((np.arange(nw, dtype=np.float32) + 0.5) * (w / nw) - 0.5, 0, w - 1)
+    y0 = np.minimum(sy.astype(np.int32), h - 2)
+    x0 = np.minimum(sx.astype(np.int32), w - 2)
+    fy = (sy - y0)[:, None].astype(np.float32)
+    fx = (sx - x0)[None, :].astype(np.float32)
+    im = img.astype(np.float32)
+    rows0 = im[y0]
+    rows1 = im[y0 + 1]
+    top = rows0[:, x0] * (1 - fx) + rows0[:, x0 + 1] * fx
+    bot = rows1[:, x0] * (1 - fx) + rows1[:, x0 + 1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 def rotate_expand(img: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndarray:

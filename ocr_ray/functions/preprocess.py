@@ -19,7 +19,13 @@ import numpy as np
 
 from ..config import PreprocessConfig
 from . import analysis as _an
-from .imageops import adaptive_threshold, median3x3, otsu_threshold, rotate_expand
+from .imageops import (
+    adaptive_threshold,
+    median3x3,
+    otsu_threshold,
+    resize_factor,
+    rotate_expand,
+)
 
 __all__ = ["PreprocessStep", "build_steps", "preprocess_image", "to_gray"]
 
@@ -94,10 +100,25 @@ def _make_binarize(cfg: PreprocessConfig) -> Callable[[np.ndarray, dict], np.nda
     return binarize
 
 
+def _make_scale(cfg: PreprocessConfig):
+    """P7 ScalingStep (steps/scaling.py:12-136): upscale to the target
+    DPI by target/estimated, clamped to max_scale_factor; skip when the
+    factor is < 1.1 (reference rule)."""
+
+    def scale(img: np.ndarray, a: dict) -> np.ndarray:
+        factor = min(cfg.scale_to_dpi / max(a["estimated_dpi"], 1), cfg.max_scale_factor)
+        if factor < 1.1:
+            return img
+        return resize_factor(img, factor)
+
+    return scale
+
+
 def build_steps(cfg: PreprocessConfig) -> list[PreprocessStep]:
     """The fixed reference order (pipeline.py:94-104), minus grayscale
-    (implicit) and scaling (disabled when cfg.scale_to_dpi == 0 — the
-    synthetic corpus is exact-scale)."""
+    (implicit); scaling participates only when cfg.scale_to_dpi > 0
+    (the synthetic corpus is exact-scale, and the synth decoder's cell
+    grid is scale-sensitive, so the synth engines keep it off)."""
     steps = [
         PreprocessStep(
             "invert",
@@ -125,6 +146,17 @@ def build_steps(cfg: PreprocessConfig) -> list[PreprocessStep]:
             _make_binarize(cfg),
         ),
     ]
+    if cfg.scale_to_dpi > 0:
+        # scale runs LAST (reference order, pipeline.py:94-104)
+        steps.append(
+            PreprocessStep(
+                "scale",
+                lambda img, a: (
+                    a["estimated_dpi"] < cfg.scale_to_dpi and cfg.max_scale_factor > 1.0
+                ),
+                _make_scale(cfg),
+            )
+        )
     return steps
 
 

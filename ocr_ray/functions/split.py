@@ -160,6 +160,67 @@ def projection_split(img: np.ndarray, cfg: SplitConfig) -> list[dict] | None:
     return chunks
 
 
+def _dilate3(mask: np.ndarray) -> np.ndarray:
+    p = np.pad(mask, 1)
+    h, w = mask.shape
+    out = np.zeros_like(mask)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out |= p[dy : dy + h, dx : dx + w]
+    return out
+
+
+def component_split(img: np.ndarray, cfg: SplitConfig) -> list[dict] | None:
+    """F3 — content-region occupancy splitter (components.py:43-415
+    semantics, cv2-free): Otsu-inverse ink mask, 2x 3x3 dilation
+    (~reference's 5x5 dilate) to weld nearby glyphs into regions, then
+    1-D row/col occupancy maps padded by min_gap_pixels/2; cut at the
+    centers of unoccupied runs nearest the ideal even spacing. Catches
+    gaps the normalized projection threshold misses (faint wide pages);
+    None when occupancy leaves no valid cut (fall through to grid)."""
+    h, w = img.shape[:2]
+    _, binary = otsu_threshold(img)
+    ink = binary < 128
+    ink = _dilate3(_dilate3(ink))
+    pad = max(1, cfg.min_gap_pixels // 2)
+
+    def occupancy_gaps(occ: np.ndarray, size: int) -> list[int]:
+        # pad occupancy outward so cuts keep a margin from content
+        padded = occ.copy()
+        idx = np.flatnonzero(occ)
+        for i in idx:
+            padded[max(0, i - pad) : min(size, i + pad + 1)] = True
+        free = ~padded
+        centers: list[int] = []
+        start = None
+        for i, g in enumerate(np.append(free, False)):
+            if g and start is None:
+                start = i
+            elif not g and start is not None:
+                if i - start >= cfg.min_gap_pixels:
+                    centers.append((start + i - 1) // 2)
+                start = None
+        margin = int(0.1 * size)
+        return [c for c in centers if margin <= c <= size - margin]
+
+    n = _target_chunks(h, w, cfg)
+    n_y = max(1, int(np.ceil(h / cfg.max_dimension)))
+    n_x = max(1, int(np.ceil(w / cfg.max_dimension)))
+    while n_y * n_x < n:
+        if h / (n_y + 1) >= w / (n_x + 1):
+            n_y += 1
+        else:
+            n_x += 1
+    y_cuts = _pick_cuts(occupancy_gaps(ink.any(axis=1), h), h, n_y, cfg)
+    x_cuts = _pick_cuts(occupancy_gaps(ink.any(axis=0), w), w, n_x, cfg)
+    if not y_cuts and not x_cuts:
+        return None
+    chunks = _emit(img, y_cuts, x_cuts)
+    if any(needs_splitting(c["image"].shape[0], c["image"].shape[1], cfg) for c in chunks):
+        return None
+    return chunks
+
+
 def grid_split(img: np.ndarray, cfg: SplitConfig) -> list[dict]:
     """F4 — fallback ceil-grid with overlap_percent on interior edges
     (grid.py:79-211). RTL collapses to horizontal strips (grid.py:111-125)."""
@@ -228,4 +289,7 @@ def smart_split(img: np.ndarray, cfg: SplitConfig) -> tuple[list[dict], str, boo
     chunks = projection_split(img, cfg)
     if chunks is not None and len(chunks) > 1:
         return chunks, "projection", True
+    chunks = component_split(img, cfg)
+    if chunks is not None and len(chunks) > 1:
+        return chunks, "components", True
     return grid_split(img, cfg), "grid", True

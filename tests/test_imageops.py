@@ -67,3 +67,37 @@ def test_median3x3_kills_impulses():
     noisy[mask] = 255 - noisy[mask]
     den = median3x3(noisy)
     assert (den != img).sum() < (noisy != img).sum() / 10
+
+
+def test_resize_factor_up_down():
+    import numpy as np
+    from ocr_ray.functions.imageops import resize_factor
+
+    img = np.zeros((40, 60), dtype=np.uint8)
+    img[10:30, 20:40] = 200
+    up = resize_factor(img, 2.0)
+    assert up.shape == (80, 120)
+    # the bright block scales with the image
+    assert abs(float((up > 100).mean()) - float((img > 100).mean())) < 0.02
+    down = resize_factor(img, 0.5)
+    assert down.shape == (20, 30)
+    assert resize_factor(img, 1.0) is img
+
+
+def test_scaling_step_predicate_and_factor():
+    import numpy as np
+    from dataclasses import replace
+    from ocr_ray.config import PreprocessConfig
+    from ocr_ray.functions.preprocess import build_steps, preprocess_image
+
+    # low-DPI page (small long side) with a scale-enabled config
+    cfg = replace(PreprocessConfig(), scale_to_dpi=150, binarization="none",
+                  auto_deskew=False, denoise=False, normalize=False)
+    img = np.full((550, 400), 255, dtype=np.uint8)
+    img[100:110, 50:350] = 0
+    out, applied, analysis = preprocess_image(img, cfg)
+    assert "scale" in applied
+    # est dpi clamps to 72 -> factor min(150/72, 3.0) ~ 2.083
+    assert out.shape == (1146, 833)
+    # synth default keeps scaling off
+    assert all(s.name != "scale" for s in build_steps(PreprocessConfig()))

@@ -130,3 +130,36 @@ def test_rtl_diacritic_overlap():
     cur = "كتاب مفيد جدا النص الثاني"  # same words, diacritics stripped (>=10 chars overlap)
     k = find_exact_overlap(prev, cur, cfg)
     assert k > 0 and cur[k:].strip() == "النص الثاني"
+
+
+def test_component_split_finds_occupancy_gap():
+    import numpy as np
+    from dataclasses import replace
+    from ocr_ray.config import SplitConfig
+    from ocr_ray.functions.split import component_split, projection_split, smart_split
+
+    cfg = replace(SplitConfig(), max_megapixels=0.08, max_dimension=310,
+                  min_chunk_size=40, min_gap_pixels=10)
+    # two dense blocks with FAINT speckle in the gap: the normalized
+    # projection profile sees ink everywhere, occupancy after dilation
+    # still leaves a clean free run only if speckle is sparse
+    img = np.full((600, 200), 255, dtype=np.uint8)
+    img[20:270, 20:180] = 0
+    img[330:580, 20:180] = 0
+    chunks = component_split(img, cfg)
+    assert chunks is not None and len(chunks) >= 2
+    ys = sorted(c["y_offset"] for c in chunks)
+    assert ys[0] == 0 and 270 <= ys[1] <= 330
+    out, method, was = smart_split(img, cfg)
+    assert was and method in ("projection", "components")
+
+
+def test_component_split_none_when_no_gap():
+    import numpy as np
+    from dataclasses import replace
+    from ocr_ray.config import SplitConfig
+    from ocr_ray.functions.split import component_split
+
+    cfg = replace(SplitConfig(), max_megapixels=0.05, max_dimension=260)
+    img = np.zeros((600, 200), dtype=np.uint8)  # solid ink, no free run
+    assert component_split(img, cfg) is None
