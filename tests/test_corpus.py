@@ -54,3 +54,20 @@ def test_start_offset_continues_ids():
     # same doc index -> same doc regardless of which shard generated it
     c = generate_docs(10, seed=42, start=0).to_pylist()
     assert c[5]["spans"] == b[0]["spans"]
+
+
+def test_lang_id_on_real_samples():
+    import pandas as pd
+    from ocr_ray.functions.textstats import lang_id_batch
+
+    samples = pd.Series({
+        "en": "the quick brown fox is running through a field of tall grass and it is happy",
+        "es": "el perro corre por la calle y un gato lo mira desde la ventana de la casa",
+        "de": "der hund läuft durch die straße und das kind ist froh ein eis zu essen",
+        "fr": "le chien court dans la rue et un chat le regarde est très calme les jours",
+        "zh": "今天天气很好我们一起去公园散步然后吃晚饭",
+        "und": "zzz qqq xxx",
+    })
+    pred = lang_id_batch(samples)
+    for lang, p in pred.items():
+        assert p == lang, (lang, p)
