@@ -20,6 +20,7 @@ schema is Lance-compatible.
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -134,6 +135,11 @@ def write_corpus(
     marker = os.path.join(out_dir, f"_SYNTH_{n_docs}_{seed}_{heavy_frac}_{n_files}")
     if os.path.exists(marker):
         return out_dir
+    # parameters changed (or first write): clear any stale shards —
+    # fewer n_files than before would otherwise leave orphan files that
+    # silently inflate the corpus
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     per = int(np.ceil(n_docs / n_files))
     start = 0
