@@ -29,12 +29,16 @@ from .split import smart_split
 __all__ = ["ocr_page", "page_block", "join_units", "extract_span_text"]
 
 
-def ocr_page(img: np.ndarray, engine: EngineConfig) -> tuple[str, list[str], str]:
+def ocr_page(
+    img: np.ndarray, engine: EngineConfig, steps: list | None = None
+) -> tuple[str, list[str], str]:
     """Full OCR of one page image.
-    Returns (text, steps_applied, split_method)."""
+    Returns (text, steps_applied, split_method). ``steps`` lets actor
+    callers pass their warm-loaded step chain (built once per actor in
+    ``__init__``) instead of rebuilding it per page."""
     from ..synth.media import decode_bands  # deterministic "model"; see synth/__init__.py
 
-    processed, applied, _analysis = preprocess_image(img, engine.preprocess)
+    processed, applied, _analysis = preprocess_image(img, engine.preprocess, steps=steps)
     chunks, method, _was_split = smart_split(processed, engine.split)
     for chunk in chunks:
         chunk["text"] = "\n\n".join(decode_bands(chunk["image"]))

@@ -17,10 +17,11 @@ merge sorts on (SURVEY.md §2.4 F1-F4):
 - smart_split       (splitter.py:50-76): no-split fast path, else
                     projection -> grid fallback cascade
 
-ComponentSplitter (components.py) is intentionally not rebuilt: on this
-engine's corpus the projection path covers every gap-separated layout
-and grid is the dense fallback; the cascade contract (ordered list of
-(can_split, split) strategies) is preserved for extension.
+- component_split   (components.py:43-415): occupancy-map connected
+                    regions — coarse cell grid marked by ink presence,
+                    4-connected flood fill, bounding boxes in reading
+                    order; sits between projection and grid in the
+                    smart_split cascade.
 
 A chunk dict: {image, index, row, col, x_offset, y_offset,
 overlap_top, overlap_bottom, overlap_left, overlap_right}.
@@ -32,7 +33,14 @@ import numpy as np
 from ..config import SplitConfig
 from .imageops import otsu_threshold
 
-__all__ = ["needs_splitting", "analyze_gaps", "projection_split", "grid_split", "smart_split"]
+__all__ = [
+    "needs_splitting",
+    "analyze_gaps",
+    "projection_split",
+    "component_split",
+    "grid_split",
+    "smart_split",
+]
 
 
 def needs_splitting(h: int, w: int, cfg: SplitConfig) -> bool:

@@ -750,9 +750,15 @@ def q_extraction_html_strip(sf_dir: str):
 
 
 SQL_EXTRACTION_HTML_STRIP = """
-SELECT printf('tdoc-%08d', doc_id) AS doc_id,
-       CAST(length(trim(substr(text, 1, 120))) AS BIGINT) AS stripped_chars
-FROM documents WHERE doc_id % 7 = 0
+-- mirrors strip_boilerplate's _clean: collapse whitespace runs, trim;
+-- blocks under min_text_chars=20 are dropped entirely (-> 0 chars)
+SELECT doc_id,
+       CAST(CASE WHEN l < 20 THEN 0 ELSE l END AS BIGINT) AS stripped_chars
+FROM (
+  SELECT printf('tdoc-%08d', doc_id) AS doc_id,
+         length(trim(regexp_replace(substr(text, 1, 120), '\\s+', ' ', 'g'))) AS l
+  FROM documents WHERE doc_id % 7 = 0
+)
 """
 
 
@@ -820,7 +826,10 @@ def q_asof_last_order(sf_dir: str):
     )
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["t", "is_order"])
+        # orders sort BEFORE events at equal t so a same-timestamp order
+        # is visible to the event's ffill — matching the oracle's
+        # inclusive `e.ts >= o.o_orderdate` asof condition
+        g = g.sort_values(["t", "is_order"], ascending=[True, False])
         last_order = g["t"].where(g["is_order"]).ffill()
         evr = ~g["is_order"]
         days = (g.loc[evr, "t"].dt.normalize() - last_order[evr].dt.normalize()).dt.days

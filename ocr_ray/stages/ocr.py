@@ -42,11 +42,14 @@ class OcrPageExtractor:
     code paths through the same pool."""
 
     def __init__(self, engine_name: str = "synth", engine_names: list[str] | None = None):
+        self.default_name = engine_name
         self.engine = get_engine(engine_name)
-        # prebuilt step chains ~ model warm-load (once per actor)
         self.engines = {n: get_engine(n) for n in (engine_names or [engine_name])}
         self.engines.setdefault(engine_name, self.engine)
-        self.steps = build_steps(self.engine.preprocess)
+        # prebuilt per-engine step chains ~ model warm-load (once per
+        # actor); threaded into every ocr_page call below so the chain
+        # is never rebuilt per page
+        self.steps = {n: build_steps(e.preprocess) for n, e in self.engines.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         done = batch.column("done").to_pylist()
@@ -66,13 +69,15 @@ class OcrPageExtractor:
         for i, is_done in enumerate(done):
             if is_done:
                 continue
-            engine = self.engines.get(routes[i], self.engine) if routes else self.engine
+            name = routes[i] if routes and routes[i] in self.engines else self.default_name
+            engine = self.engines[name]
+            steps = self.steps[name]
             try:
                 if kinds[i] == "pdf":
                     img = render_ref(refs[i], page_number=units[i])
                 else:
                     img = render_ref(refs[i])
-                text, applied, method = ocr_page(img, engine)
+                text, applied, method = ocr_page(img, engine, steps=steps)
             except Exception as ex:  # noqa: BLE001
                 # error-side semantics: one unreadable ref must never
                 # kill the job (the reference 400s the request,
