@@ -43,13 +43,60 @@ def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     return df
 
 
+def _bucketed_combine(
+    parts: ray.data.Dataset,
+    keys: list[str],
+    agg: dict[str, str],
+    *,
+    buckets: int = _PAIR_BUCKETS,
+    round_cols: dict[str, int] | None = None,
+    topk: tuple[int, list[str], list[bool]] | None = None,
+) -> pd.DataFrame:
+    """Cluster-side final combine for HIGH-cardinality grouped partials:
+    hash ``keys[0]`` into ``buckets`` shuffle partitions and run one
+    vectorized pandas combine per bucket — never one pandas group per
+    distinct key (~0.4 ms each) and never a driver-side reduce whose
+    memory is O(distinct keys). ``topk=(n, cols, ascending)`` prunes
+    each bucket to its local top-n (the global top-n is a subset of the
+    union of per-bucket top-ns), bounding what reaches the driver."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic cross-process hash (fixed siphash key — no
+        # PYTHONHASHSEED dependence)
+        h = pd.util.hash_pandas_object(df[keys[0]], index=False).to_numpy()
+        return df.assign(_b=(h % buckets).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="_b").groupby(keys, as_index=False).agg(
+            **{c: (c, f) for c, f in agg.items()}
+        )
+        if round_cols:
+            for c, nd in round_cols.items():
+                out[c] = out[c].astype(float).round(nd)
+        if topk is not None:
+            n, cols, asc = topk
+            out = out.sort_values(cols, ascending=asc).head(n)
+        return out
+
+    return (
+        parts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def _partial_group_sum(ds: ray.data.Dataset, keys: list[str], sums: dict[str, str],
-                       counts: str | None = None) -> pd.DataFrame:
+                       counts: str | None = None, *, distributed: bool = False,
+                       round_cols: dict[str, int] | None = None,
+                       topk: tuple[int, list[str], list[bool]] | None = None) -> pd.DataFrame:
     """Scalable grouped sum: partial per-batch aggregation inside
-    map_batches (one row per key per batch) then a tiny driver-side
-    final combine. At cluster scale the final combine is a
-    groupby().aggregate() over the small partials; sf results fit in
-    one pandas frame, so we combine locally to keep tests fast."""
+    map_batches (one row per key per batch), then a final combine.
+    ``distributed=False`` (provably tiny key spaces only — a handful of
+    flags/segments) combines on the driver; ``distributed=True`` routes
+    through :func:`_bucketed_combine` so the combine shuffles in the
+    cluster and the driver only receives the (possibly top-k-pruned)
+    result rows."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby(keys, as_index=False).agg(
@@ -58,11 +105,17 @@ def _partial_group_sum(ds: ray.data.Dataset, keys: list[str], sums: dict[str, st
         )
         return g
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     agg = {out: "sum" for out in sums}
     if counts:
         agg[counts] = "sum"
-    return parts.groupby(keys, as_index=False).agg(agg)
+    if distributed:
+        return _bucketed_combine(parts, keys, agg, round_cols=round_cols, topk=topk)
+    out = parts.to_pandas().groupby(keys, as_index=False).agg(agg)
+    if round_cols:
+        for c, nd in round_cols.items():
+            out[c] = out[c].astype(float).round(nd)
+    return out
 
 
 # --------------------------------------------------------------- relational
@@ -119,9 +172,13 @@ def q_revenue_topk(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
 
-    agg = _partial_group_sum(ds.map_batches(prep, batch_format="pyarrow"),
-                             ["l_orderkey"], {"revenue": "rev"})
-    agg = _round_cols(agg, {"revenue": 2})
+    # distributed combine + per-bucket top-10: the driver receives at
+    # most buckets*10 candidate rows, never one row per orderkey
+    agg = _partial_group_sum(
+        ds.map_batches(prep, batch_format="pyarrow"), ["l_orderkey"], {"revenue": "rev"},
+        distributed=True, round_cols={"revenue": 2},
+        topk=(10, ["revenue", "l_orderkey"], [False, True]),
+    )
     top = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return top.reset_index(drop=True)
 
@@ -303,11 +360,13 @@ def q_hourly_user_windows(sf_dir: str):
         df["window_start"] = df["ts"].dt.floor("h")
         return df[["user_id", "window_start", "value"]]
 
+    # user_id x hour is high-cardinality: combine in the cluster
+    # (bucketed on user_id — all windows of a user co-locate)
     out = _partial_group_sum(
         ds.map_batches(add_window, batch_format="pandas"),
         ["user_id", "window_start"], {"sum_value": "value"}, counts="n_events",
+        distributed=True, round_cols={"sum_value": 4},
     )
-    out = _round_cols(out, {"sum_value": 4})
     out["n_events"] = out["n_events"].astype("int64")
     out["user_id"] = out["user_id"].astype("int64")
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
@@ -361,8 +420,10 @@ def q_dedup_exact(sf_dir: str):
         df["h"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
         return df.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
 
-    parts = ds.map_batches(hash_and_min, batch_format="pandas", batch_size=8192).to_pandas()
-    out = parts.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
+    parts = ds.map_batches(hash_and_min, batch_format="pandas", batch_size=8192)
+    # one row per distinct md5 = corpus cardinality: the combine must
+    # shuffle in the cluster, not reduce in driver memory
+    out = _bucketed_combine(parts, ["h"], {"doc_id": "min"})
     out["doc_id"] = out["doc_id"].astype("int64")
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
