@@ -598,42 +598,82 @@ def q_dedup_simhash(sf_dir: str):
 # --------------------------------------------------------------- embeddings
 
 def _emb_matrix(sf_dir: str):
+    """Full-table driver materialization — used ONLY by the exact
+    all-pairs variant (embedding_similar_pairs), whose broadcast side is
+    the whole matrix by design (IVF/LSH are the 100TB paths)."""
     df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
     ids = df["vec_id"].to_numpy()
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return ids, mat
 
 
+def _query_vectors(sf_dir: str, max_id: int = 8):
+    """Query-side read with row-group filter pushdown: only the handful
+    of query rows ever leave storage (never the full embeddings table).
+    Returns (qids sorted asc, row-normalized float64 matrix)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < max_id,
+    )
+    df = ds.to_pandas().sort_values("vec_id")
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _normed_batch(df: pd.DataFrame) -> np.ndarray:
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _grouped_topk(cands: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
+    """Final per-query rerank as a grouped Ray stage over candidate rows
+    (qid, vec_id, sim): sort rounded-sim desc / vec_id asc inside the
+    group, emit ranks 1..k. nq groups, each tiny."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "qid": g["qid"].to_numpy(),
+            "vec_id": g["vec_id"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    out = cands.groupby("qid").map_groups(topk, batch_format="pandas").to_pandas()
+    out = out.astype({"qid": "int64", "vec_id": "int64", "rank": "int64"})
+    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
 def q_knn_bruteforce(sf_dir: str):
-    """Brute-force cosine top-5 for query vectors (vec_id < 8):
-    the query matrix is broadcast once; each batch does one matmul.
-    Deterministic tie-break (rounded sim desc, vec_id asc)."""
-    ids_all, mat_all = _emb_matrix(sf_dir)
-    qmask = ids_all < 8
-    qids = ids_all[qmask]
-    qmat = mat_all[qmask]
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    """Brute-force cosine top-5 for query vectors (vec_id < 8): query
+    matrix read via filtered pushdown + broadcast once; each data batch
+    does one matmul and keeps only its LOCAL top-5 per query (the global
+    top-5 is a subset of the per-batch top-5 union), so candidate volume
+    is 5*nq per batch instead of nq per data row. Deterministic
+    tie-break (rounded sim desc, vec_id asc)."""
+    qids, qnorm = _query_vectors(sf_dir)
     q_ref = ray.put((qids, qnorm))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         qids_, qn = ray.get(q_ref)
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ qn.T  # (batch, nq)
+        m = _normed_batch(df)
+        sims = np.round(m @ qn.T, 9)  # (batch, nq)
         vids = df["vec_id"].to_numpy()
-        out = []
+        k = min(5, len(vids))
+        qcol, vcol, scol = [], [], []
         for j, qid in enumerate(qids_):
-            for i in range(len(vids)):
-                out.append((int(qid), int(vids[i]), round(float(sims[i, j]), 9)))
-        return pd.DataFrame(out, columns=["qid", "vec_id", "sim"])
+            order = np.lexsort((vids, -sims[:, j]))[:k]
+            qcol.append(np.full(k, qid, dtype=np.int64))
+            vcol.append(vids[order].astype(np.int64))
+            scol.append(sims[order, j])
+        return pd.DataFrame({"qid": np.concatenate(qcol),
+                             "vec_id": np.concatenate(vcol),
+                             "sim": np.concatenate(scol)})
 
-    scored = ds.map_batches(score, batch_format="pandas", batch_size=4096).to_pandas()
-    scored = scored.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
-    top = scored.groupby("qid", as_index=False).head(5).copy()
-    top["rank"] = top.groupby("qid").cumcount() + 1
-    out = top[["qid", "vec_id", "rank"]].astype("int64")
-    return out.sort_values(["qid", "rank"]).reset_index(drop=True)
+    cands = ds.map_batches(score, batch_format="pandas", batch_size=4096)
+    return _grouped_topk(cands, 5)
 
 
 SQL_KNN_BRUTEFORCE = """
@@ -694,32 +734,42 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 def q_knn_lsh(sf_dir: str):
     """ANN via random-hyperplane LSH: 8 tables x 8 planes, multi-probe
-    over all hamming-1 buckets (9 probes/table) — the scale path where
-    candidates come from bucket matches instead of an all-pairs scan.
-    Rows-only check; recall vs brute force is asserted in unit tests."""
+    over all hamming-1 buckets (9 probes/table). Fully distributed: the
+    seeded planes + per-query probe buckets are broadcast via ray.put
+    ONCE; each data batch computes its own bucket codes + probe matches
+    + candidate sims inside map_batches; the rerank is a grouped Ray
+    stage. Nothing touches the driver except the nq*5 result rows.
+    Rows-only check; recall vs brute force asserted in unit tests."""
     rng = np.random.default_rng(1234)
     planes = rng.standard_normal((8, 8, 64))  # tables x planes x dim
-    ids_all, mat_all = _emb_matrix(sf_dir)
-    normed = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
-    qmask = ids_all < 8
-    qids, qmat = ids_all[qmask], normed[qmask]
 
     def bucket(m):  # (n,64) -> (n, tables) uint8 bucket codes
         bits = np.einsum("tpd,nd->ntp", planes, m) > 0
         return (bits << np.arange(8)).sum(axis=2)
 
-    data_buckets = bucket(normed)  # (n, tables)
-    q_buckets = bucket(qmat)
+    qids, qmat = _query_vectors(sf_dir)
     probe_masks = np.concatenate([[0], 1 << np.arange(8)])  # exact + hamming-1
-    rows = []
-    for qi, qid in enumerate(qids):
-        probes = q_buckets[qi][None, :] ^ probe_masks[:, None]  # (9, tables)
-        cand = np.nonzero((data_buckets[:, None, :] == probes[None, :, :]).any(axis=(1, 2)))[0]
-        sims = normed[cand] @ qmat[qi]
-        order = np.lexsort((ids_all[cand], -np.round(sims, 9)))[:5]
-        for rank, o in enumerate(order, 1):
-            rows.append((int(qid), int(ids_all[cand[o]]), rank))
-    return pd.DataFrame(rows, columns=["qid", "vec_id", "rank"])
+    # (nq, probes, tables) probe bucket codes — tiny, broadcast once
+    probes = bucket(qmat)[:, None, :] ^ probe_masks[None, :, None]
+    ref = ray.put((planes, qids, qmat, probes))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        planes_, qids_, qn, probes_ = ray.get(ref)
+        m = _normed_batch(df)
+        bits = np.einsum("tpd,nd->ntp", planes_, m) > 0
+        b = (bits << np.arange(8)).sum(axis=2)  # (n, tables)
+        # candidate (vector, query) iff any (table, probe) bucket match
+        match = (b[:, None, None, :] == probes_[None, :, :, :]).any(axis=(2, 3))
+        ni, qi = np.nonzero(match)
+        sims = np.round(np.einsum("ij,ij->i", m[ni], qn[qi]), 9)
+        vids = df["vec_id"].to_numpy()
+        return pd.DataFrame({"qid": qids_[qi].astype(np.int64),
+                             "vec_id": vids[ni].astype(np.int64),
+                             "sim": sims})
+
+    cands = ds.map_batches(candidates, batch_format="pandas", batch_size=4096)
+    return _grouped_topk(cands, 5)
 
 
 # --------------------------------------------------------------- extraction
@@ -1045,36 +1095,80 @@ def q_dedup_ngram(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def q_knn_ivf(sf_dir: str):
-    """ANN via IVF: deterministic k-means coarse quantizer (seeded init,
-    5 Lloyd iterations), nprobe=3 lists searched per query, exact rerank
-    inside the probed lists. The scale path: centroids broadcast, list
-    assignment is a map_batches matmul, each query touches nprobe/nlist
-    of the corpus. Rows-only (approximate); recall asserted in tests."""
-    ids_all, mat_all = _emb_matrix(sf_dir)
-    normed = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
-    nlist, nprobe = 8, 3
+def _ivf_train(sf_dir: str, nlist: int = 8, iters: int = 5) -> np.ndarray:
+    """Distributed deterministic k-means coarse quantizer: seeded init
+    rows fetched via filtered read (vec_id == row position in the
+    table); each Lloyd iteration is a map_batches pass emitting per-list
+    partial (sum, count) — the driver only ever holds the nlist x dim
+    centroid matrix, never the data."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()  # parquet metadata, no scan
     rng = np.random.default_rng(7)
-    cent = normed[rng.choice(len(normed), nlist, replace=False)].copy()
-    for _ in range(5):
-        assign = np.argmax(normed @ cent.T, axis=1)
-        for c in range(nlist):
-            sel = normed[assign == c]
-            if len(sel):
-                v = sel.mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
-    assign = np.argmax(normed @ cent.T, axis=1)
-    qmask = ids_all < 8
-    qids, qmat = ids_all[qmask], normed[qmask]
-    rows = []
-    for qi, qid in enumerate(qids):
-        lists = np.argsort(-(cent @ qmat[qi]))[:nprobe]
-        cand = np.nonzero(np.isin(assign, lists))[0]
-        sims = normed[cand] @ qmat[qi]
-        order = np.lexsort((ids_all[cand], -np.round(sims, 9)))[:5]
-        for rank, o in enumerate(order, 1):
-            rows.append((int(qid), int(ids_all[cand[o]]), rank))
-    return pd.DataFrame(rows, columns=["qid", "vec_id", "rank"])
+    init_ids = rng.choice(n, nlist, replace=False)
+    init_df = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(init_ids),
+    ).to_pandas().set_index("vec_id").loc[init_ids]
+    cent = np.stack(init_df["embedding"].to_numpy()).astype(np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            m = _normed_batch(df)
+            a = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pd.DataFrame({"sums": [sums.tobytes()], "counts": [counts.tobytes()]})
+
+        parts = ds.map_batches(partial, batch_format="pandas", batch_size=4096).to_pandas()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(nlist, dtype=np.int64)
+        for sb, cb in zip(parts["sums"], parts["counts"]):
+            sums += np.frombuffer(sb, dtype=np.float64).reshape(cent.shape)
+            counts += np.frombuffer(cb, dtype=np.int64)
+        for ci in range(nlist):
+            if counts[ci]:
+                v = sums[ci] / counts[ci]
+                cent[ci] = v / np.linalg.norm(v)
+    return cent
+
+
+def q_knn_ivf(sf_dir: str):
+    """ANN via IVF: distributed k-means coarse quantizer (_ivf_train),
+    nprobe=3 lists per query, exact rerank inside the probed lists. The
+    scale shape: centroids + per-query probed-list masks broadcast via
+    ray.put once; list assignment is a map_batches matmul; each query's
+    candidate sims are computed where the data lives, and the final
+    rerank is a grouped Ray stage. Rows-only (approximate); recall +
+    old-vs-new equality asserted in unit tests."""
+    nlist, nprobe = 8, 3
+    cent = _ivf_train(sf_dir, nlist)
+    qids, qmat = _query_vectors(sf_dir)
+    # (nlist, nq) bool: is list l probed by query q — tiny, broadcast
+    order = np.argsort(-(cent @ qmat.T), axis=0)  # lists ranked per query
+    probed = np.zeros((nlist, len(qids)), dtype=bool)
+    probed[order[:nprobe], np.arange(len(qids))] = True
+    ref = ray.put((cent, qids, qmat, probed))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        cent_, qids_, qn, probed_ = ray.get(ref)
+        m = _normed_batch(df)
+        a = np.argmax(m @ cent_.T, axis=1)  # list assignment per vector
+        match = probed_[a]  # (n, nq): vector in a probed list of query q
+        ni, qi = np.nonzero(match)
+        sims = np.round(np.einsum("ij,ij->i", m[ni], qn[qi]), 9)
+        vids = df["vec_id"].to_numpy()
+        return pd.DataFrame({"qid": qids_[qi].astype(np.int64),
+                             "vec_id": vids[ni].astype(np.int64),
+                             "sim": sims})
+
+    cands = ds.map_batches(candidates, batch_format="pandas", batch_size=4096)
+    return _grouped_topk(cands, 5)
 
 
 # --------------------------------------------------------------- multimodal

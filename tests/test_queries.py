@@ -92,6 +92,75 @@ def test_multimodal_queries_deterministic(ray_session):
     assert len(fs) == 2 * len(a)
 
 
+def _emb_all(sf):
+    import pyarrow.parquet as pq
+    df = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    import numpy as np
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def test_knn_lsh_matches_driver_side_reference(ray_session):
+    """The distributed LSH must return the exact rows of the (round-1)
+    driver-local algorithm: same planes, same probes, same tie-break."""
+    import numpy as np
+    rng = np.random.default_rng(1234)
+    planes = rng.standard_normal((8, 8, 64))
+    ids_all, normed = _emb_all(SF)
+    qmask = ids_all < 8
+    qids, qmat = ids_all[qmask], normed[qmask]
+
+    def bucket(m):
+        bits = np.einsum("tpd,nd->ntp", planes, m) > 0
+        return (bits << np.arange(8)).sum(axis=2)
+
+    data_b, q_b = bucket(normed), bucket(qmat)
+    masks = np.concatenate([[0], 1 << np.arange(8)])
+    rows = []
+    for qi, qid in enumerate(qids):
+        probes = q_b[qi][None, :] ^ masks[:, None]
+        cand = np.nonzero((data_b[:, None, :] == probes[None, :, :]).any(axis=(1, 2)))[0]
+        sims = normed[cand] @ qmat[qi]
+        order = np.lexsort((ids_all[cand], -np.round(sims, 9)))[:5]
+        for rank, o in enumerate(order, 1):
+            rows.append((int(qid), int(ids_all[cand[o]]), rank))
+    expected = pd.DataFrame(rows, columns=["qid", "vec_id", "rank"])
+    got = Q.QUERIES["knn_lsh"](SF)
+    pd.testing.assert_frame_equal(_norm(got), _norm(expected), check_dtype=False)
+
+
+def test_knn_ivf_matches_driver_side_reference(ray_session):
+    """The distributed IVF (k-means via map_batches partial sums) must
+    reproduce the round-1 driver-local k-means + probe + rerank rows."""
+    import numpy as np
+    ids_all, normed = _emb_all(SF)
+    nlist, nprobe = 8, 3
+    rng = np.random.default_rng(7)
+    cent = normed[rng.choice(len(normed), nlist, replace=False)].copy()
+    for _ in range(5):
+        assign = np.argmax(normed @ cent.T, axis=1)
+        for c in range(nlist):
+            sel = normed[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    assign = np.argmax(normed @ cent.T, axis=1)
+    qmask = ids_all < 8
+    qids, qmat = ids_all[qmask], normed[qmask]
+    rows = []
+    for qi, qid in enumerate(qids):
+        lists = np.argsort(-(cent @ qmat[qi]))[:nprobe]
+        cand = np.nonzero(np.isin(assign, lists))[0]
+        sims = normed[cand] @ qmat[qi]
+        order = np.lexsort((ids_all[cand], -np.round(sims, 9)))[:5]
+        for rank, o in enumerate(order, 1):
+            rows.append((int(qid), int(ids_all[cand[o]]), rank))
+    expected = pd.DataFrame(rows, columns=["qid", "vec_id", "rank"])
+    got = Q.QUERIES["knn_ivf"](SF)
+    pd.testing.assert_frame_equal(_norm(got), _norm(expected), check_dtype=False)
+
+
 def test_knn_lsh_recall_vs_bruteforce(ray_session):
     bf = Q.QUERIES["knn_bruteforce"](SF)
     ann = Q.QUERIES["knn_lsh"](SF)
