@@ -25,7 +25,10 @@ __all__ = [
 _MERSENNE = (1 << 61) - 1
 _RNG = np.random.default_rng(0xC0FFEE)
 _N_PERM = 64
-_A = _RNG.integers(1, _MERSENNE, _N_PERM, dtype=np.int64).astype(np.uint64)
+# a < 2^31 and shingle hashes < 2^32 keep a*x + b < 2^63 + 2^61 — no
+# uint64 wraparound before the mod, so the (a*x + b) mod p family is a
+# genuine universal hash (the earlier 61-bit `a` draw silently wrapped)
+_A = _RNG.integers(1, 1 << 31, _N_PERM, dtype=np.int64).astype(np.uint64)
 _B = _RNG.integers(0, _MERSENNE, _N_PERM, dtype=np.int64).astype(np.uint64)
 
 
@@ -36,22 +39,53 @@ def char_shingles(text: str, k: int = 5) -> set[str]:
     return {t[i : i + k] for i in range(len(t) - k + 1)}
 
 
-def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Sorted unique uint64 hashes of the k-shingles."""
-    sh = char_shingles(text, k)
-    if not sh:
+_POLY_BASE = np.uint64(1099511628211)  # FNV-1a prime; odd -> bijective mod 2^64
+
+
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized): decorrelates the low/high bits
+    of the raw polynomial hash before truncation."""
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
+def _gram_hashes(text: str, k: int) -> np.ndarray:
+    """Per-position 32-bit hashes of every k-gram of the normalized
+    text, fully vectorized: codepoints via a single utf-32 encode, one
+    (n-k+1, k) sliding-window weighted sum (polynomial hash, uint64
+    wraparound), one splitmix64 finalize, keep the top 32 bits. Order
+    preserved (position i -> gram i). Replaces a per-shingle Python
+    crc32 loop — the former cost center of dedup_minhash."""
+    t = " ".join(text.lower().split())
+    if not t:
         return np.zeros(0, dtype=np.uint64)
-    out = np.fromiter(
-        (zlib.crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh)
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if codes.size < k:
+        k = codes.size
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    windows = sliding_window_view(codes, k)
+    # base^(k-1-i) mod 2^64, exact in Python ints (array ops below wrap
+    # mod 2^64 silently by design)
+    weights = np.array(
+        [pow(int(_POLY_BASE), k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64
     )
-    return np.unique(out)
+    raw = (windows * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return _mix64(raw) >> np.uint64(32)
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique 32-bit (stored uint64) hashes of the k-shingles."""
+    return np.unique(_gram_hashes(text, k))
 
 
 def minhash_signature(hashes: np.ndarray, n_perm: int = _N_PERM) -> np.ndarray:
     """MinHash signature (uint64[n_perm]) from shingle hashes."""
     if hashes.size == 0:
         return np.full(n_perm, np.uint64(_MERSENNE), dtype=np.uint64)
-    # (a*x + b) mod mersenne prime, vectorized over perms x shingles
+    # (a*x + b) mod mersenne prime, vectorized over perms x shingles;
+    # overflow-free because a < 2^31 and x < 2^32 (see _A above)
     x = hashes[None, :]
     vals = (_A[:n_perm, None] * x + _B[:n_perm, None]) % np.uint64(_MERSENNE)
     return vals.min(axis=1)
@@ -101,14 +135,12 @@ def hamming64(a: int, b: int) -> int:
 
 def winnow_fingerprints(text: str, k: int = 5, window: int = 8) -> np.ndarray:
     """Winnowing (Schleimer et al. 2003): min hash in each sliding window
-    of k-gram hashes -> sorted unique uint64 fingerprints."""
+    of k-gram hashes -> sorted unique uint64 fingerprints. Gram hashing
+    shares the vectorized rolling-hash kernel (_gram_hashes)."""
     t = " ".join(text.lower().split())
     if len(t) < k:
         return np.zeros(0, dtype=np.uint64)
-    grams = np.fromiter(
-        (zlib.crc32(t[i : i + k].encode()) for i in range(len(t) - k + 1)),
-        dtype=np.uint64,
-    )
+    grams = _gram_hashes(text, k)
     if grams.size <= window:
         return np.unique(grams.min(keepdims=True))
     from numpy.lib.stride_tricks import sliding_window_view

@@ -499,11 +499,18 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
-    """Near-dup via MinHash-LSH: per-batch signatures -> explode to
-    (band_key, doc_id) -> groupby band_key -> candidate pairs ->
-    verified n-gram Jaccard >= 0.5. Banding keeps it O(n) vs the O(n^2)
-    all-pairs scan; verification broadcasts the (small) text column
-    here — at 100TB it becomes a bucketed self-join on doc_id instead."""
+    """Near-dup via MinHash-LSH, end-to-end in the cluster:
+
+      signatures -> (band_key, doc_id) rows -> bucketed band groupby ->
+      candidate pairs -> BUCKETED SELF-JOIN of pair halves against the
+      documents table (texts travel through the shuffle, never through
+      a driver broadcast) -> per-pair exact shingle Jaccard >= 0.5.
+
+    Banding keeps candidate generation O(n); the verify join is two
+    bounded shuffles (one keyed on doc_id to attach texts, one keyed on
+    the pair to co-locate both halves). Nothing driver-side scales with
+    the corpus — the driver only receives verified pairs."""
+    B = _PAIR_BUCKETS
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
@@ -516,11 +523,8 @@ def q_dedup_minhash(sf_dir: str):
         # bounded shuffle width: millions of band keys hash into B
         # partitions, so the groupby has B vectorized groups instead of
         # one tiny pandas group per distinct key
-        out["bucket"] = out["band_key"].to_numpy() & (_PAIR_BUCKETS - 1)
+        out["bucket"] = out["band_key"].to_numpy() & (B - 1)
         return out
-
-    tdf = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    texts_ref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="band_key")
@@ -529,32 +533,81 @@ def q_dedup_minhash(sf_dir: str):
         return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"}) if len(out) else \
             pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
 
-    cands = ds.map_batches(sigs, batch_format="pandas") \
-              .groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
-    cands = cands.drop_duplicates()
-    if not len(cands):
+    cand_ds = ds.map_batches(sigs, batch_format="pandas") \
+                .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+    # --- verify via bucketed join (no text broadcast) ---
+    def halves(df: pd.DataFrame) -> pd.DataFrame:
+        # each candidate pair emits one row per member keyed on that
+        # member's doc_id, so the next groupby co-locates it with the
+        # document row carrying the text
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": np.concatenate([a, b]),
+            "a": np.concatenate([a, a]),
+            "b": np.concatenate([b, b]),
+            "text": "",
+            "is_doc": False,
+            "jb": np.concatenate([a, b]) % B,
+        })
+
+    def doc_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": k, "a": np.int64(-1), "b": np.int64(-1),
+            "text": df["text"].to_numpy(), "is_doc": True, "jb": k % B,
+        })
+
+    both = cand_ds.map_batches(halves, batch_format="pandas").union(
+        ds.map_batches(doc_side, batch_format="pandas")
+    )
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        texts = dict(zip(g.loc[g["is_doc"], "k"], g.loc[g["is_doc"], "text"]))
+        h = g[~g["is_doc"]]
+        a = h["a"].to_numpy(dtype=np.int64)
+        b = h["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "a": a, "b": b, "k": h["k"].to_numpy(dtype=np.int64),
+            "text": h["k"].map(texts).to_numpy(),
+            # pair bucket: both halves of (a, b) land in the same group
+            "pb": (a * np.int64(1_000_003) + b) % B,
+        })
+
+    def verify_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        # a pair found in several band buckets arrives multiply — dedupe
+        g = g.drop_duplicates(["a", "b", "k"])
+        ga = g[g["k"] == g["a"]]
+        gb = g[g["k"] == g["b"]]
+        m = ga.merge(gb, on=["a", "b"], suffixes=("_a", "_b"))
+        if not len(m):
+            return empty
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(i: int, text: str) -> np.ndarray:
+            if i not in cache:
+                cache[i] = H.shingle_hashes(text)
+            return cache[i]
+
+        js = np.array([
+            H.jaccard(sh(int(r.a), r.text_a), sh(int(r.b), r.text_b))
+            for r in m.itertuples()
+        ])
+        out = pd.DataFrame({"a": m["a"].to_numpy(), "b": m["b"].to_numpy(),
+                            "jaccard": np.round(js, 4)})
+        return out[out["jaccard"] >= 0.5]
+
+    res = both.groupby("jb").map_groups(attach_text, batch_format="pandas") \
+              .groupby("pb").map_groups(verify_pairs, batch_format="pandas").to_pandas()
+    if not len(res):
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        # texts broadcast once via ray.put; shingle sets cached per doc
-        # within the batch (each doc appears in many candidate pairs)
-        texts = ray.get(texts_ref)
-        cache: dict[int, np.ndarray] = {}
-
-        def sh(i: int) -> np.ndarray:
-            if i not in cache:
-                cache[i] = H.shingle_hashes(texts[i])
-            return cache[i]
-
-        js = np.array([H.jaccard(sh(a), sh(b)) for a, b in zip(df["a"], df["b"])])
-        out = df.assign(jaccard=np.round(js, 4))
-        return out[out["jaccard"] >= 0.5]
-
-    res = ray.data.from_pandas(cands).map_batches(
-        verify, batch_format="pandas", batch_size=4096
-    ).to_pandas()
+    res = res.drop(columns=[c for c in res.columns if c not in ("a", "b", "jaccard")])
     return res.sort_values(["a", "b"]).reset_index(drop=True)
 
 
