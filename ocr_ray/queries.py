@@ -838,15 +838,18 @@ def _extraction_spans(sf_dir: str) -> pd.DataFrame:
         return _EXTRACTION_CACHE[sf_dir]
     from .pipelines.extraction import build_extraction
     from .stages.interleave import docs_to_interleaved
+    from .stages.prepare import explode_docs
 
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     interleaved = docs.map_batches(docs_to_interleaved, batch_format="pyarrow")
-    result = build_extraction(interleaved).take_all()
-    rows = []
-    for r in result:
-        for s in r["spans"]:
-            rows.append((r["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"]))
-    df = pd.DataFrame(rows, columns=["doc_id", "offset", "kind", "text", "media_ref"])
+    # stream the explode back to span rows with the same vectorized
+    # Arrow kernel stage 1 uses (list_flatten/list_parent_indices) —
+    # no driver-side Python loop over take_all() rows
+    df = (
+        build_extraction(interleaved)
+        .map_batches(explode_docs, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "offset", "kind", "text", "media_ref"]]
+    )
     _EXTRACTION_CACHE[sf_dir] = df
     return df
 

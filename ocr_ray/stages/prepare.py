@@ -22,6 +22,7 @@ object store) that:
 """
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -65,53 +66,92 @@ def explode_docs(batch: pa.Table) -> pa.Table:
 def prepare_batch(batch: pa.Table, salt_width: int = 0) -> pa.Table:
     """Full stage-1 transform: explode + cheap extract + pdf fan-out.
 
+    Arrow-native on the hot path: doc_id/offset/media_ref columns never
+    round-trip through Python — only the html subset's text drops to
+    Python for the (inherently per-string) boilerplate regexes, spliced
+    back via ``replace_with_mask``; the pdf page fan-out is a vectorized
+    repeat/take.
+
     ``salt_width`` > 0 assigns each pdf page row a salt
     ``(page-1) // salt_width`` (0 for single-unit rows) so the salted
     premerge groupby needs no extra add_column operator downstream."""
     rows = explode_docs(batch)
     kind = rows.column("kind")
-    is_text = pc.equal(kind, "text")
-    is_html = pc.equal(kind, "html")
     is_pdf = pc.equal(kind, "pdf")
+    parts: list[pa.Table] = []
 
-    out: dict[str, list] = {name: [] for name in UNIT_SCHEMA.names}
-
-    # vectorized bulk append for non-pdf rows
     non_pdf = rows.filter(pc.invert(is_pdf))
     n = non_pdf.num_rows
     if n:
-        texts = non_pdf.column("text").to_pylist()
-        kinds = non_pdf.column("kind").to_pylist()
-        extracted = [
-            strip_boilerplate(t) if k == "html" else (t if k == "text" else "")
-            for k, t in zip(kinds, texts)
-        ]
-        out["doc_id"].extend(non_pdf.column("doc_id").to_pylist())
-        out["offset"].extend(non_pdf.column("offset").to_pylist())
-        out["kind"].extend(kinds)
-        out["media_ref"].extend(non_pdf.column("media_ref").to_pylist())
-        out["unit"].extend([0] * n)
-        out["total_units"].extend([1] * n)
-        out["salt"].extend([0] * n)
-        out["text"].extend(extracted)
-        out["done"].extend([k != "image" for k in kinds])
+        kinds = non_pdf.column("kind").combine_chunks()
+        texts = non_pdf.column("text").combine_chunks()
+        if isinstance(kinds, pa.ChunkedArray):
+            kinds = kinds.combine_chunks()
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        is_html = pc.equal(kinds, "html")
+        is_image = pc.equal(kinds, "image")
+        new_text = texts
+        html_np = np.asarray(is_html.to_numpy(zero_copy_only=False))
+        if html_np.any():
+            # per-string regex work only for the html subset
+            stripped = [
+                strip_boilerplate(t)
+                for t in texts.filter(is_html).to_pylist()
+            ]
+            new_text = pc.replace_with_mask(
+                new_text, is_html, pa.array(stripped, pa.string())
+            )
+        n_img = int(pc.sum(is_image).as_py() or 0)
+        if n_img:
+            new_text = pc.replace_with_mask(
+                new_text, is_image, pa.array([""] * n_img, pa.string())
+            )
+        parts.append(pa.table(
+            {
+                "doc_id": non_pdf.column("doc_id"),
+                "offset": pc.cast(non_pdf.column("offset"), pa.int32()),
+                "kind": kinds,
+                "media_ref": non_pdf.column("media_ref"),
+                "unit": pa.array(np.zeros(n, np.int32)),
+                "total_units": pa.array(np.ones(n, np.int32)),
+                "salt": pa.array(np.zeros(n, np.int32)),
+                "text": new_text,
+                "done": pc.invert(is_image),
+            },
+            schema=UNIT_SCHEMA,
+        ))
 
     pdfs = rows.filter(is_pdf)
-    for doc_id, ref, offset in zip(
-        pdfs.column("doc_id").to_pylist(),
-        pdfs.column("media_ref").to_pylist(),
-        pdfs.column("offset").to_pylist(),
-    ):
-        pages = parse_ref(ref)["pages"]
-        for page in range(1, pages + 1):
-            out["doc_id"].append(doc_id)
-            out["offset"].append(offset)
-            out["kind"].append("pdf")
-            out["media_ref"].append(ref)
-            out["unit"].append(page)
-            out["total_units"].append(pages)
-            out["salt"].append((page - 1) // salt_width if salt_width > 0 else 0)
-            out["text"].append("")
-            out["done"].append(False)
-    _ = is_text, is_html
-    return pa.table(out, schema=UNIT_SCHEMA)
+    if pdfs.num_rows:
+        pages = np.array(
+            [parse_ref(r)["pages"] for r in pdfs.column("media_ref").to_pylist()],
+            dtype=np.int64,
+        )
+        parent = np.repeat(np.arange(pdfs.num_rows), pages)
+        total = int(pages.sum())
+        starts = np.repeat(np.cumsum(pages) - pages, pages)
+        unit = (np.arange(total) - starts + 1).astype(np.int32)  # 1..pages per pdf
+        idx = pa.array(parent)
+        parts.append(pa.table(
+            {
+                "doc_id": pc.take(pdfs.column("doc_id"), idx),
+                "offset": pc.cast(pc.take(pdfs.column("offset"), idx), pa.int32()),
+                "kind": pc.take(pdfs.column("kind"), idx),
+                "media_ref": pc.take(pdfs.column("media_ref"), idx),
+                "unit": pa.array(unit),
+                "total_units": pa.array(np.repeat(pages, pages).astype(np.int32)),
+                "salt": pa.array(
+                    ((unit - 1) // salt_width).astype(np.int32)
+                    if salt_width > 0
+                    else np.zeros(total, np.int32)
+                ),
+                "text": pa.array([""] * total, pa.string()),
+                "done": pa.array(np.zeros(total, dtype=bool)),
+            },
+            schema=UNIT_SCHEMA,
+        ))
+
+    if not parts:
+        return UNIT_SCHEMA.empty_table()
+    return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
