@@ -26,16 +26,33 @@ from .merge import merge_chunk_texts
 from .preprocess import preprocess_image
 from .split import smart_split
 
-__all__ = ["ocr_page", "page_block", "join_units", "extract_span_text"]
+__all__ = [
+    "unit_confidence",
+    "ocr_page",
+    "page_block",
+    "join_units",
+    "extract_span_text",
+]
+
+
+def unit_confidence(text: str) -> float:
+    """Per-unit extraction confidence, the synth engine's stand-in for a
+    model-reported score (reference OCRResult.confidence,
+    app/ocr/base.py:25-34): every decoded char passed a CRC check, so
+    confidence grows with the verified payload (c/(c+1), 0.0 for an
+    empty/failed decode, -> 1.0 for long verified text). A real engine
+    reports its own score through the same column."""
+    c = len(text)
+    return round(c / (c + 1.0), 6)
 
 
 def ocr_page(
     img: np.ndarray, engine: EngineConfig, steps: list | None = None
-) -> tuple[str, list[str], str]:
+) -> tuple[str, list[str], str, float]:
     """Full OCR of one page image.
-    Returns (text, steps_applied, split_method). ``steps`` lets actor
-    callers pass their warm-loaded step chain (built once per actor in
-    ``__init__``) instead of rebuilding it per page."""
+    Returns (text, steps_applied, split_method, confidence). ``steps``
+    lets actor callers pass their warm-loaded step chain (built once per
+    actor in ``__init__``) instead of rebuilding it per page."""
     from ..synth.media import decode_bands  # deterministic "model"; see synth/__init__.py
 
     processed, applied, _analysis = preprocess_image(img, engine.preprocess, steps=steps)
@@ -43,7 +60,7 @@ def ocr_page(
     for chunk in chunks:
         chunk["text"] = "\n\n".join(decode_bands(chunk["image"]))
     text = merge_chunk_texts(chunks, engine.merge)
-    return text, applied, method
+    return text, applied, method, unit_confidence(text)
 
 
 def page_block(page_number: int, total_pages: int, text: str, engine: EngineConfig) -> str:
@@ -61,27 +78,32 @@ def join_units(texts: list[str], engine: EngineConfig) -> str:
 
 def extract_span_text(
     kind: str, text: str, media_ref: str, engine: EngineConfig
-) -> str:
+) -> tuple[str, float]:
     """Extract one span's content (single-process reference semantics;
-    the Ray pipeline computes the same value via its staged path)."""
+    the Ray pipeline computes the same value via its staged path).
+    Returns (text, confidence); confidence is the MIN over the span's
+    units (weakest link — the same associative combine the staged
+    premerge/stitch path applies). Text/html spans report 1.0."""
     from ..synth import media as synth_media
     from .html import strip_boilerplate
 
     if kind == "text":
-        return text
+        return text, 1.0
     if kind == "html":
-        return strip_boilerplate(text)
+        return strip_boilerplate(text), 1.0
     if kind == "image":
         img = synth_media.render_ref(media_ref)
-        out, _, _ = ocr_page(img, engine)
-        return out
+        out, _, _, conf = ocr_page(img, engine)
+        return out, conf
     if kind == "pdf":
         params = synth_media.parse_ref(media_ref)
         n = params["pages"]
         blocks = []
+        conf = 1.0
         for i in range(1, n + 1):
             img = synth_media.render_ref(media_ref, page_number=i)
-            page_text, _, _ = ocr_page(img, engine)
+            page_text, _, _, c = ocr_page(img, engine)
+            conf = min(conf, c)
             blocks.append(page_block(i, n, page_text, engine))
-        return join_units(blocks, engine)
+        return join_units(blocks, engine), conf
     raise ValueError(f"unknown span kind {kind!r}")

@@ -20,20 +20,25 @@ __all__ = ["extract_doc", "extract_corpus"]
 
 def extract_doc(doc: dict, engine: EngineConfig) -> dict:
     """Extract one document row {doc_id, spans:[{kind,text,media_ref,offset}]}.
-    Output spans are in offset order with extracted content in ``text``."""
+    Output spans are in offset order with extracted content in ``text``;
+    ``confidence`` is the doc-level min over span confidences (same
+    weakest-link combine as the staged premerge/stitch path)."""
     out_spans = []
+    conf = 1.0
     for span in sorted(doc["spans"], key=lambda s: s["offset"]):
+        text, c = extract_span_text(
+            span["kind"], span["text"], span["media_ref"], engine
+        )
+        conf = min(conf, c)
         out_spans.append(
             {
                 "kind": span["kind"],
-                "text": extract_span_text(
-                    span["kind"], span["text"], span["media_ref"], engine
-                ),
+                "text": text,
                 "media_ref": span["media_ref"],
                 "offset": span["offset"],
             }
         )
-    return {"doc_id": doc["doc_id"], "spans": out_spans}
+    return {"doc_id": doc["doc_id"], "spans": out_spans, "confidence": conf}
 
 
 def extract_corpus(docs: Iterable[dict], engine_name: str = "synth") -> list[dict]:

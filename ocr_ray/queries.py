@@ -842,13 +842,24 @@ def _extraction_spans(sf_dir: str) -> pd.DataFrame:
 
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     interleaved = docs.map_batches(docs_to_interleaved, batch_format="pyarrow")
-    # stream the explode back to span rows with the same vectorized
-    # Arrow kernel stage 1 uses (list_flatten/list_parent_indices) —
-    # no driver-side Python loop over take_all() rows
+
+    def explode_out(t: pa.Table) -> pa.Table:
+        # same vectorized Arrow explode kernel stage 1 uses, plus the
+        # doc-level confidence repeated onto each span row — no
+        # driver-side Python loop over take_all() rows
+        rows = explode_docs(t)
+        spans = t.column("spans").combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        return rows.append_column(
+            "confidence", pc.take(t.column("confidence"), parent)
+        )
+
     df = (
         build_extraction(interleaved)
-        .map_batches(explode_docs, batch_format="pyarrow")
-        .to_pandas()[["doc_id", "offset", "kind", "text", "media_ref"]]
+        .map_batches(explode_out, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "offset", "kind", "text", "media_ref", "confidence"]]
     )
     _EXTRACTION_CACHE[sf_dir] = df
     return df
@@ -941,6 +952,55 @@ def q_extraction_pdf_pages(sf_dir: str):
 SQL_EXTRACTION_PDF_PAGES = """
 SELECT printf('tdoc-%08d', doc_id) AS doc_id,
        CAST(1 + doc_id % 3 AS BIGINT) AS n_pages
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def q_extraction_confidence(sf_dir: str):
+    """Confidence plumbing gate: the doc-level min over per-unit engine
+    confidences (c/(c+1) of CRC-verified chars) must match the oracle's
+    closed form for image docs. pdf docs are excluded here (their page
+    text length isn't SQL-expressible) — the pipeline-vs-oracle pytest
+    covers them."""
+    df = _extraction_spans(sf_dir)
+    t = df[["doc_id", "confidence"]].drop_duplicates("doc_id")
+    ids = t["doc_id"].str.slice(5).astype(int)
+    t = t[(ids % 10 == 0) & (ids % 25 != 0)].copy()
+    t["confidence"] = t["confidence"].astype(float).round(6)
+    return t.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_EXTRACTION_CONFIDENCE = """
+SELECT printf('tdoc-%08d', doc_id) AS doc_id,
+       ROUND(length(substr(text, 1, 160)) /
+             (length(substr(text, 1, 160)) + 1.0), 6) AS confidence
+FROM documents WHERE doc_id % 10 = 0 AND doc_id % 25 <> 0
+"""
+
+
+def q_pdf_metadata(sf_dir: str):
+    """S5 gate: per-pdf-span metadata (page count + info-dict fields)
+    extracted by the stateless pdf_metadata_batch stage; the SQL oracle
+    reproduces the deterministic interleave rules."""
+    from .stages.interleave import docs_to_interleaved
+    from .stages.pdfmeta import pdf_metadata_batch
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    out = (
+        docs.map_batches(docs_to_interleaved, batch_format="pyarrow")
+        .map_batches(pdf_metadata_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out[["doc_id", "n_pages", "title", "author"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PDF_METADATA = """
+SELECT printf('tdoc-%08d', doc_id) AS doc_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_pages,
+       'Synthetic PDF ' || printf('tdoc-%08d', doc_id) AS title,
+       'synth' AS author
 FROM documents WHERE doc_id % 25 = 0
 """
 
@@ -1333,6 +1393,8 @@ QUERIES = {
     "extraction_ocr_roundtrip": q_extraction_ocr_roundtrip,
     "extraction_html_strip": q_extraction_html_strip,
     "extraction_pdf_pages": q_extraction_pdf_pages,
+    "extraction_confidence": q_extraction_confidence,
+    "pdf_metadata": q_pdf_metadata,
     "extraction_synth_corpus": q_extraction_synth_corpus,
     "asof_last_order": q_asof_last_order,
     "party_nation_counts": q_party_nation_counts,
@@ -1365,6 +1427,8 @@ ORACLE_SQL = {
     "extraction_ocr_roundtrip": SQL_EXTRACTION_OCR_ROUNDTRIP,
     "extraction_html_strip": SQL_EXTRACTION_HTML_STRIP,
     "extraction_pdf_pages": SQL_EXTRACTION_PDF_PAGES,
+    "extraction_confidence": SQL_EXTRACTION_CONFIDENCE,
+    "pdf_metadata": SQL_PDF_METADATA,
     "asof_last_order": SQL_ASOF_LAST_ORDER,
     "party_nation_counts": SQL_PARTY_NATION_COUNTS,
     "top_orders": SQL_TOP_ORDERS,

@@ -92,6 +92,7 @@ def docs_to_interleaved(
             media.build_pdf_ref(
                 dids[i], int(pdf_off[j]), pages=1 + int(doc_ids[i]) % 3,
                 seed=int(doc_ids[i]), skew=1.5, noise=0.005,
+                title=f"Synthetic PDF {dids[i]}",
             )
             for j, i in enumerate(pdf_idx)
         ],

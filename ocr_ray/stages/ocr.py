@@ -27,7 +27,11 @@ from ..functions.extract import ocr_page, page_block
 from ..functions.preprocess import build_steps
 from ..synth.media import render_ref
 
-OCR_SCHEMA_EXTRA = [("steps", pa.string()), ("split_method", pa.string())]
+OCR_SCHEMA_EXTRA = [
+    ("steps", pa.string()),
+    ("split_method", pa.string()),
+    ("confidence", pa.float64()),
+]
 
 
 class OcrPageExtractor:
@@ -66,6 +70,9 @@ class OcrPageExtractor:
         steps_col = [""] * len(done)
         method_col = [""] * len(done)
         error_col = [""] * len(done)
+        # already-extracted rows (text/html) carry full confidence; the
+        # engine reports per-unit scores for media rows below
+        conf_col = [1.0] * len(done)
         for i, is_done in enumerate(done):
             if is_done:
                 continue
@@ -77,17 +84,19 @@ class OcrPageExtractor:
                     img = render_ref(refs[i], page_number=units[i])
                 else:
                     img = render_ref(refs[i])
-                text, applied, method = ocr_page(img, engine, steps=steps)
+                text, applied, method, conf = ocr_page(img, engine, steps=steps)
             except Exception as ex:  # noqa: BLE001
                 # error-side semantics: one unreadable ref must never
                 # kill the job (the reference 400s the request,
                 # file_validation.py; a 100TB pipeline tags the row)
                 texts[i] = ""
+                conf_col[i] = 0.0
                 error_col[i] = f"{type(ex).__name__}: {ex}"[:200]
                 continue
             if kinds[i] == "pdf":
                 text = page_block(units[i], totals[i], text, engine)
             texts[i] = text
+            conf_col[i] = conf
             steps_col[i] = ",".join(applied)
             method_col[i] = method
         out = batch.set_column(
@@ -100,4 +109,5 @@ class OcrPageExtractor:
         )
         out = out.append_column("steps", pa.array(steps_col, pa.string()))
         out = out.append_column("split_method", pa.array(method_col, pa.string()))
+        out = out.append_column("confidence", pa.array(conf_col, pa.float64()))
         return out.append_column("error", pa.array(error_col, pa.string()))

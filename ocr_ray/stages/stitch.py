@@ -45,12 +45,20 @@ def make_salt_premerge(engine: EngineConfig):
         row["done"] = True
         row["steps"] = ""
         row["split_method"] = ""
+        if "confidence" in g.schema.names:
+            # weakest-link combine: min is associative, so partial
+            # merges compose with the final stitch min exactly
+            row["confidence"] = float(pa.compute.min(g.column("confidence")).as_py())
         # partials stay ordered by their smallest page number (already
         # row 0 after the sort); dtypes inherited from the input schema
         return pa.table(
             {
                 name: pa.array(
-                    [row[name] if isinstance(row[name], (str, bool)) else row[name].as_py()],
+                    [
+                        row[name]
+                        if isinstance(row[name], (str, bool, int, float))
+                        else row[name].as_py()
+                    ],
                     type=g.schema.field(name).type,
                 )
                 for name in g.schema.names
@@ -60,13 +68,23 @@ def make_salt_premerge(engine: EngineConfig):
     return premerge
 
 
+OUT_SCHEMA = pa.schema(
+    list(DOC_SCHEMA) + [pa.field("confidence", pa.float64())]
+)
+
+
 def make_doc_stitch(engine: EngineConfig):
-    """Final per-doc stitch: unit rows -> one (doc_id, spans) row with
-    spans ordered by offset (list<struct> matching the input schema)."""
+    """Final per-doc stitch: unit rows -> one (doc_id, spans, confidence)
+    row with spans ordered by offset (list<struct> matching the input
+    schema). ``confidence`` is the doc-level min over all unit scores
+    (weakest link; the reference threads per-chunk/page confidence the
+    same way, app/ocr/base.py:25-34 / app/worker/tasks.py:206-213)."""
 
     def stitch(group: pa.Table) -> pa.Table:
         doc_id = group.column("doc_id")[0].as_py()
-        df = group.select(["offset", "kind", "media_ref", "unit", "text"]).to_pandas()
+        has_conf = "confidence" in group.schema.names
+        cols = ["offset", "kind", "media_ref", "unit", "text"]
+        df = group.select(cols + (["confidence"] if has_conf else [])).to_pandas()
         spans = []
         for offset, span_rows in df.groupby("offset", sort=True):
             span_rows = span_rows.sort_values("unit")
@@ -84,8 +102,10 @@ def make_doc_stitch(engine: EngineConfig):
                     "offset": int(offset),
                 }
             )
+        conf = float(df["confidence"].min()) if has_conf else 1.0
         return pa.Table.from_pylist(
-            [{"doc_id": doc_id, "spans": spans}], schema=DOC_SCHEMA
+            [{"doc_id": doc_id, "spans": spans, "confidence": conf}],
+            schema=OUT_SCHEMA,
         )
 
     return stitch

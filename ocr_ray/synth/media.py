@@ -67,11 +67,17 @@ def build_image_ref(doc_id: str, offset: int, text: str, *, skew: float = 0.0,
 
 
 def build_pdf_ref(doc_id: str, offset: int, pages: int, *, seed: int,
-                  skew: float = 0.0, invert: bool = False, noise: float = 0.0) -> str:
-    return (
+                  skew: float = 0.0, invert: bool = False, noise: float = 0.0,
+                  title: str = "") -> str:
+    ref = (
         f"synth://pdf/{quote(doc_id)}/{offset}"
         f"?pages={pages}&seed={seed}&skew={skew:g}&inv={int(invert)}&noise={noise:g}"
     )
+    # document-level metadata travels in the ref (the stand-in for the
+    # PDF info dict a real file carries, app/services/pdf_service.py:182-214)
+    if title:
+        ref += f"&title={quote(title)}"
+    return ref
 
 
 def parse_ref(ref: str) -> dict:
@@ -95,6 +101,7 @@ def parse_ref(ref: str) -> dict:
         out["text"] = base64.urlsafe_b64decode(q.get("t", "").encode("ascii")).decode("utf-8")
     elif kind == "pdf":
         out["pages"] = int(q["pages"])
+        out["title"] = q.get("title", "")
     else:
         raise ValueError(f"unknown synth media kind {kind!r}")
     return out

@@ -2,6 +2,30 @@
 fan-out provenance (stages/multimodal.py)."""
 import numpy as np
 import pyarrow as pa
+
+from ocr_ray.stages.pdfmeta import pdf_metadata_batch
+from ocr_ray.synth.media import build_pdf_ref, parse_ref
+
+
+def test_pdf_metadata_stage_and_title_roundtrip():
+    ref = build_pdf_ref("doc a", 2, pages=4, seed=11, title="My Title & Co")
+    p = parse_ref(ref)
+    assert p["title"] == "My Title & Co" and p["pages"] == 4
+    batch = pa.table({
+        "doc_id": ["d1", "d2"],
+        "spans": [
+            [{"kind": "text", "text": "t", "media_ref": "", "offset": 0},
+             {"kind": "pdf", "text": "", "media_ref": ref, "offset": 1}],
+            [{"kind": "text", "text": "u", "media_ref": "", "offset": 0}],
+        ],
+    })
+    out = pdf_metadata_batch(batch)
+    assert out.num_rows == 1
+    row = out.to_pylist()[0]
+    assert row["doc_id"] == "d1" and row["n_pages"] == 4
+    assert row["title"] == "My Title & Co" and row["seed"] == 11
+    assert row["author"] and row["producer"]
+import pyarrow as pa
 import pytest
 
 from ocr_ray.stages import multimodal as MM

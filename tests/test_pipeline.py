@@ -56,6 +56,26 @@ def test_input_row_order_invariance(ray_session, oracle_result):
         assert _span_seq(r["spans"]) == oracle_result[r["doc_id"]]
 
 
+def test_confidence_matches_oracle(ray_session, corpus_dir):
+    """Doc-level confidence (min over per-unit engine scores) must agree
+    between the staged path (OCR column -> premerge min -> stitch min)
+    and the single-process oracle, on BOTH stitch paths."""
+    docs = generate_docs(N_DOCS, seed=SEED, heavy_frac=0.1).to_pylist()
+    expected = {d["doc_id"]: d["confidence"] for d in extract_corpus(docs)}
+    for salted in (False, True):
+        rows = run_extraction(corpus_dir, salted=salted).take_all()
+        for r in rows:
+            assert r["confidence"] == pytest.approx(expected[r["doc_id"]], abs=1e-9), \
+                (r["doc_id"], salted)
+    # media-bearing docs must have sub-1.0 confidence, text-only 1.0
+    kinds = {d["doc_id"]: {s["kind"] for s in d["spans"]} for d in docs}
+    for did, conf in expected.items():
+        if kinds[did] <= {"text", "html"}:
+            assert conf == 1.0
+        else:
+            assert conf < 1.0
+
+
 def test_rerun_deterministic(ray_session, corpus_dir):
     a = {r["doc_id"]: _span_seq(r["spans"]) for r in run_extraction(corpus_dir).take_all()}
     b = {r["doc_id"]: _span_seq(r["spans"]) for r in run_extraction(corpus_dir).take_all()}

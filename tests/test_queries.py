@@ -25,6 +25,7 @@ SUBSET = [
     "party_nation_counts",
     "top_orders",
     "sample_documents",
+    "pdf_metadata",
 ]
 
 
