@@ -40,6 +40,9 @@ __all__ = [
     "component_split",
     "grid_split",
     "smart_split",
+    "analyze",
+    "recommend_method",
+    "split_with_method",
 ]
 
 
@@ -301,3 +304,61 @@ def smart_split(img: np.ndarray, cfg: SplitConfig) -> tuple[list[dict], str, boo
     if chunks is not None and len(chunks) > 1:
         return chunks, "components", True
     return grid_split(img, cfg), "grid", True
+
+
+_METHODS: list[tuple[str, object]] = [
+    ("projection", projection_split),
+    ("components", component_split),
+    ("grid", grid_split),
+]
+
+
+def analyze(img: np.ndarray, cfg: SplitConfig) -> dict:
+    """User-facing splitting introspection (reference
+    SmartSplitter.analyze, splitter.py:107-148): image stats, whether
+    splitting is needed, which cascade methods CAN split this image, and
+    which one smart_split would pick — same dict shape as the reference."""
+    h, w = img.shape[:2]
+    needs = needs_splitting(h, w, cfg)
+    available: list[dict] = []
+    recommended: str | None = None
+    for name, fn in _METHODS:
+        if not needs:
+            can = False
+        elif name == "grid":
+            can = True  # the unconditional fallback
+        else:
+            chunks = fn(img, cfg)
+            can = chunks is not None and len(chunks) > 1
+        available.append({"name": name, "can_split": can})
+        if can and recommended is None:
+            recommended = name
+    return {
+        "width": w,
+        "height": h,
+        "megapixels": (h * w) / 1e6,
+        "needs_splitting": needs,
+        "max_megapixels": cfg.max_megapixels,
+        "max_dimension": cfg.max_dimension,
+        "available_methods": available,
+        "recommended_method": recommended,
+    }
+
+
+def recommend_method(img: np.ndarray, cfg: SplitConfig) -> str | None:
+    """Which cascade method smart_split would choose (None = no split
+    needed) — reference SmartSplitter recommendation surface."""
+    return analyze(img, cfg)["recommended_method"]
+
+
+def split_with_method(img: np.ndarray, cfg: SplitConfig, method: str) -> list[dict] | None:
+    """Split with an explicitly chosen method (reference
+    SmartSplitter.split(method=...), splitter.py:78-105): bypasses the
+    cascade; unknown names raise with the available list. Projection /
+    components return None when they cannot split this image."""
+    for name, fn in _METHODS:
+        if name == method:
+            return fn(img, cfg)
+    raise ValueError(
+        f"Unknown split method: {method}. Available: {[n for n, _ in _METHODS]}"
+    )

@@ -163,3 +163,31 @@ def test_component_split_none_when_no_gap():
     cfg = replace(SplitConfig(), max_megapixels=0.05, max_dimension=260)
     img = np.zeros((600, 200), dtype=np.uint8)  # solid ink, no free run
     assert component_split(img, cfg) is None
+
+
+def test_analyze_and_recommend_surface():
+    import pytest
+
+    from ocr_ray.functions.split import analyze, recommend_method, split_with_method
+
+    small = np.full((100, 100), 255, np.uint8)
+    a = analyze(small, SPLIT)
+    assert not a["needs_splitting"] and a["recommended_method"] is None
+    assert {m["name"] for m in a["available_methods"]} == {"projection", "components", "grid"}
+    assert not any(m["can_split"] for m in a["available_methods"])
+
+    rng = np.random.default_rng(0)
+    text = textgen.make_text(rng, 6)
+    img = media.render_payload(text)
+    a = analyze(img, SPLIT)
+    assert a["needs_splitting"] and a["megapixels"] > SPLIT.max_megapixels / 2
+    # recommendation agrees with what smart_split actually does
+    _, method, was_split = smart_split(img, SPLIT)
+    assert was_split and a["recommended_method"] == method == recommend_method(img, SPLIT)
+    # grid is always available as fallback once splitting is needed
+    assert [m for m in a["available_methods"] if m["name"] == "grid"][0]["can_split"]
+
+    chunks = split_with_method(img, SPLIT, "grid")
+    assert len(chunks) > 1
+    with pytest.raises(ValueError, match="Unknown split method"):
+        split_with_method(img, SPLIT, "nope")
