@@ -105,6 +105,10 @@ def run_bench() -> dict:
         "queries": qtimes,
         "sf": sf,
         "num_cpus": NUM_CPUS,
+        # the north star names Lance tables; `lance` is not installable
+        # in this sandbox, so corpora are the same interleaved schema in
+        # parquet (SURVEY.md §7.1 sanctioned substitution)
+        "storage": "parquet (lance unavailable in sandbox)",
     }
     ray.shutdown()
     return result
