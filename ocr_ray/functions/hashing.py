@@ -18,6 +18,7 @@ __all__ = [
     "band_keys",
     "jaccard",
     "simhash64",
+    "simhash64_batch",
     "hamming64",
     "winnow_fingerprints",
 ]
@@ -112,21 +113,39 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per document, vectorized over a whole batch:
+    tokens of all docs hashed in ONE C-level pass (pandas siphash with
+    its fixed default key — deterministic across processes), then the
+    per-bit +-1 accumulation is 64 weighted bincounts over the token ->
+    doc index map. No per-token Python in the hot path."""
+    import pandas as pd
+
+    toks: list[str] = []
+    counts: list[int] = []
+    for t in texts:
+        tt = t.lower().split()
+        toks.extend(tt)
+        counts.append(len(tt))
+    n = len(texts)
+    if not toks:
+        return np.zeros(n, dtype=np.uint64)
+    h = pd.util.hash_pandas_object(
+        pd.Series(toks, dtype=object), index=False
+    ).to_numpy().astype(np.uint64)
+    doc_idx = np.repeat(np.arange(n), counts)
+    acc = np.empty((n, 64), dtype=np.float64)
+    for b in range(64):
+        bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+        acc[:, b] = np.bincount(doc_idx, weights=2.0 * bit - 1.0, minlength=n)
+    bits = (acc > 0).astype(np.uint64)
+    return (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1).astype(np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (crc32-seeded blake-free)."""
-    tokens = text.lower().split()
-    if not tokens:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    """64-bit SimHash over whitespace tokens (single-doc convenience
+    wrapper around the batch kernel)."""
+    return int(simhash64_batch([text])[0])
 
 
 def hamming64(a: int, b: int) -> int:

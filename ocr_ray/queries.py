@@ -380,20 +380,32 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 
 
 def q_user_sessions(sf_dir: str):
-    """Session windows (gap > 30 min) per user: groupby(user).map_groups
-    over ts-sorted groups — ordering established inside the group, not
-    globally (SURVEY.md §4.3)."""
+    """Session windows (gap > 30 min) per user. Users are hashed into
+    bucket groups (one pandas group per USER costs ~0.4 ms each — at
+    millions of users that is the shuffle-side bottleneck, so each
+    bucket handles thousands of users in ONE vectorized pass: sort by
+    (user, ts), session break = user change OR gap, C-level groupby
+    count). Ordering is established inside the bucket, never globally
+    (SURVEY.md §4.3)."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                             "n_sessions": [int(gaps.sum()) + 1]})
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return pd.DataFrame({"user_id": u, "ts": df["ts"],
+                             "_b": (u % _PAIR_BUCKETS)})
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
-    out["user_id"] = out["user_id"].astype("int64")
-    out["n_sessions"] = out["n_sessions"].astype("int64")
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        starts = (new_user | gap)
+        out = starts.groupby(g["user_id"]).sum().rename("n_sessions").reset_index()
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        return out[["user_id", "n_sessions"]]
+
+    out = ds.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("_b").map_groups(sessions_bucket, batch_format="pandas").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -469,15 +481,18 @@ FROM documents
 
 
 def q_lang_id(sf_dir: str):
-    """Language-ID heuristic (stopword profiles). Not SQL-expressible ->
-    rows-only driver check; accuracy is exercised in unit tests."""
+    """Language-ID heuristic (stopword profiles). Partial counts per
+    batch (a handful of languages) so the driver combines O(langs) rows,
+    never one row per doc. Not SQL-expressible -> rows-only driver
+    check; accuracy is exercised in unit tests."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"lang_pred": TS.lang_id_batch(df["text"])})
+        preds = pd.Series(TS.lang_id_batch(df["text"]), name="lang_pred")
+        return preds.groupby(preds).size().rename("n_docs").reset_index()
 
-    preds = ds.map_batches(f, batch_format="pandas").to_pandas()
-    out = preds.groupby("lang_pred", as_index=False).size().rename(columns={"size": "n_docs"})
+    parts = ds.map_batches(f, batch_format="pandas").to_pandas()
+    out = parts.groupby("lang_pred", as_index=False)["n_docs"].sum()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values("lang_pred").reset_index(drop=True)
 
@@ -620,12 +635,18 @@ def q_dedup_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            s = H.simhash64(text)
-            for blk in range(4):
-                rows.append(((blk << 16) | ((s >> (16 * blk)) & 0xFFFF), int(doc_id), s))
-        out = pd.DataFrame(rows, columns=["block_key", "doc_id", "sim"])
+        # whole-batch vectorized signatures + block-key fan-out
+        s = H.simhash64_batch(list(df["text"]))
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        blk = np.arange(4, dtype=np.uint64)
+        keys = (blk[None, :] << np.uint64(16)) | (
+            (s[:, None] >> (np.uint64(16) * blk[None, :])) & np.uint64(0xFFFF)
+        )
+        out = pd.DataFrame({
+            "block_key": keys.ravel().astype(np.int64),
+            "doc_id": np.repeat(doc, 4),
+            "sim": np.repeat(s, 4),
+        })
         out["bucket"] = out["block_key"].to_numpy() & (_PAIR_BUCKETS - 1)
         return out
 
@@ -1029,10 +1050,11 @@ def q_extraction_synth_corpus(sf_dir: str):
 
 def q_asof_last_order(sf_dir: str):
     """As-of join (events -> most recent order at/before the event):
-    both sides tagged + unioned, grouped by the shared key, ordered
-    INSIDE the group — the merge-asof shape Ray Data lacks natively
-    (SURVEY.md §2.8). At 100TB the groupby is the one shuffle; both
-    inputs are pruned to the join columns at the read."""
+    both sides tagged + unioned, the key space hashed into bucket
+    groups, ordered and ffilled per user INSIDE the bucket — the
+    merge-asof shape Ray Data lacks natively (SURVEY.md §2.8). At 100TB
+    the bucketed groupby is the one shuffle; both inputs are pruned to
+    the join columns at the read."""
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
@@ -1052,12 +1074,19 @@ def q_asof_last_order(sf_dir: str):
         od.map_batches(tag_orders, batch_format="pandas")
     )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket the key space: one pandas group per USER costs ~0.4 ms
+        # each at shuffle time; a bucket holds thousands of users and
+        # the scan below is a single vectorized pass
+        return df.assign(_b=df["k"] % _PAIR_BUCKETS)
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # orders sort BEFORE events at equal t so a same-timestamp order
         # is visible to the event's ffill — matching the oracle's
-        # inclusive `e.ts >= o.o_orderdate` asof condition
-        g = g.sort_values(["t", "is_order"], ascending=[True, False])
-        last_order = g["t"].where(g["is_order"]).ffill()
+        # inclusive `e.ts >= o.o_orderdate` asof condition; the ffill is
+        # per-user via a C-level groupby, never a Python per-user loop
+        g = g.sort_values(["k", "t", "is_order"], ascending=[True, True, False])
+        last_order = g["t"].where(g["is_order"]).groupby(g["k"]).ffill()
         evr = ~g["is_order"]
         days = (g.loc[evr, "t"].dt.normalize() - last_order[evr].dt.normalize()).dt.days
         out = pd.DataFrame({"event_id": g.loc[evr, "event_id"],
@@ -1066,7 +1095,8 @@ def q_asof_last_order(sf_dir: str):
         return out.dropna(subset=["days_since_order"]).astype(
             {"event_id": "int64", "user_id": "int64", "days_since_order": "int64"})
 
-    out = both.groupby("k").map_groups(asof, batch_format="pandas").to_pandas()
+    out = both.map_batches(add_bucket, batch_format="pandas") \
+              .groupby("_b").map_groups(asof_bucket, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
