@@ -332,6 +332,140 @@ def q_distinct_flags(sf_dir: str):
 SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Anti-join (customers with no HIGH-VALUE order, > 400k), bucketed:
+    both sides hash custkey into B shuffle partitions, each bucket does
+    one vectorized isin — neither side is broadcast (both are large at
+    corpus scale)."""
+    B = 32
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def c_prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({"key": k, "side": "c", "bucket": k % B})
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        # filter at the map, pre-shrink the probe side to distinct keys
+        k = df.loc[df["o_totalprice"] > 400_000, "o_custkey"] \
+              .astype("int64").drop_duplicates()
+        return pd.DataFrame({"key": k, "side": "o", "bucket": k % B})
+
+    both = cust.map_batches(c_prep, batch_format="pandas").union(
+        orders.map_batches(o_prep, batch_format="pandas")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == "c", "key"]
+        right = g.loc[g["side"] == "o", "key"]
+        out = left[~left.isin(right)]
+        return pd.DataFrame({"c_custkey": out.to_numpy(dtype=np.int64)})
+
+    out = both.groupby("bucket").map_groups(anti, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q_top_orders_per_segment(sf_dir: str):
+    """Per-group top-k (top-3 orders by price per market segment):
+    segment attached via the broadcast customer dim, then each batch
+    keeps only its LOCAL top-3 per segment before the tiny final combine
+    — the grouped-top-k analogue of revenue_topk's pruning."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        df = df.assign(c_mktsegment=df["o_custkey"].map(lookup))
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return df.groupby("c_mktsegment", as_index=False).head(3)[
+            ["c_mktsegment", "o_orderkey", "o_totalprice"]
+        ]
+
+    parts = orders.map_batches(local_topk, batch_format="pandas", batch_size=65536).to_pandas()
+    parts = parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+    top = parts.groupby("c_mktsegment", as_index=False).head(3).copy()
+    top["rank"] = top.groupby("c_mktsegment").cumcount() + 1
+    top["o_totalprice"] = top["o_totalprice"].round(2)
+    top = top.astype({"o_orderkey": "int64", "rank": "int64"})
+    return top.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
+
+
+SQL_TOP_ORDERS_PER_SEGMENT = """
+SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+"""
+
+
+def q_median_order_price(sf_dir: str):
+    """Exact distributed median (lower median: the ceil(n/2)-th smallest
+    o_totalprice) via iterative histogram narrowing: each pass is one
+    map_batches emitting a 1024-bin partial histogram of the current
+    [lo, hi) range; the driver combines 1024-long vectors, walks to the
+    bin containing the target rank, and narrows. When the candidate bin
+    holds few values, one filtered pass collects and sorts them exactly.
+    No global sort, no full materialization — O(passes) scans."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    n = ds.count()
+    k = (n + 1) // 2  # 1-based rank of the lower median
+    BINS = 1024
+
+    stats = ds.map_batches(
+        lambda df: pd.DataFrame({"lo": [df["o_totalprice"].min()],
+                                 "hi": [df["o_totalprice"].max()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = float(stats["lo"].min()), float(stats["hi"].max())
+    hi = np.nextafter(hi, np.inf)
+    rank = k
+    for _ in range(6):  # 1024^passes resolution; 2-3 passes suffice
+        edges = np.linspace(lo, hi, BINS + 1)
+
+        def hist(df: pd.DataFrame, e=edges) -> pd.DataFrame:
+            v = df["o_totalprice"].to_numpy()
+            v = v[(v >= e[0]) & (v < e[-1])]
+            h, _ = np.histogram(v, bins=e)
+            return pd.DataFrame({"h": [h.astype(np.int64).tobytes()]})
+
+        parts = ds.map_batches(hist, batch_format="pandas", batch_size=65536).to_pandas()
+        total = np.zeros(BINS, dtype=np.int64)
+        for b in parts["h"]:
+            total += np.frombuffer(b, dtype=np.int64)
+        cum = np.cumsum(total)
+        bin_i = int(np.searchsorted(cum, rank))
+        rank -= int(cum[bin_i - 1]) if bin_i else 0
+        lo, hi = float(edges[bin_i]), float(edges[bin_i + 1])
+        if total[bin_i] <= 100_000:
+            break
+
+    def in_range(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"]
+        return df[(v >= lo) & (v < hi)][["o_totalprice"]]
+
+    vals = ds.map_batches(in_range, batch_format="pandas").to_pandas()["o_totalprice"]
+    median = float(np.sort(vals.to_numpy())[rank - 1])
+    return pd.DataFrame({"median_price": [round(median, 2)]})
+
+
+SQL_MEDIAN_ORDER_PRICE = """
+SELECT ROUND(o_totalprice, 2) AS median_price FROM orders
+ORDER BY o_totalprice
+LIMIT 1 OFFSET (SELECT (COUNT(*) + 1) // 2 - 1 FROM orders)
+"""
+
+
 # --------------------------------------------------------------- events
 
 def q_event_type_stats(sf_dir: str):
@@ -1405,6 +1539,9 @@ QUERIES = {
     "mktsegment_stats": q_mktsegment_stats,
     "large_part_items": q_large_part_items,
     "distinct_flags": q_distinct_flags,
+    "customers_no_orders": q_customers_no_orders,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "median_order_price": q_median_order_price,
     "event_type_stats": q_event_type_stats,
     "hourly_user_windows": q_hourly_user_windows,
     "user_sessions": q_user_sessions,
@@ -1444,6 +1581,9 @@ ORACLE_SQL = {
     "mktsegment_stats": SQL_MKTSEGMENT_STATS,
     "large_part_items": SQL_LARGE_PART_ITEMS,
     "distinct_flags": SQL_DISTINCT_FLAGS,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
+    "median_order_price": SQL_MEDIAN_ORDER_PRICE,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "hourly_user_windows": SQL_HOURLY_USER_WINDOWS,
     "user_sessions": SQL_USER_SESSIONS,

@@ -26,6 +26,9 @@ SUBSET = [
     "top_orders",
     "sample_documents",
     "pdf_metadata",
+    "customers_no_orders",
+    "top_orders_per_segment",
+    "median_order_price",
 ]
 
 
