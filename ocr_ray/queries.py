@@ -579,6 +579,62 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)
 """
 
 
+def q_top_tokens(sf_dir: str):
+    """Corpus-wide token frequency top-20: per-batch partial counts
+    (value_counts inside map_batches) -> cluster-side bucketed combine
+    with per-bucket top-20 pruning — the driver receives at most
+    buckets*20 candidate rows, never the full vocabulary."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        c = toks.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(), "n": c.to_numpy().astype(np.int64)})
+
+    parts = ds.map_batches(counts, batch_format="pandas", batch_size=8192)
+    agg = _bucketed_combine(parts, ["token"], {"n": "sum"},
+                            topk=(20, ["n", "token"], [False, True]))
+    top = agg.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    top["n"] = top["n"].astype("int64")
+    return top.reset_index(drop=True)
+
+
+SQL_TOP_TOKENS = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents
+) GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Keep-best-per-group selection (the dedup family's argmax
+    variant: one representative doc per source, highest n_chars,
+    doc_id as tie-break): each batch keeps its LOCAL best row per
+    group, the final combine picks among ≤ groups×batches candidates —
+    same pruning idea as the grouped top-k."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def local_best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return df.groupby("source", as_index=False).head(1)
+
+    parts = ds.map_batches(local_best, batch_format="pandas", batch_size=65536).to_pandas()
+    parts = parts.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+    best = parts.groupby("source", as_index=False).head(1)
+    best = best.astype({"doc_id": "int64", "n_chars": "int64"})
+    return best[["source", "doc_id", "n_chars"]].sort_values("source").reset_index(drop=True)
+
+
+SQL_DEDUP_KEEP_BEST = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 def q_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -938,6 +994,78 @@ SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.32
 """
+
+
+def _lsh_similar_pairs(ds: ray.data.Dataset, threshold: float, tables: int = 6,
+                       bits: int = 7, seed: int = 99, dim: int = 64) -> pd.DataFrame:
+    """Scale path for embedding near-dup pairs: hyperplane bucket codes
+    per vector (tables x bits, seeded planes broadcast once), vectors
+    shuffled by (table, code) bucket, exact cosine pairs WITHIN each
+    bucket only — candidate volume ~ sum of bucket^2 instead of n^2.
+    Recall is by design concentrated on true near-dups (cos 0.9 ->
+    ~92% with 6x7-bit tables; mid-similarity pairs mostly don't
+    collide) — the exact block-matmul variant remains the mid-range
+    tool. Deterministic; tested with planted near-dup vectors."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((tables, bits, dim))
+    ref = ray.put(planes)
+    B = _PAIR_BUCKETS
+
+    def code(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(ref)
+        m = _normed_batch(df)
+        bts = np.einsum("tpd,nd->ntp", p, m) > 0
+        codes = (bts << np.arange(bits)).sum(axis=2).astype(np.int64)  # (n, tables)
+        key = (np.arange(tables, dtype=np.int64)[None, :] << bits) | codes
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        flat_key = key.ravel()
+        return pd.DataFrame({
+            "key": flat_key,
+            "sb": flat_key % B,
+            "vec_id": np.repeat(vids, tables),
+            "emb": list(np.repeat(m, tables, axis=0)),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "cos_sim": pd.Series([], dtype="float64")})
+        out = []
+        for _, sub in g.groupby("key"):
+            if len(sub) < 2:
+                continue
+            sub = sub.drop_duplicates("vec_id")
+            if len(sub) < 2:
+                continue
+            m = np.stack([np.asarray(e) for e in sub["emb"]])
+            sims = np.round(m @ m.T, 6)
+            ids = sub["vec_id"].to_numpy()
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            if not ai.size:
+                continue
+            a, b = ids[ai], ids[bi]
+            swap = a > b
+            out.append(pd.DataFrame({"a": np.where(swap, b, a).astype(np.int64),
+                                     "b": np.where(swap, a, b).astype(np.int64),
+                                     "cos_sim": sims[ai, bi]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    res = ds.map_batches(code, batch_format="pandas", batch_size=2048) \
+            .groupby("sb").map_groups(pairs, batch_format="pandas").to_pandas()
+    if not len(res):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cos_sim": pd.Series([], dtype="float64")})
+    res = res[["a", "b", "cos_sim"]].drop_duplicates(["a", "b"])
+    return res.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_embedding_similar_pairs_lsh(sf_dir: str):
+    """LSH-bucketed variant of embedding_similar_pairs (the 100TB path:
+    no broadcast matrix, no all-pairs matmul). Rows-only driver check;
+    planted-near-dup recall + subset-of-exact asserted in unit tests."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _lsh_similar_pairs(ds, threshold=0.32)
 
 
 def q_knn_lsh(sf_dir: str):
@@ -1555,6 +1683,9 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "embedding_similar_pairs": q_embedding_similar_pairs,
+    "embedding_similar_pairs_lsh": q_embedding_similar_pairs_lsh,
+    "top_tokens": q_top_tokens,
+    "dedup_keep_best": q_dedup_keep_best,
     "extraction_span_counts": q_extraction_span_counts,
     "extraction_text_identity": q_extraction_text_identity,
     "extraction_ocr_roundtrip": q_extraction_ocr_roundtrip,
@@ -1592,6 +1723,8 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
+    "top_tokens": SQL_TOP_TOKENS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "extraction_span_counts": SQL_EXTRACTION_SPAN_COUNTS,
     "extraction_text_identity": SQL_EXTRACTION_TEXT_IDENTITY,
     "extraction_ocr_roundtrip": SQL_EXTRACTION_OCR_ROUNDTRIP,

@@ -172,3 +172,34 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     ann_sets = ann.groupby("qid")["vec_id"].apply(set)
     recalls = [len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets.index]
     assert sum(recalls) / len(recalls) >= 0.5  # multi-probe LSH on 64-dim
+
+
+def test_lsh_pairs_subset_and_planted_recall(ray_session):
+    import numpy as np
+
+    from ocr_ray.queries import _lsh_similar_pairs
+
+    # subset property on real testdata: every LSH pair is a true pair
+    exact = Q.QUERIES["embedding_similar_pairs"](SF)
+    lsh = Q.QUERIES["embedding_similar_pairs_lsh"](SF)
+    exact_set = set(map(tuple, exact[["a", "b"]].to_numpy()))
+    lsh_set = set(map(tuple, lsh[["a", "b"]].to_numpy()))
+    assert lsh_set <= exact_set
+
+    # planted high-cos near-dups must be recalled (cos>=0.95 pairs
+    # collide in >=1 of the 6 tables with ~99% probability each)
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((100, 64))
+    planted = []
+    for i in range(8):
+        j = 100 + i
+        dup = base[i] + 0.05 * rng.standard_normal(64)  # cos ~ 0.999
+        base = np.vstack([base, dup[None, :]])
+        planted.append((i, j))
+    df = pd.DataFrame({"vec_id": np.arange(len(base), dtype=np.int64),
+                       "embedding": list(base)})
+    ds = ray.data.from_pandas(df)
+    pairs = _lsh_similar_pairs(ds, threshold=0.9)
+    found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    recall = len(found & set(planted)) / len(planted)
+    assert recall >= 0.75, (recall, found)
