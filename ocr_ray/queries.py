@@ -579,6 +579,76 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)
 """
 
 
+def q_ingest_validation(sf_dir: str):
+    """Ingest validation gate (S1-S3/T6): deterministic synthetic
+    payloads (magic bytes + sizes + filenames derived from doc_id)
+    stream through the tagged-rows validate stage — size cap, magic
+    sniff, filename sanitizing, no per-row failures — then grouped
+    counts by (detected_type, valid, reject_reason). The SQL oracle
+    reproduces the modular payload rules."""
+    from .sources.validate import validate_payload_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        payloads, names = [], []
+        for d in t.column("doc_id").to_pylist():
+            if d % 50 == 0:
+                p = b"\x89PNG\r\n\x1a\n" + b"\0" * 8192  # over the cap
+            elif d % 5 == 0:
+                p = b"\x89PNG\r\n\x1a\n" + b"data"
+            elif d % 5 == 1:
+                p = b"\xff\xd8\xff" + b"data"
+            elif d % 5 == 2:
+                p = b"%PDF-1.4 data"
+            elif d % 5 == 3:
+                p = b"zzzz-not-a-known-magic"
+            else:
+                p = b""
+            payloads.append(p)
+            names.append("../evil.png" if d % 7 == 0 else f"doc{d}.bin")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+            "filename": pa.array(names, pa.string()),
+        })
+
+    val = ds.map_batches(gen, batch_format="pyarrow").map_batches(
+        lambda t: validate_payload_batch(t, filename_col="filename", max_bytes=4096),
+        batch_format="pyarrow",
+    )
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(detected_type=df["detected_type"].fillna(""))
+        g = df.groupby(["detected_type", "valid", "reject_reason"], as_index=False)
+        return g.size().rename(columns={"size": "n"})
+
+    parts = val.map_batches(counts, batch_format="pandas").to_pandas()
+    out = parts.groupby(["detected_type", "valid", "reject_reason"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["detected_type", "valid", "reject_reason"]).reset_index(drop=True)
+
+
+SQL_INGEST_VALIDATION = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 50 = 0 THEN ''
+              WHEN doc_id % 5 = 0 THEN 'png'
+              WHEN doc_id % 5 = 1 THEN 'jpeg'
+              WHEN doc_id % 5 = 2 THEN 'pdf'
+              ELSE '' END AS detected_type,
+         CASE WHEN doc_id % 50 = 0 THEN 'too_large'
+              WHEN doc_id % 5 = 4 THEN 'empty'
+              WHEN doc_id % 5 = 3 THEN 'unknown_type'
+              WHEN doc_id % 7 = 0 THEN 'bad_filename'
+              ELSE '' END AS reject_reason
+  FROM documents
+)
+SELECT detected_type, reject_reason = '' AS valid, reject_reason,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY detected_type, reject_reason
+"""
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus-wide token frequency top-20: per-batch partial counts
     (value_counts inside map_batches) -> cluster-side bucketed combine
@@ -1686,6 +1756,7 @@ QUERIES = {
     "embedding_similar_pairs_lsh": q_embedding_similar_pairs_lsh,
     "top_tokens": q_top_tokens,
     "dedup_keep_best": q_dedup_keep_best,
+    "ingest_validation": q_ingest_validation,
     "extraction_span_counts": q_extraction_span_counts,
     "extraction_text_identity": q_extraction_text_identity,
     "extraction_ocr_roundtrip": q_extraction_ocr_roundtrip,
@@ -1725,6 +1796,7 @@ ORACLE_SQL = {
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
     "top_tokens": SQL_TOP_TOKENS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "ingest_validation": SQL_INGEST_VALIDATION,
     "extraction_span_counts": SQL_EXTRACTION_SPAN_COUNTS,
     "extraction_text_identity": SQL_EXTRACTION_TEXT_IDENTITY,
     "extraction_ocr_roundtrip": SQL_EXTRACTION_OCR_ROUNDTRIP,

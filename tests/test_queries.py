@@ -29,6 +29,9 @@ SUBSET = [
     "customers_no_orders",
     "top_orders_per_segment",
     "median_order_price",
+    "top_tokens",
+    "dedup_keep_best",
+    "ingest_validation",
 ]
 
 
