@@ -554,6 +554,103 @@ SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions FROM d GROUP BY user_
 """
 
 
+def q_session_stats(sf_dir: str):
+    """Per-session aggregates (gaps-and-islands: session = run of events
+    with gaps <= 30 min): bucketed by user, one vectorized pass per
+    bucket — session index via per-user cumulative sum of break flags,
+    then a C-level grouped agg. The windowed-aggregate shape Ray Data
+    lacks natively, built from the same primitives as user_sessions."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return pd.DataFrame({"user_id": u, "ts": df["ts"], "_b": u % _PAIR_BUCKETS})
+
+    def stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = (new_user | (g["ts"].diff() > pd.Timedelta(minutes=30))).astype("int64")
+        g = g.assign(session_idx=brk.groupby(g["user_id"]).cumsum())
+        out = g.groupby(["user_id", "session_idx"], as_index=False).agg(
+            n_events=("ts", "size"), t0=("ts", "min"), t1=("ts", "max")
+        )
+        # date_diff('second', ...) semantics: whole-second boundary
+        # crossings, i.e. floor both endpoints to seconds first
+        out["duration_sec"] = (
+            (out["t1"].dt.floor("s") - out["t0"].dt.floor("s"))
+            .dt.total_seconds().astype("int64")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_idx", "n_events", "duration_sec"]]
+
+    out = ds.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("_b").map_groups(stats_bucket, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+SQL_SESSION_STATS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM d
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_customer_highvalue_counts(sf_dir: str):
+    """LEFT OUTER join shape (every customer, count of >400k orders,
+    zeros included): bucketed — the order side pre-aggregates per key
+    per batch BEFORE the shuffle, each bucket fills missing keys with
+    0. Neither side broadcast."""
+    B = 32
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def c_prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({"key": k, "n": np.int64(0), "side": "c", "bucket": k % B})
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        big = df.loc[df["o_totalprice"] > 400_000, "o_custkey"].astype("int64")
+        c = big.value_counts()
+        return pd.DataFrame({"key": c.index.to_numpy(), "n": c.to_numpy().astype(np.int64),
+                             "side": "o", "bucket": c.index.to_numpy() % B})
+
+    both = cust.map_batches(c_prep, batch_format="pandas").union(
+        orders.map_batches(o_prep, batch_format="pandas")
+    )
+
+    def leftjoin(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == "c", ["key"]]
+        right = g[g["side"] == "o"].groupby("key", as_index=False)["n"].sum()
+        j = left.merge(right, on="key", how="left").fillna({"n": 0})
+        return pd.DataFrame({"c_custkey": j["key"].astype("int64"),
+                             "n_big": j["n"].astype("int64")})
+
+    out = both.groupby("bucket").map_groups(leftjoin, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMER_HIGHVALUE_COUNTS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_big
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_totalprice > 400000
+GROUP BY c_custkey
+"""
+
+
 # --------------------------------------------------------------- documents
 
 def q_dedup_exact(sf_dir: str):
@@ -576,6 +673,91 @@ def q_dedup_exact(sf_dir: str):
 
 SQL_DEDUP_EXACT = """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dataset_splits(sf_dir: str):
+    """Deterministic train/val/test split assignment (hash-range on
+    md5(text): 13/16 train, 2/16 val, 1/16 test) counted per language —
+    the reproducible split-carving idiom for a 100TB corpus (same hash
+    everywhere, no RNG state, stable across cluster sizes/reruns).
+    Partial counts per batch; driver combines O(langs x 3) rows."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    TRAIN = set("0123456789abc")
+    VAL = set("de")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).hexdigest()[0] for t in df["text"]]
+        split = ["train" if c in TRAIN else ("val" if c in VAL else "test") for c in h]
+        out = pd.DataFrame({"lang": df["lang"].to_numpy(), "split": split})
+        return out.groupby(["lang", "split"], as_index=False).size() \
+                  .rename(columns={"size": "n_docs"})
+
+    parts = ds.map_batches(f, batch_format="pandas").to_pandas()
+    out = parts.groupby(["lang", "split"], as_index=False)["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+SQL_DATASET_SPLITS = """
+SELECT lang,
+       CASE WHEN substr(md5(text), 1, 1) IN ('d','e') THEN 'val'
+            WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
+            ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang, split
+"""
+
+
+def q_rare_token_postings(sf_dir: str):
+    """Inverted-index posting stats for rare word BIGRAMS (document
+    frequency 2..50): each batch emits per-bigram partial
+    (df, min_doc, max_doc) over its DISTINCT (bigram, doc) pairs — a
+    doc lives in exactly one batch, so partial dfs sum exactly; the
+    bucketed combine applies the HAVING filter inside the bucket so the
+    driver never sees the full phrase vocabulary."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B = _PAIR_BUCKETS
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        ids = df["doc_id"].astype("int64").to_numpy()
+        rows_doc, rows_bg = [], []
+        for d, tt in zip(ids, toks):
+            seen = {f"{a} {b}" for a, b in zip(tt, tt[1:])}
+            rows_doc.extend([d] * len(seen))
+            rows_bg.extend(seen)
+        pairs = pd.DataFrame({"doc_id": rows_doc, "bigram": rows_bg})
+        g = pairs.groupby("bigram", as_index=False).agg(
+            df_=("doc_id", "size"), min_doc=("doc_id", "min"), max_doc=("doc_id", "max")
+        )
+        h = pd.util.hash_pandas_object(g["bigram"], index=False).to_numpy()
+        return g.assign(_b=(h % B).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bigram", as_index=False).agg(
+            df_=("df_", "sum"), min_doc=("min_doc", "min"), max_doc=("max_doc", "max")
+        )
+        out = out[(out["df_"] >= 2) & (out["df_"] <= 50)]
+        return out.astype({"df_": "int64", "min_doc": "int64", "max_doc": "int64"})
+
+    out = ds.map_batches(partial, batch_format="pandas", batch_size=8192) \
+            .groupby("_b").map_groups(combine, batch_format="pandas").to_pandas()
+    out = out.rename(columns={"df_": "df"})[["bigram", "df", "min_doc", "max_doc"]]
+    return out.sort_values("bigram").reset_index(drop=True)
+
+
+SQL_RARE_TOKEN_POSTINGS = """
+SELECT bigram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+)
+GROUP BY bigram HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50
 """
 
 
@@ -1743,6 +1925,10 @@ QUERIES = {
     "event_type_stats": q_event_type_stats,
     "hourly_user_windows": q_hourly_user_windows,
     "user_sessions": q_user_sessions,
+    "session_stats": q_session_stats,
+    "customer_highvalue_counts": q_customer_highvalue_counts,
+    "dataset_splits": q_dataset_splits,
+    "rare_token_postings": q_rare_token_postings,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -1789,6 +1975,10 @@ ORACLE_SQL = {
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "hourly_user_windows": SQL_HOURLY_USER_WINDOWS,
     "user_sessions": SQL_USER_SESSIONS,
+    "session_stats": SQL_SESSION_STATS,
+    "customer_highvalue_counts": SQL_CUSTOMER_HIGHVALUE_COUNTS,
+    "dataset_splits": SQL_DATASET_SPLITS,
+    "rare_token_postings": SQL_RARE_TOKEN_POSTINGS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,

@@ -32,6 +32,10 @@ SUBSET = [
     "top_tokens",
     "dedup_keep_best",
     "ingest_validation",
+    "session_stats",
+    "customer_highvalue_counts",
+    "dataset_splits",
+    "rare_token_postings",
 ]
 
 
