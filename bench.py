@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "revenue_topk",
     "order_priority_revenue",
     "hourly_user_windows",
+    "session_stats",
+    "median_order_price",
     "dedup_exact",
     "dedup_minhash",
     "knn_bruteforce",
