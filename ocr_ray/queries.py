@@ -1540,6 +1540,45 @@ FROM documents WHERE doc_id % 25 = 0
 """
 
 
+def q_extraction_checkpointed(sf_dir: str):
+    """Checkpoint/resume gate (north rule: resumable with per-partition
+    lineage + metrics): run the partitioned checkpointed extraction over
+    a small synthetic corpus, then call it AGAIN — the second run must
+    skip every partition at the read. Returns per-partition manifest
+    rows (status, row count, lineage fields present). Rows-only check
+    (crc32 partition assignment isn't SQL-expressible); resume
+    invariants are asserted inline and in tests/test_checkpoint.py."""
+    import json
+
+    from .state.checkpoint import run_checkpointed
+    from .synth.corpus import write_corpus
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n_docs = max(24, int(float(sf) * 4000))
+    in_dir = f"/tmp/ocr_ray_corpus/ckpt_q_sf{sf}"
+    out_dir = f"/tmp/ocr_ray_ckpt_out/q_sf{sf}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_corpus(in_dir, n_docs, seed=11, heavy_frac=0.0, n_files=4)
+
+    first = run_checkpointed(in_dir, out_dir, num_partitions=4)
+    second = run_checkpointed(in_dir, out_dir, num_partitions=4)
+    assert second["processed_partitions"] == [], "resume must skip done partitions"
+    assert sorted(second["skipped_partitions"]) == [0, 1, 2, 3]
+
+    with open(os.path.join(out_dir, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    rows = []
+    for part, rec in sorted(manifest["partitions"].items(), key=lambda kv: int(kv[0])):
+        rows.append((int(part), rec["status"], int(rec["rows"]),
+                     rec["lineage"]["engine"], bool(rec["lineage"]["engine_config_crc"]),
+                     rec["docs_per_sec"] > 0))
+    out = pd.DataFrame(rows, columns=["part", "status", "rows", "engine",
+                                      "has_config_crc", "has_throughput"])
+    assert int(out["rows"].sum()) == first["rows"] == n_docs
+    return out
+
+
 def q_extraction_synth_corpus(sf_dir: str):
     """Flagship pipeline over the native synthetic interleaved corpus
     (oracle = pure-Python extractor, enforced in pytest; driver check is
@@ -1951,6 +1990,7 @@ QUERIES = {
     "extraction_confidence": q_extraction_confidence,
     "pdf_metadata": q_pdf_metadata,
     "extraction_synth_corpus": q_extraction_synth_corpus,
+    "extraction_checkpointed": q_extraction_checkpointed,
     "asof_last_order": q_asof_last_order,
     "party_nation_counts": q_party_nation_counts,
     "top_orders": q_top_orders,
