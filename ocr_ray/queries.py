@@ -1933,6 +1933,26 @@ def q_multimodal_image_stats(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Resize actor stage chained into stats: payload -> 48x32
+    nearest-neighbour resize (payload out, same container) -> feature
+    extraction. Deterministic; rows-only driver check (stats reflect
+    the resized frames)."""
+    from .stages import multimodal as MM
+
+    conc = _media_pool()
+    resized = _media_payloads(sf_dir).map_batches(
+        MM.ImageResize, fn_constructor_kwargs={"target_h": 48, "target_w": 32},
+        batch_format="pyarrow", batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
+    )
+    out = resized.map_batches(
+        MM.ImageStats, batch_format="pyarrow",
+        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
+    ).to_pandas()
+    assert (out["height"] == 48).all() and (out["width"] == 32).all()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_multimodal_frame_sample(sf_dir: str):
     """Frame sampling fan-out (1 video row -> ceil(6/4)=2 frame rows)
     through the FrameSampler actor stage — the media analogue of the
@@ -1999,6 +2019,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "approx_distinct_orderkeys": q_approx_distinct_orderkeys,
     "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 

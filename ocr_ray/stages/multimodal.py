@@ -93,10 +93,12 @@ class ImageStats:
             widths.append(frames.shape[2])
             inks.append(float((frames[0] < self.ink_threshold).mean()))
         out = batch.drop_columns(["payload"])
-        out = out.append_column("height", pa.array(heights, pa.int32()))
-        out = out.append_column("width", pa.array(widths, pa.int32()))
-        return out.append_column(
-            "ink_frac", pa.array(np.round(inks, 6), pa.float64())
+        # upstream stages (ImageResize) may already carry height/width:
+        # overwrite in place instead of appending duplicates
+        out = _set_or_append(out, "height", pa.array(heights, pa.int32()))
+        out = _set_or_append(out, "width", pa.array(widths, pa.int32()))
+        return _set_or_append(
+            out, "ink_frac", pa.array(np.round(inks, 6), pa.float64())
         )
 
 

@@ -85,3 +85,13 @@ def test_frame_sampler_fanout_provenance():
     assert out.column("frame_idx").to_pylist() == [0, 4] * 3
     f = MM.decode_frames(out.column("payload")[0].as_py())
     assert f.shape == (1, 10, 8)
+
+
+def test_resize_then_stats_composition(ray_session):
+    """ImageResize -> ImageStats must compose (no duplicate height/width
+    columns) and report the resized dims."""
+    from ocr_ray import queries as Q
+
+    out = Q.QUERIES["multimodal_resize"]("/root/testdata/sf0.001")
+    assert (out["height"] == 48).all() and (out["width"] == 32).all()
+    assert {"media_id", "height", "width", "ink_frac"} <= set(out.columns)
