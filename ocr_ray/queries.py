@@ -1953,6 +1953,36 @@ def q_multimodal_resize(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_multimodal_audio_features(sf_dir: str):
+    """Audio payload path: every 7th doc gets a deterministic synthetic
+    PCM clip (seeded sine + noise, doc-dependent frequency/length);
+    AudioFeatures extracts duration/RMS/zero-crossing-rate in an actor
+    stage. Rows-only; determinism + feature sanity in unit tests."""
+    from .stages import multimodal as MM
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["doc_id"] % 7 == 0]
+        payloads = []
+        for d in sel["doc_id"]:
+            d = int(d)
+            rng = np.random.default_rng(2000 + d)
+            n = 4000 + (d % 5) * 1000
+            f = 100.0 + (d % 13) * 25.0
+            t = np.arange(n) / 16_000.0
+            x = 0.4 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(n)
+            payloads.append(MM.encode_pcm((x * 32767).astype(np.int16)))
+        return pd.DataFrame({"media_id": sel["doc_id"].astype("int64"),
+                             "payload": payloads})
+
+    out = ds.map_batches(gen, batch_format="pandas").map_batches(
+        MM.AudioFeatures, batch_format="pyarrow",
+        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=_media_pool(),
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_multimodal_frame_sample(sf_dir: str):
     """Frame sampling fan-out (1 video row -> ceil(6/4)=2 frame rows)
     through the FrameSampler actor stage — the media analogue of the
@@ -2020,6 +2050,7 @@ QUERIES = {
     "approx_distinct_orderkeys": q_approx_distinct_orderkeys,
     "multimodal_image_stats": q_multimodal_image_stats,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 

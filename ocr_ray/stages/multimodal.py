@@ -27,9 +27,12 @@ __all__ = [
     "encode_frames",
     "decode_frames",
     "decode_compressed_image",
+    "encode_pcm",
+    "decode_pcm",
     "ImageStats",
     "ImageResize",
     "FrameSampler",
+    "AudioFeatures",
     "MEDIA_BATCH_SIZE",
 ]
 
@@ -75,6 +78,53 @@ def decode_compressed_image(payload: bytes) -> np.ndarray:
             "compressed-image decode needs an imaging codec (PIL/cv2); "
             "use encode_frames/decode_frames raw payloads in this environment"
         ) from ex
+
+
+_PCM_MAGIC = b"OCRA"  # raw-audio container: magic, n_samples, rate (u32 BE), int16 LE
+
+
+def encode_pcm(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """Serialize int16 mono PCM to the opaque audio payload format."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("expected int16 1-D samples")
+    return (
+        _PCM_MAGIC
+        + struct.pack(">II", samples.size, rate)
+        + samples.astype("<i2").tobytes()
+    )
+
+
+def decode_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Inverse of :func:`encode_pcm` -> (samples int16, rate)."""
+    if len(payload) < 12 or payload[:4] != _PCM_MAGIC:
+        raise ValueError("not an OCRA raw-audio payload")
+    n, rate = struct.unpack(">II", payload[4:12])
+    body = np.frombuffer(payload, dtype="<i2", offset=12)
+    if body.size != n:
+        raise ValueError(f"payload truncated: {body.size} != {n}")
+    return body, rate
+
+
+class AudioFeatures:
+    """Actor stage: audio payload -> typed feature columns (duration,
+    RMS energy, zero-crossing rate). Same contract as ImageStats — a
+    real decoder (compressed formats would slot in where decode_pcm
+    sits, exactly like decode_compressed_image for images)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zcr = [], [], []
+        for payload in batch.column("payload"):
+            samples, rate = decode_pcm(payload.as_py())
+            x = samples.astype(np.float64) / 32768.0
+            dur.append(samples.size / rate)
+            rms.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+            s = np.signbit(x)
+            zc = int(np.count_nonzero(s[1:] != s[:-1]))
+            zcr.append(zc / max(1, samples.size - 1))
+        out = batch.drop_columns(["payload"])
+        out = _set_or_append(out, "duration_sec", pa.array(np.round(dur, 6), pa.float64()))
+        out = _set_or_append(out, "rms", pa.array(np.round(rms, 6), pa.float64()))
+        return _set_or_append(out, "zcr", pa.array(np.round(zcr, 6), pa.float64()))
 
 
 class ImageStats:

@@ -95,3 +95,31 @@ def test_resize_then_stats_composition(ray_session):
     out = Q.QUERIES["multimodal_resize"]("/root/testdata/sf0.001")
     assert (out["height"] == 48).all() and (out["width"] == 32).all()
     assert {"media_id", "height", "width", "ink_frac"} <= set(out.columns)
+
+
+def test_pcm_codec_and_audio_features(ray_session):
+    import math
+
+    # codec round-trip
+    x = (np.sin(np.arange(8000) * 0.1) * 20000).astype(np.int16)
+    samples, rate = MM.decode_pcm(MM.encode_pcm(x, rate=8000))
+    assert rate == 8000 and np.array_equal(samples, x)
+    # malformed payloads raise, never return garbage
+    import pytest
+    with pytest.raises(ValueError):
+        MM.decode_pcm(b"nope")
+    with pytest.raises(ValueError):
+        MM.decode_pcm(MM.encode_pcm(x)[:-10])
+
+    # feature sanity on a pure sine: rms ~= A/sqrt(2), zcr ~= 2f/rate
+    from ocr_ray import queries as Q
+    out = Q.QUERIES["multimodal_audio_features"]("/root/testdata/sf0.001")
+    out2 = Q.QUERIES["multimodal_audio_features"]("/root/testdata/sf0.001")
+    assert out.equals(out2)
+    assert len(out) > 0
+    assert (out["duration_sec"] > 0).all()
+    expected_rms = 0.4 / math.sqrt(2)
+    assert ((out["rms"] - expected_rms).abs() < 0.05).all()
+    f = 100.0 + (out["media_id"] % 13) * 25.0
+    expected_zcr = 2 * f / 16_000.0
+    assert ((out["zcr"] - expected_zcr).abs() < 0.02).all()
