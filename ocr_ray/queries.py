@@ -259,6 +259,76 @@ GROUP BY o_orderpriority
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (customer |><| orders |><| lineitem, top-10 by
+    revenue): a MULTI-JOIN pipeline composed from the catalog's
+    primitives — broadcast semi-join of the filtered customer keyset
+    into the orders scan, lineitem revenue pre-aggregated per orderkey
+    per batch BEFORE the shuffle, one bucketed hash join, per-bucket
+    top-10 pruning so the driver sees at most buckets*10 rows."""
+    B = 32
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    keyset_ref = ray.put(set(keys["c_custkey"]))
+    cutoff = pd.Timestamp("1995-03-15")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        keyset = ray.get(keyset_ref)
+        kept = df[(df["o_orderdate"] < cutoff) & df["o_custkey"].isin(keyset)]
+        k = kept["o_orderkey"].astype("int64")
+        return pd.DataFrame({"bucket": k % B, "key": k, "rev": np.float64(0.0),
+                             "o_orderdate": kept["o_orderdate"], "side": "o"})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df["l_shipdate"] > cutoff]
+        rev = kept["l_extendedprice"] * (1.0 - kept["l_discount"])
+        partial = pd.DataFrame({"key": kept["l_orderkey"].astype("int64"), "rev": rev}) \
+            .groupby("key", as_index=False)["rev"].sum()
+        return pd.DataFrame({"bucket": partial["key"] % B, "key": partial["key"],
+                             "rev": partial["rev"],
+                             # sentinel (never read on the l side): an all-NaT
+                             # column makes cross-block concat dtype-unstable
+                             "o_orderdate": pd.Timestamp("1970-01-01"),
+                             "side": "l"})
+
+    both = orders.map_batches(o_prep, batch_format="pandas", batch_size=65536).union(
+        li.map_batches(li_prep, batch_format="pandas", batch_size=65536)
+    )
+
+    def join_topk(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "o"][["key", "o_orderdate"]]
+        l = g[g["side"] == "l"].groupby("key", as_index=False)["rev"].sum()
+        j = o.merge(l, on="key", how="inner")
+        j["revenue"] = j["rev"].round(2)
+        j = j.sort_values(["revenue", "key"], ascending=[False, True]).head(10)
+        return pd.DataFrame({"l_orderkey": j["key"].astype("int64"),
+                             "revenue": j["revenue"],
+                             "o_orderdate": j["o_orderdate"]})
+
+    parts = both.groupby("bucket").map_groups(join_topk, batch_format="pandas").to_pandas()
+    top = parts.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return top.reset_index(drop=True)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
 def q_mktsegment_stats(sf_dir: str):
     """Broadcast join: the small customer dim is ray.put ONCE and read
     inside each task (never re-shipped per batch); orders stream through
@@ -463,6 +533,97 @@ SQL_MEDIAN_ORDER_PRICE = """
 SELECT ROUND(o_totalprice, 2) AS median_price FROM orders
 ORDER BY o_totalprice
 LIMIT 1 OFFSET (SELECT (COUNT(*) + 1) // 2 - 1 FROM orders)
+"""
+
+
+def q_median_price_by_priority(sf_dir: str):
+    """Exact per-GROUP median (lower median of o_totalprice per order
+    priority): the histogram-narrowing algorithm of median_order_price
+    run for all groups simultaneously — each pass is one map_batches
+    emitting per-group 512-bin partial histograms over that group's
+    current [lo, hi) range; the driver holds one (lo, hi, rank) triple
+    per group and narrows until every group's candidate bin is small,
+    then one filtered pass collects the survivors. O(passes) scans for
+    ALL groups together — no per-group full sort, no join."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    BINS = 512
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority")["o_totalprice"]
+        out = g.agg(n="count", lo="min", hi="max").reset_index()
+        return out
+
+    parts = ds.map_batches(stats, batch_format="pandas", batch_size=65536).to_pandas()
+    agg = parts.groupby("o_orderpriority").agg(
+        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    state: dict[str, list] = {}
+    for grp, row in agg.iterrows():
+        state[grp] = [float(row["lo"]), float(np.nextafter(row["hi"], np.inf)),
+                      int((row["n"] + 1) // 2), False]  # lo, hi, rank, done
+
+    for _ in range(6):
+        open_groups = {g: (s[0], s[1]) for g, s in state.items() if not s[3]}
+        if not open_groups:
+            break
+        bounds_ref = ray.put(open_groups)
+
+        def hist(df: pd.DataFrame) -> pd.DataFrame:
+            b = ray.get(bounds_ref)
+            rows = []
+            for grp, sub in df.groupby("o_orderpriority"):
+                if grp not in b:
+                    continue
+                lo, hi = b[grp]
+                v = sub["o_totalprice"].to_numpy()
+                v = v[(v >= lo) & (v < hi)]
+                h, _ = np.histogram(v, bins=np.linspace(lo, hi, BINS + 1))
+                rows.append((grp, h.astype(np.int64).tobytes()))
+            return pd.DataFrame(rows, columns=["grp", "h"]) if rows else \
+                pd.DataFrame({"grp": pd.Series([], dtype="object"),
+                              "h": pd.Series([], dtype="object")})
+
+        hp = ds.map_batches(hist, batch_format="pandas", batch_size=65536).to_pandas()
+        for grp in open_groups:
+            total = np.zeros(BINS, dtype=np.int64)
+            for buf in hp.loc[hp["grp"] == grp, "h"]:
+                total += np.frombuffer(buf, dtype=np.int64)
+            lo, hi, rank, _ = state[grp]
+            edges = np.linspace(lo, hi, BINS + 1)
+            cum = np.cumsum(total)
+            bin_i = int(np.searchsorted(cum, rank))
+            rank -= int(cum[bin_i - 1]) if bin_i else 0
+            done = bool(total[bin_i] <= 100_000)
+            state[grp] = [float(edges[bin_i]), float(edges[bin_i + 1]), rank, done]
+
+    ranges_ref = ray.put({g: (s[0], s[1]) for g, s in state.items()})
+
+    def in_range(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ranges_ref)
+        keep = []
+        for grp, sub in df.groupby("o_orderpriority"):
+            lo, hi = b[grp]
+            v = sub["o_totalprice"]
+            keep.append(sub[(v >= lo) & (v < hi)][["o_orderpriority", "o_totalprice"]])
+        return pd.concat(keep, ignore_index=True) if keep else \
+            pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
+                          "o_totalprice": pd.Series([], dtype="float64")})
+
+    vals = ds.map_batches(in_range, batch_format="pandas").to_pandas()
+    rows = []
+    for grp, s in sorted(state.items()):
+        v = np.sort(vals.loc[vals["o_orderpriority"] == grp, "o_totalprice"].to_numpy())
+        rows.append((grp, round(float(v[s[2] - 1]), 2)))
+    return pd.DataFrame(rows, columns=["o_orderpriority", "median_price"])
+
+
+SQL_MEDIAN_PRICE_BY_PRIORITY = """
+SELECT o_orderpriority, ROUND(v, 2) AS median_price FROM (
+  SELECT o_orderpriority, o_totalprice AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+) WHERE rn = (n + 1) // 2
 """
 
 
@@ -2005,12 +2166,14 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
     "order_priority_revenue": q_order_priority_revenue,
+    "shipping_priority": q_shipping_priority,
     "mktsegment_stats": q_mktsegment_stats,
     "large_part_items": q_large_part_items,
     "distinct_flags": q_distinct_flags,
     "customers_no_orders": q_customers_no_orders,
     "top_orders_per_segment": q_top_orders_per_segment,
     "median_order_price": q_median_order_price,
+    "median_price_by_priority": q_median_price_by_priority,
     "event_type_stats": q_event_type_stats,
     "hourly_user_windows": q_hourly_user_windows,
     "user_sessions": q_user_sessions,
@@ -2058,12 +2221,14 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "revenue_topk": SQL_REVENUE_TOPK,
     "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "mktsegment_stats": SQL_MKTSEGMENT_STATS,
     "large_part_items": SQL_LARGE_PART_ITEMS,
     "distinct_flags": SQL_DISTINCT_FLAGS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
     "median_order_price": SQL_MEDIAN_ORDER_PRICE,
+    "median_price_by_priority": SQL_MEDIAN_PRICE_BY_PRIORITY,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "hourly_user_windows": SQL_HOURLY_USER_WINDOWS,
     "user_sessions": SQL_USER_SESSIONS,

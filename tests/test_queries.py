@@ -36,6 +36,8 @@ SUBSET = [
     "customer_highvalue_counts",
     "dataset_splits",
     "rare_token_postings",
+    "shipping_priority",
+    "median_price_by_priority",
 ]
 
 
