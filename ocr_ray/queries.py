@@ -645,6 +645,102 @@ FROM events GROUP BY event_type
 """
 
 
+def q_value_hour_corr(sf_dir: str):
+    """Pearson correlation of event value vs hour-of-day in ONE
+    streaming pass: each batch emits the 6 raw moments (n, Sx, Sy, Sxx,
+    Syy, Sxy); the driver combines 6 numbers per batch — the
+    textbook single-pass statistic, zero shuffle."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["value"].to_numpy(dtype=np.float64)
+        y = df["ts"].dt.hour.to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "n": [len(x)], "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()], "sxy": [(x * y).sum()],
+        })
+
+    m = ds.map_batches(moments, batch_format="pandas", batch_size=65536).to_pandas().sum()
+    n = m["n"]
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    corr = cov / np.sqrt(vx * vy)
+    return pd.DataFrame({"corr_value_hour": [round(float(corr), 4)]})
+
+
+SQL_VALUE_HOUR_CORR = """
+SELECT ROUND(corr(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE)), 4)
+         AS corr_value_hour
+FROM events
+"""
+
+
+def q_price_stddev_by_priority(sf_dir: str):
+    """Sample stddev of o_totalprice per priority via Chan et al.'s
+    parallel variance combine: each batch emits (n, mean, M2) per
+    group; partials merge pairwise with the numerically stable update
+    (no raw sum-of-squares cancellation). The scalable shape for
+    second-moment statistics over grouped data."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for grp, sub in df.groupby("o_orderpriority"):
+            v = sub["o_totalprice"].to_numpy(dtype=np.float64)
+            mean = v.mean()
+            rows.append((grp, len(v), mean, float(((v - mean) ** 2).sum())))
+        return pd.DataFrame(rows, columns=["grp", "n", "mean", "m2"])
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    out = []
+    for grp, sub in parts.groupby("grp"):
+        n, mean, m2 = 0.0, 0.0, 0.0
+        for _, r in sub.iterrows():
+            nb, mb, m2b = float(r["n"]), float(r["mean"]), float(r["m2"])
+            delta = mb - mean
+            tot = n + nb
+            m2 = m2 + m2b + delta * delta * n * nb / tot
+            mean = mean + delta * nb / tot
+            n = tot
+        out.append((grp, round(float(np.sqrt(m2 / (n - 1))), 2)))
+    df = pd.DataFrame(out, columns=["o_orderpriority", "stddev_price"])
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_PRICE_STDDEV_BY_PRIORITY = """
+SELECT o_orderpriority, ROUND(stddev_samp(o_totalprice), 2) AS stddev_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-bin histogram of o_totalprice (16 bins of 40k, last bin
+    open): one partial histogram vector per batch, summed on the
+    driver — the O(bins) distributed histogram with zero shuffle."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum((df["o_totalprice"].to_numpy() // 40_000).astype(np.int64), 15)
+        h = np.bincount(b, minlength=16)
+        return pd.DataFrame({"h": [h.astype(np.int64).tobytes()]})
+
+    parts = ds.map_batches(hist, batch_format="pandas", batch_size=65536).to_pandas()
+    total = np.zeros(16, dtype=np.int64)
+    for buf in parts["h"]:
+        total += np.frombuffer(buf, dtype=np.int64)
+    out = pd.DataFrame({"bin": np.arange(16, dtype=np.int64),
+                        "n_orders": total})
+    return out[out["n_orders"] > 0].reset_index(drop=True)  # SQL GROUP BY omits empty bins
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 40000), 15) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY bin
+"""
+
+
 def q_hourly_user_windows(sf_dir: str):
     """Tumbling 1h event-time windows per user: the window key is
     computed IN the batch (floor ts), then it's a plain grouped agg —
@@ -2175,6 +2271,9 @@ QUERIES = {
     "median_order_price": q_median_order_price,
     "median_price_by_priority": q_median_price_by_priority,
     "event_type_stats": q_event_type_stats,
+    "value_hour_corr": q_value_hour_corr,
+    "price_stddev_by_priority": q_price_stddev_by_priority,
+    "price_histogram": q_price_histogram,
     "hourly_user_windows": q_hourly_user_windows,
     "user_sessions": q_user_sessions,
     "session_stats": q_session_stats,
@@ -2230,6 +2329,9 @@ ORACLE_SQL = {
     "median_order_price": SQL_MEDIAN_ORDER_PRICE,
     "median_price_by_priority": SQL_MEDIAN_PRICE_BY_PRIORITY,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
+    "value_hour_corr": SQL_VALUE_HOUR_CORR,
+    "price_stddev_by_priority": SQL_PRICE_STDDEV_BY_PRIORITY,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
     "hourly_user_windows": SQL_HOURLY_USER_WINDOWS,
     "user_sessions": SQL_USER_SESSIONS,
     "session_stats": SQL_SESSION_STATS,

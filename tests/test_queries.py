@@ -38,6 +38,9 @@ SUBSET = [
     "rare_token_postings",
     "shipping_priority",
     "median_price_by_priority",
+    "value_hour_corr",
+    "price_stddev_by_priority",
+    "price_histogram",
 ]
 
 
