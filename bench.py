@@ -75,14 +75,16 @@ def run_bench() -> dict:
     write_corpus(warm_dir, 48, seed=7, heavy_frac=0.0, n_files=NUM_CPUS)
     run_extraction(warm_dir).count()
 
-    # best of 2: this sandbox has noisy-neighbor CPU steal (+-35%
-    # run-to-run on identical input) and a consistent first-run
+    # best of N (default 3): this sandbox has noisy-neighbor CPU steal
+    # (+-35% run-to-run on identical input) and a consistent first-run
     # penalty; the minimum is the reproducible throughput of the code.
     # write_parquet executes the pipeline exactly once per run;
     # counting the returned (lazy) Dataset would re-execute everything.
+    # (--scaling legs run with GRAFT_BENCH_RUNS=2 to bound wall time.)
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
     out_dir = f"/tmp/ocr_ray_bench_out/{NUM_CPUS}"
     headline = float("inf")
-    for _ in range(2):
+    for _ in range(n_runs):
         os.system(f"rm -rf {out_dir}")
         t0 = time.time()
         run_extraction(corpus_dir, output_path=out_dir)
@@ -118,7 +120,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
+                   GRAFT_BENCH_RUNS="2")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
