@@ -28,7 +28,7 @@ BENCH_QUERIES = [
     "order_priority_revenue",
     "hourly_user_windows",
     "session_stats",
-    "median_order_price",
+    "median_prices",
     "dedup_exact",
     "dedup_minhash",
     "knn_bruteforce",

@@ -34,9 +34,11 @@ _B = _RNG.integers(0, _MERSENNE, _N_PERM, dtype=np.int64).astype(np.uint64)
 
 
 def char_shingles(text: str, k: int = 5) -> set[str]:
+    """Set of character k-shingles; EMPTY for texts shorter than k
+    (same contract as shingle_hashes — no shrunken-k fallback)."""
     t = " ".join(text.lower().split())
     if len(t) < k:
-        return {t} if t else set()
+        return set()
     return {t[i : i + k] for i in range(len(t) - k + 1)}
 
 
@@ -63,7 +65,10 @@ def _gram_hashes(text: str, k: int) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     if codes.size < k:
-        k = codes.size
+        # k-shingle contract (matches char_shingles): a text shorter
+        # than k has NO k-shingles — callers see the empty array / the
+        # all-sentinel minhash signature, never a shrunken-k hash
+        return np.zeros(0, dtype=np.uint64)
     from numpy.lib.stride_tricks import sliding_window_view
 
     windows = sliding_window_view(codes, k)

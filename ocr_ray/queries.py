@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -27,8 +28,19 @@ from .functions import hashing as H
 from .functions import textstats as TS
 
 # candidate-pair self-joins hash their (huge-cardinality) key space into
-# this many shuffle partitions; each partition does one vectorized merge
-_PAIR_BUCKETS = 64
+# _pair_buckets() shuffle partitions; each partition does one vectorized
+# merge
+
+
+def _pair_buckets() -> int:
+    """Shuffle width for bucketed combines / joins / sessionization:
+    proportional to the cluster (next power of two >= 2x cluster CPUs,
+    like _stitch_partitions in pipelines/extraction.py) with a floor of
+    64, so per-bucket map_groups memory stays ~corpus/(2*CPUs) as the
+    cluster grows instead of corpus/64. Power of two so mask bucketing
+    (``key & (B-1)``) and modulo bucketing agree."""
+    cpus = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
+    return max(64, 1 << int(np.ceil(np.log2(max(1, 2 * cpus)))))
 
 # --------------------------------------------------------------- helpers
 
@@ -48,7 +60,7 @@ def _bucketed_combine(
     keys: list[str],
     agg: dict[str, str],
     *,
-    buckets: int = _PAIR_BUCKETS,
+    buckets: int | None = None,
     round_cols: dict[str, int] | None = None,
     topk: tuple[int, list[str], list[bool]] | None = None,
 ) -> pd.DataFrame:
@@ -59,6 +71,8 @@ def _bucketed_combine(
     memory is O(distinct keys). ``topk=(n, cols, ascending)`` prunes
     each bucket to its local top-n (the global top-n is a subset of the
     union of per-bucket top-ns), bounding what reaches the driver."""
+    if buckets is None:
+        buckets = _pair_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # deterministic cross-process hash (fixed siphash key — no
@@ -262,27 +276,50 @@ GROUP BY o_orderpriority
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape (customer |><| orders |><| lineitem, top-10 by
     revenue): a MULTI-JOIN pipeline composed from the catalog's
-    primitives — broadcast semi-join of the filtered customer keyset
-    into the orders scan, lineitem revenue pre-aggregated per orderkey
-    per batch BEFORE the shuffle, one bucketed hash join, per-bucket
-    top-10 pruning so the driver sees at most buckets*10 rows."""
-    B = 32
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = cust.map_batches(
-        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    keyset_ref = ray.put(set(keys["c_custkey"]))
+    primitives, fully cluster-side — TWO bounded bucketed hash joins
+    (shuffle 1 keyed on custkey for the customer semi-join, shuffle 2
+    keyed on orderkey for the revenue join), lineitem revenue
+    pre-aggregated per orderkey per batch BEFORE its shuffle, per-bucket
+    top-10 pruning so the driver sees at most buckets*10 rows. At TPC-H
+    scale the BUILDING keyset is ~1/5 of ALL customers — never
+    broadcastable at 100 TB, hence the bucketed semi-join rather than a
+    ray.put keyset."""
+    B = _pair_buckets()
     cutoff = pd.Timestamp("1995-03-15")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def c_prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["c_mktsegment"] == "BUILDING", "c_custkey"].astype("int64")
+        return pd.DataFrame({"bucket": k % B, "ckey": k,
+                             "o_orderkey": np.int64(-1),
+                             "o_orderdate": pd.Timestamp("1970-01-01"),
+                             "side": "c"})
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
-        keyset = ray.get(keyset_ref)
-        kept = df[(df["o_orderdate"] < cutoff) & df["o_custkey"].isin(keyset)]
-        k = kept["o_orderkey"].astype("int64")
-        return pd.DataFrame({"bucket": k % B, "key": k, "rev": np.float64(0.0),
+    def o_semi_prep(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df["o_orderdate"] < cutoff]
+        ck = kept["o_custkey"].astype("int64")
+        return pd.DataFrame({"bucket": ck % B, "ckey": ck,
+                             "o_orderkey": kept["o_orderkey"].astype("int64"),
                              "o_orderdate": kept["o_orderdate"], "side": "o"})
+
+    def semi_join(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["side"] == "c", "ckey"]
+        o = g[g["side"] == "o"]
+        kept = o[o["ckey"].isin(set(keys))]
+        return pd.DataFrame({"o_orderkey": kept["o_orderkey"],
+                             "o_orderdate": kept["o_orderdate"]})
+
+    bldg_orders = cust.map_batches(c_prep, batch_format="pandas", batch_size=65536) \
+        .union(orders.map_batches(o_semi_prep, batch_format="pandas", batch_size=65536)) \
+        .groupby("bucket").map_groups(semi_join, batch_format="pandas")
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")
+        return pd.DataFrame({"bucket": k % B, "key": k, "rev": np.float64(0.0),
+                             "o_orderdate": df["o_orderdate"], "side": "o"})
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
@@ -298,7 +335,7 @@ def q_shipping_priority(sf_dir: str):
                              "o_orderdate": pd.Timestamp("1970-01-01"),
                              "side": "l"})
 
-    both = orders.map_batches(o_prep, batch_format="pandas", batch_size=65536).union(
+    both = bldg_orders.map_batches(o_prep, batch_format="pandas", batch_size=65536).union(
         li.map_batches(li_prep, batch_format="pandas", batch_size=65536)
     )
 
@@ -479,78 +516,25 @@ FROM (
 """
 
 
-def q_median_order_price(sf_dir: str):
-    """Exact distributed median (lower median: the ceil(n/2)-th smallest
-    o_totalprice) via iterative histogram narrowing: each pass is one
-    map_batches emitting a 1024-bin partial histogram of the current
-    [lo, hi) range; the driver combines 1024-long vectors, walks to the
-    bin containing the target rank, and narrows. When the candidate bin
-    holds few values, one filtered pass collects and sorts them exactly.
-    No global sort, no full materialization — O(passes) scans."""
-    ds = _read(sf_dir, "orders", ["o_totalprice"])
-    n = ds.count()
-    k = (n + 1) // 2  # 1-based rank of the lower median
-    BINS = 1024
-
-    stats = ds.map_batches(
-        lambda df: pd.DataFrame({"lo": [df["o_totalprice"].min()],
-                                 "hi": [df["o_totalprice"].max()]}),
-        batch_format="pandas",
-    ).to_pandas()
-    lo, hi = float(stats["lo"].min()), float(stats["hi"].max())
-    hi = np.nextafter(hi, np.inf)
-    rank = k
-    for _ in range(6):  # 1024^passes resolution; 2-3 passes suffice
-        edges = np.linspace(lo, hi, BINS + 1)
-
-        def hist(df: pd.DataFrame, e=edges) -> pd.DataFrame:
-            v = df["o_totalprice"].to_numpy()
-            v = v[(v >= e[0]) & (v < e[-1])]
-            h, _ = np.histogram(v, bins=e)
-            return pd.DataFrame({"h": [h.astype(np.int64).tobytes()]})
-
-        parts = ds.map_batches(hist, batch_format="pandas", batch_size=65536).to_pandas()
-        total = np.zeros(BINS, dtype=np.int64)
-        for b in parts["h"]:
-            total += np.frombuffer(b, dtype=np.int64)
-        cum = np.cumsum(total)
-        bin_i = int(np.searchsorted(cum, rank))
-        rank -= int(cum[bin_i - 1]) if bin_i else 0
-        lo, hi = float(edges[bin_i]), float(edges[bin_i + 1])
-        if total[bin_i] <= 100_000:
-            break
-
-    def in_range(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["o_totalprice"]
-        return df[(v >= lo) & (v < hi)][["o_totalprice"]]
-
-    vals = ds.map_batches(in_range, batch_format="pandas").to_pandas()["o_totalprice"]
-    median = float(np.sort(vals.to_numpy())[rank - 1])
-    return pd.DataFrame({"median_price": [round(median, 2)]})
-
-
-SQL_MEDIAN_ORDER_PRICE = """
-SELECT ROUND(o_totalprice, 2) AS median_price FROM orders
-ORDER BY o_totalprice
-LIMIT 1 OFFSET (SELECT (COUNT(*) + 1) // 2 - 1 FROM orders)
-"""
-
-
-def q_median_price_by_priority(sf_dir: str):
-    """Exact per-GROUP median (lower median of o_totalprice per order
-    priority): the histogram-narrowing algorithm of median_order_price
-    run for all groups simultaneously — each pass is one map_batches
+def q_median_prices(sf_dir: str):
+    """Exact distributed median of o_totalprice (lower median), PER
+    order priority plus a global 'ALL' row, in one shared algorithm:
+    iterative histogram narrowing — each pass is one map_batches
     emitting per-group 512-bin partial histograms over that group's
     current [lo, hi) range; the driver holds one (lo, hi, rank) triple
-    per group and narrows until every group's candidate bin is small,
+    per group (O(groups) state, the global median is just one more
+    group) and narrows until every group's candidate bin is small,
     then one filtered pass collects the survivors. O(passes) scans for
-    ALL groups together — no per-group full sort, no join."""
+    ALL groups together — no per-group full sort, no join, no global
+    sort, no full materialization."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     BINS = 512
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("o_orderpriority")["o_totalprice"]
         out = g.agg(n="count", lo="min", hi="max").reset_index()
+        v = df["o_totalprice"]
+        out.loc[len(out)] = ["ALL", len(v), v.min(), v.max()]
         return out
 
     parts = ds.map_batches(stats, batch_format="pandas", batch_size=65536).to_pandas()
@@ -570,7 +554,8 @@ def q_median_price_by_priority(sf_dir: str):
         def hist(df: pd.DataFrame) -> pd.DataFrame:
             b = ray.get(bounds_ref)
             rows = []
-            for grp, sub in df.groupby("o_orderpriority"):
+            groups = list(df.groupby("o_orderpriority")) + [("ALL", df)]
+            for grp, sub in groups:
                 if grp not in b:
                     continue
                 lo, hi = b[grp]
@@ -600,30 +585,44 @@ def q_median_price_by_priority(sf_dir: str):
     def in_range(df: pd.DataFrame) -> pd.DataFrame:
         b = ray.get(ranges_ref)
         keep = []
-        for grp, sub in df.groupby("o_orderpriority"):
+        groups = list(df.groupby("o_orderpriority")) + [("ALL", df)]
+        for grp, sub in groups:
             lo, hi = b[grp]
             v = sub["o_totalprice"]
-            keep.append(sub[(v >= lo) & (v < hi)][["o_orderpriority", "o_totalprice"]])
+            kept = sub[(v >= lo) & (v < hi)][["o_orderpriority", "o_totalprice"]]
+            kept = kept.assign(grp=grp)
+            keep.append(kept)
         return pd.concat(keep, ignore_index=True) if keep else \
             pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
-                          "o_totalprice": pd.Series([], dtype="float64")})
+                          "o_totalprice": pd.Series([], dtype="float64"),
+                          "grp": pd.Series([], dtype="object")})
 
     vals = ds.map_batches(in_range, batch_format="pandas").to_pandas()
     rows = []
     for grp, s in sorted(state.items()):
-        v = np.sort(vals.loc[vals["o_orderpriority"] == grp, "o_totalprice"].to_numpy())
+        v = np.sort(vals.loc[vals["grp"] == grp, "o_totalprice"].to_numpy())
         rows.append((grp, round(float(v[s[2] - 1]), 2)))
     return pd.DataFrame(rows, columns=["o_orderpriority", "median_price"])
 
 
-SQL_MEDIAN_PRICE_BY_PRIORITY = """
-SELECT o_orderpriority, ROUND(v, 2) AS median_price FROM (
-  SELECT o_orderpriority, o_totalprice AS v,
-         row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice) AS rn,
-         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-  FROM orders
-) WHERE rn = (n + 1) // 2
+SQL_MEDIAN_PRICES = """
+WITH per AS (
+  SELECT o_orderpriority, ROUND(v, 2) AS median_price FROM (
+    SELECT o_orderpriority, o_totalprice AS v,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+  ) WHERE rn = (n + 1) // 2
+), allr AS (
+  SELECT 'ALL' AS o_orderpriority, ROUND(v, 2) AS median_price FROM (
+    SELECT o_totalprice AS v,
+           row_number() OVER (ORDER BY o_totalprice) AS rn,
+           COUNT(*) OVER () AS n
+    FROM orders
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT * FROM per UNION ALL SELECT * FROM allr
 """
 
 
@@ -770,58 +769,23 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
-def q_user_sessions(sf_dir: str):
-    """Session windows (gap > 30 min) per user. Users are hashed into
-    bucket groups (one pandas group per USER costs ~0.4 ms each — at
-    millions of users that is the shuffle-side bottleneck, so each
-    bucket handles thousands of users in ONE vectorized pass: sort by
-    (user, ts), session break = user change OR gap, C-level groupby
-    count). Ordering is established inside the bucket, never globally
-    (SURVEY.md §4.3)."""
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        u = df["user_id"].astype("int64")
-        return pd.DataFrame({"user_id": u, "ts": df["ts"],
-                             "_b": (u % _PAIR_BUCKETS)})
-
-    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"])
-        new_user = g["user_id"].ne(g["user_id"].shift())
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        starts = (new_user | gap)
-        out = starts.groupby(g["user_id"]).sum().rename("n_sessions").reset_index()
-        out["n_sessions"] = out["n_sessions"].astype("int64")
-        out["user_id"] = out["user_id"].astype("int64")
-        return out[["user_id", "n_sessions"]]
-
-    out = ds.map_batches(add_bucket, batch_format="pandas") \
-            .groupby("_b").map_groups(sessions_bucket, batch_format="pandas").to_pandas()
-    return out.sort_values("user_id").reset_index(drop=True)
-
-
-SQL_USER_SESSIONS = """
-WITH d AS (
-  SELECT user_id,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-  FROM events
-)
-SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions FROM d GROUP BY user_id
-"""
-
-
 def q_session_stats(sf_dir: str):
-    """Per-session aggregates (gaps-and-islands: session = run of events
-    with gaps <= 30 min): bucketed by user, one vectorized pass per
-    bucket — session index via per-user cumulative sum of break flags,
-    then a C-level grouped agg. The windowed-aggregate shape Ray Data
-    lacks natively, built from the same primitives as user_sessions."""
+    """Session windows (gap > 30 min) per user, per-session aggregates
+    (gaps-and-islands: session = run of events with gaps <= 30 min).
+    Users are hashed into bucket groups (one pandas group per USER
+    costs ~0.4 ms each — at millions of users that is the shuffle-side
+    bottleneck, so each bucket handles thousands of users in ONE
+    vectorized pass): session index via per-user cumulative sum of
+    break flags, then a C-level grouped agg. Ordering is established
+    inside the bucket, never globally (SURVEY.md §4.3). The
+    windowed-aggregate shape Ray Data lacks natively; per-user session
+    counts are its trivial max-over-session_idx projection."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    B = _pair_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         u = df["user_id"].astype("int64")
-        return pd.DataFrame({"user_id": u, "ts": df["ts"], "_b": u % _PAIR_BUCKETS})
+        return pd.DataFrame({"user_id": u, "ts": df["ts"], "_b": u % B})
 
     def stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"])
@@ -934,35 +898,39 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)
 
 
 def q_dataset_splits(sf_dir: str):
-    """Deterministic train/val/test split assignment (hash-range on
-    md5(text): 13/16 train, 2/16 val, 1/16 test) counted per language —
-    the reproducible split-carving idiom for a 100TB corpus (same hash
-    everywhere, no RNG state, stable across cluster sizes/reruns).
-    Partial counts per batch; driver combines O(langs x 3) rows."""
-    ds = _read(sf_dir, "documents", ["lang", "text"])
+    """Deterministic corpus carving, one streamed pass, per-doc grain:
+    train/val/test split assignment (hash-range on md5(text): 13/16
+    train, 2/16 val, 1/16 test) AND the ~25% eval-sample flag (md5
+    first hex in 0..3) — the reproducible idioms for carving a 100TB
+    corpus (same hash everywhere, no RNG state, stable across cluster
+    sizes/reruns, unlike random_sample). No shuffle; the per-doc
+    assignment rows ARE the result."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     TRAIN = set("0123456789abc")
     VAL = set("de")
+    SAMPLE = set("0123")
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         h = [hashlib.md5(t.encode()).hexdigest()[0] for t in df["text"]]
-        split = ["train" if c in TRAIN else ("val" if c in VAL else "test") for c in h]
-        out = pd.DataFrame({"lang": df["lang"].to_numpy(), "split": split})
-        return out.groupby(["lang", "split"], as_index=False).size() \
-                  .rename(columns={"size": "n_docs"})
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"].to_numpy(),
+            "split": ["train" if c in TRAIN else ("val" if c in VAL else "test")
+                      for c in h],
+            "in_sample": [c in SAMPLE for c in h],
+        })
 
-    parts = ds.map_batches(f, batch_format="pandas").to_pandas()
-    out = parts.groupby(["lang", "split"], as_index=False)["n_docs"].sum()
-    out["n_docs"] = out["n_docs"].astype("int64")
-    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 SQL_DATASET_SPLITS = """
-SELECT lang,
+SELECT doc_id, lang,
        CASE WHEN substr(md5(text), 1, 1) IN ('d','e') THEN 'val'
             WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
             ELSE 'train' END AS split,
-       CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM documents GROUP BY lang, split
+       substr(md5(text), 1, 1) IN ('0','1','2','3') AS in_sample
+FROM documents
 """
 
 
@@ -974,7 +942,7 @@ def q_rare_token_postings(sf_dir: str):
     bucketed combine applies the HAVING filter inside the bucket so the
     driver never sees the full phrase vocabulary."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    B = _PAIR_BUCKETS
+    B = _pair_buckets()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
@@ -1144,61 +1112,39 @@ SELECT source, doc_id, n_chars FROM (
 """
 
 
-def q_token_counts(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
-                             "n_tokens": TS.token_count(df["text"])})
-
-    return ds.map_batches(f, batch_format="pandas")
-
-
-SQL_TOKEN_COUNTS = """
-SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
-FROM documents
-"""
-
-
-def q_quality_scores(sf_dir: str):
+def q_text_quality(sf_dir: str):
+    """Per-doc text analysis in ONE streamed pass: token count (the
+    BPE-ish regex tokenizer) + quality-score components (length /
+    whitespace words / punctuation) — the text-quality column set a
+    training-data pipeline attaches before filtering. One map_batches,
+    no shuffle; the per-doc rows ARE the result."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         q = TS.quality_columns(df["text"])
+        q.insert(0, "n_tokens", TS.token_count(df["text"]))
         q.insert(0, "doc_id", df["doc_id"].astype("int64"))
         return q
 
     return ds.map_batches(f, batch_format="pandas")
 
 
-SQL_QUALITY_SCORES = """
-SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
        CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
        CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods
 FROM documents
 """
 
 
-def q_lang_id(sf_dir: str):
-    """Language-ID heuristic (stopword profiles). Partial counts per
-    batch (a handful of languages) so the driver combines O(langs) rows,
-    never one row per doc. Not SQL-expressible -> rows-only driver
-    check; accuracy is exercised in unit tests."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        preds = pd.Series(TS.lang_id_batch(df["text"]), name="lang_pred")
-        return preds.groupby(preds).size().rename("n_docs").reset_index()
-
-    parts = ds.map_batches(f, batch_format="pandas").to_pandas()
-    out = parts.groupby("lang_pred", as_index=False)["n_docs"].sum()
-    out["n_docs"] = out["n_docs"].astype("int64")
-    return out.sort_values("lang_pred").reset_index(drop=True)
-
-
 def q_fingerprints(sf_dir: str):
-    """Winnowing document fingerprints (rolling-hash). Deterministic
-    ints; rows-only check (sketch, not SQL-expressible)."""
+    """Per-doc profile: winnowing fingerprints (rolling-hash sketch)
+    + language-ID heuristic (stopword profiles) in one streamed pass —
+    deterministic ints + a lang_pred column; rows-only check (sketch /
+    heuristic, not SQL-expressible; lang-ID accuracy and winnowing
+    invariants are unit-tested)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -1207,7 +1153,9 @@ def q_fingerprints(sf_dir: str):
             fp = H.winnow_fingerprints(text)
             rows.append((int(doc_id), int(fp.size), int(fp.min()) if fp.size else 0,
                          int(fp.max()) if fp.size else 0))
-        return pd.DataFrame(rows, columns=["doc_id", "n_fp", "min_fp", "max_fp"])
+        out = pd.DataFrame(rows, columns=["doc_id", "n_fp", "min_fp", "max_fp"])
+        out["lang_pred"] = TS.lang_id_batch(df["text"]).to_numpy()
+        return out
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -1224,13 +1172,19 @@ def q_dedup_minhash(sf_dir: str):
     bounded shuffles (one keyed on doc_id to attach texts, one keyed on
     the pair to co-locate both halves). Nothing driver-side scales with
     the corpus — the driver only receives verified pairs."""
-    B = _PAIR_BUCKETS
+    B = _pair_buckets()
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = H.minhash_signature(H.shingle_hashes(text))
+            sh = H.shingle_hashes(text)
+            if sh.size == 0:
+                # sub-k texts have no shingles: banding their sentinel
+                # signature would pair every tiny doc with every other
+                # (jaccard(∅,∅)=1) — they simply can't near-dup by shingles
+                continue
+            sig = H.minhash_signature(sh)
             for key in H.band_keys(sig):
                 rows.append((int(key), int(doc_id)))
         out = pd.DataFrame(rows, columns=["band_key", "doc_id"])
@@ -1332,6 +1286,7 @@ def q_dedup_simhash(sf_dir: str):
     blocks; distance<=6 can touch at most 3 blocks only if spread —
     conservative recall blocking, standard practice)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B = _pair_buckets()
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
         # whole-batch vectorized signatures + block-key fan-out
@@ -1346,7 +1301,7 @@ def q_dedup_simhash(sf_dir: str):
             "doc_id": np.repeat(doc, 4),
             "sim": np.repeat(s, 4),
         })
-        out["bucket"] = out["block_key"].to_numpy() & (_PAIR_BUCKETS - 1)
+        out["bucket"] = out["block_key"].to_numpy() & (B - 1)
         return out
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -1518,7 +1473,7 @@ def _lsh_similar_pairs(ds: ray.data.Dataset, threshold: float, tables: int = 6,
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((tables, bits, dim))
     ref = ray.put(planes)
-    B = _PAIR_BUCKETS
+    B = _pair_buckets()
 
     def code(df: pd.DataFrame) -> pd.DataFrame:
         p = ray.get(ref)
@@ -1619,50 +1574,96 @@ def q_knn_lsh(sf_dir: str):
 
 # --------------------------------------------------------------- extraction
 
-_EXTRACTION_CACHE: dict[str, pd.DataFrame] = {}
+_EXTRACTION_CACHE: dict[str, str] = {}
 
 
-def _extraction_spans(sf_dir: str) -> pd.DataFrame:
-    """Run the flagship pipeline over the interleaved view of the
-    documents table; return exploded output spans (cached per sf_dir —
-    several queries share it)."""
-    if sf_dir in _EXTRACTION_CACHE:
-        return _EXTRACTION_CACHE[sf_dir]
-    from .pipelines.extraction import build_extraction
-    from .stages.interleave import docs_to_interleaved
-    from .stages.prepare import explode_docs
+def _sf_tag_and_docs(sf_dir: str) -> tuple[str, int]:
+    """Stable scratch tag + size for synthetic-corpus queries: the tag
+    is crc32 of the RESOLVED corpus dir (two different corpus dirs never
+    collide on shared /tmp state), the size comes from the documents
+    table's parquet metadata (no 'sf<number>' basename parsing — any
+    directory name works)."""
+    import pyarrow.dataset as pads
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    interleaved = docs.map_batches(docs_to_interleaved, batch_format="pyarrow")
+    tag = format(zlib.crc32(os.path.abspath(sf_dir).encode()), "08x")
+    n_rows = pads.dataset(os.path.join(sf_dir, "documents.parquet")).count_rows()
+    return tag, n_rows
 
-    def explode_out(t: pa.Table) -> pa.Table:
-        # same vectorized Arrow explode kernel stage 1 uses, plus the
-        # doc-level confidence repeated onto each span row — no
-        # driver-side Python loop over take_all() rows
-        rows = explode_docs(t)
-        spans = t.column("spans").combine_chunks()
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        parent = pc.list_parent_indices(spans)
-        return rows.append_column(
-            "confidence", pc.take(t.column("confidence"), parent)
-        )
 
-    df = (
-        build_extraction(interleaved)
-        .map_batches(explode_out, batch_format="pyarrow")
-        .to_pandas()[["doc_id", "offset", "kind", "text", "media_ref", "confidence"]]
-    )
-    _EXTRACTION_CACHE[sf_dir] = df
-    return df
+def _extraction_diag(sf_dir: str) -> ray.data.Dataset:
+    """Run the flagship pipeline ONCE per sf_dir over the interleaved
+    view of the documents table and write a compact per-span DIAGNOSTIC
+    table — (doc_id, offset, kind, n_chars, n_page_markers, confidence),
+    lengths/counts computed in the cluster with Arrow kernels — to
+    parquet under /tmp. Each extraction_* gate is then a cheap Ray
+    aggregate over that table; the driver never materializes the full
+    extraction output (span text/media payloads never leave the
+    cluster)."""
+    if sf_dir not in _EXTRACTION_CACHE:
+        import shutil
+
+        from .pipelines.extraction import build_extraction
+        from .stages.interleave import docs_to_interleaved
+        from .stages.prepare import explode_docs
+
+        docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        interleaved = docs.map_batches(docs_to_interleaved, batch_format="pyarrow")
+
+        def explode_diag(t: pa.Table) -> pa.Table:
+            # same vectorized Arrow explode kernel stage 1 uses, plus
+            # the doc-level confidence repeated onto each span row
+            rows = explode_docs(t)
+            spans = t.column("spans").combine_chunks()
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            parent = pc.list_parent_indices(spans)
+            text = rows.column("text")
+            return pa.table({
+                "doc_id": rows.column("doc_id"),
+                "offset": pc.cast(rows.column("offset"), pa.int32()),
+                "kind": rows.column("kind"),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_page_markers": pc.cast(
+                    pc.count_substring(text, "=== Page "), pa.int64()),
+                "confidence": pc.take(t.column("confidence"), parent),
+            })
+
+        tag, _ = _sf_tag_and_docs(sf_dir)
+        out_dir = f"/tmp/ocr_ray_spans/{tag}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        build_extraction(interleaved).map_batches(
+            explode_diag, batch_format="pyarrow"
+        ).write_parquet(out_dir)
+        _EXTRACTION_CACHE[sf_dir] = out_dir
+    return ray.data.read_parquet(_EXTRACTION_CACHE[sf_dir])
+
+
+def _diag_gate(sf_dir: str, kind: str, col: str, out_col: str) -> pd.DataFrame:
+    """Shared gate shape: filter one span kind, project (doc_id, metric)
+    — both run cluster-side; the driver receives only the result rows."""
+    ds = _extraction_diag(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("kind"), kind))
+        return pa.table({"doc_id": sel.column("doc_id"),
+                         out_col: sel.column(col)})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_extraction_span_counts(sf_dir: str):
     """End-to-end flagship gate: span counts by kind after full
-    extraction; the SQL oracle reproduces the deterministic interleave
-    rules (stages/interleave.py) with modular arithmetic."""
-    df = _extraction_spans(sf_dir)
-    out = df.groupby("kind", as_index=False).size().rename(columns={"size": "n_spans"})
+    extraction (partial counts per batch, O(kinds) rows to the driver);
+    the SQL oracle reproduces the deterministic interleave rules
+    (stages/interleave.py) with modular arithmetic."""
+    ds = _extraction_diag(sf_dir)
+    parts = ds.map_batches(
+        lambda df: df.groupby("kind", as_index=False).size(),
+        batch_format="pandas",
+    ).to_pandas()
+    out = parts.groupby("kind", as_index=False)["size"].sum() \
+               .rename(columns={"size": "n_spans"})
     out["n_spans"] = out["n_spans"].astype("int64")
     return out.sort_values("kind").reset_index(drop=True)
 
@@ -1679,11 +1680,9 @@ SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_spans FROM (
 
 def q_extraction_text_identity(sf_dir: str):
     """Text spans must survive extraction byte-identical: compare char
-    counts per doc against the raw table."""
-    df = _extraction_spans(sf_dir)
-    t = df[df["kind"] == "text"].copy()
-    t["extracted_chars"] = t["text"].str.len().astype("int64")
-    return t[["doc_id", "extracted_chars"]].sort_values("doc_id").reset_index(drop=True)
+    counts per doc against the raw table (lengths computed cluster-side
+    in the diagnostic table)."""
+    return _diag_gate(sf_dir, "text", "n_chars", "extracted_chars")
 
 
 SQL_EXTRACTION_TEXT_IDENTITY = """
@@ -1697,10 +1696,7 @@ def q_extraction_ocr_roundtrip(sf_dir: str):
     """OCR path gate: every synthetic image span must decode back to its
     exact payload (the first 160 chars of the source text) through the
     full degrade -> preprocess -> split -> decode -> merge pipeline."""
-    df = _extraction_spans(sf_dir)
-    t = df[df["kind"] == "image"].copy()
-    t["ocr_chars"] = t["text"].str.len().astype("int64")
-    return t[["doc_id", "ocr_chars"]].sort_values("doc_id").reset_index(drop=True)
+    return _diag_gate(sf_dir, "image", "n_chars", "ocr_chars")
 
 
 SQL_EXTRACTION_OCR_ROUNDTRIP = """
@@ -1713,10 +1709,7 @@ FROM documents WHERE doc_id % 10 = 0
 def q_extraction_html_strip(sf_dir: str):
     """HTML boilerplate gate: stripped content of the deterministic
     wrapper = trimmed first 120 chars of the source text."""
-    df = _extraction_spans(sf_dir)
-    t = df[df["kind"] == "html"].copy()
-    t["stripped_chars"] = t["text"].str.len().astype("int64")
-    return t[["doc_id", "stripped_chars"]].sort_values("doc_id").reset_index(drop=True)
+    return _diag_gate(sf_dir, "html", "n_chars", "stripped_chars")
 
 
 SQL_EXTRACTION_HTML_STRIP = """
@@ -1735,10 +1728,7 @@ FROM (
 def q_extraction_pdf_pages(sf_dir: str):
     """PDF fan-out/stitch gate: page-marker count in the stitched span
     equals the deterministic page count (1 + doc_id % 3)."""
-    df = _extraction_spans(sf_dir)
-    t = df[df["kind"] == "pdf"].copy()
-    t["n_pages"] = t["text"].str.count("=== Page ").astype("int64")
-    return t[["doc_id", "n_pages"]].sort_values("doc_id").reset_index(drop=True)
+    return _diag_gate(sf_dir, "pdf", "n_page_markers", "n_pages")
 
 
 SQL_EXTRACTION_PDF_PAGES = """
@@ -1754,12 +1744,20 @@ def q_extraction_confidence(sf_dir: str):
     closed form for image docs. pdf docs are excluded here (their page
     text length isn't SQL-expressible) — the pipeline-vs-oracle pytest
     covers them."""
-    df = _extraction_spans(sf_dir)
-    t = df[["doc_id", "confidence"]].drop_duplicates("doc_id")
-    ids = t["doc_id"].str.slice(5).astype(int)
-    t = t[(ids % 10 == 0) & (ids % 25 != 0)].copy()
-    t["confidence"] = t["confidence"].astype(float).round(6)
-    return t.sort_values("doc_id").reset_index(drop=True)
+    ds = _extraction_diag(sf_dir)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["doc_id", "confidence"]].drop_duplicates("doc_id")
+        ids = t["doc_id"].str.slice(5).astype(int)
+        t = t[(ids % 10 == 0) & (ids % 25 != 0)].copy()
+        t["confidence"] = t["confidence"].astype(float).round(6)
+        return t
+
+    # per-batch filter + dedupe in the cluster; the driver dedupes only
+    # block boundaries of the (already 1-row-per-selected-doc) result
+    out = ds.map_batches(f, batch_format="pandas").to_pandas() \
+            .drop_duplicates("doc_id")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 SQL_EXTRACTION_CONFIDENCE = """
@@ -1810,10 +1808,10 @@ def q_extraction_checkpointed(sf_dir: str):
     from .state.checkpoint import run_checkpointed
     from .synth.corpus import write_corpus
 
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    n_docs = max(24, int(float(sf) * 4000))
-    in_dir = f"/tmp/ocr_ray_corpus/ckpt_q_sf{sf}"
-    out_dir = f"/tmp/ocr_ray_ckpt_out/q_sf{sf}"
+    tag, n_rows = _sf_tag_and_docs(sf_dir)
+    n_docs = max(24, n_rows // 12)
+    in_dir = f"/tmp/ocr_ray_corpus/ckpt_q_{tag}"
+    out_dir = f"/tmp/ocr_ray_ckpt_out/q_{tag}"
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
     write_corpus(in_dir, n_docs, seed=11, heavy_frac=0.0, n_files=4)
@@ -1839,21 +1837,28 @@ def q_extraction_checkpointed(sf_dir: str):
 def q_extraction_synth_corpus(sf_dir: str):
     """Flagship pipeline over the native synthetic interleaved corpus
     (oracle = pure-Python extractor, enforced in pytest; driver check is
-    rows-only). Corpus size scales with sf."""
+    rows-only). Corpus size scales with the documents table; span
+    lengths are computed in the cluster with the same Arrow explode
+    kernel as the extraction gates — no take_all() / Python span loop."""
     from .pipelines.extraction import run_extraction
+    from .stages.prepare import explode_docs
     from .synth.corpus import write_corpus
 
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    n_docs = max(30, int(float(sf) * 2000))
-    out_dir = f"/tmp/ocr_ray_corpus/q_sf{sf}"
-    write_corpus(out_dir, n_docs, seed=42, heavy_frac=0.01, n_files=8)
-    rows = run_extraction(out_dir).take_all()
-    flat = []
-    for r in rows:
-        for s in r["spans"]:
-            flat.append((r["doc_id"], s["offset"], s["kind"], len(s["text"])))
-    return pd.DataFrame(flat, columns=["doc_id", "offset", "kind", "extracted_chars"]) \
-             .sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    tag, n_rows = _sf_tag_and_docs(sf_dir)
+    out_dir = f"/tmp/ocr_ray_corpus/q_{tag}"
+    write_corpus(out_dir, max(30, n_rows // 16), seed=42, heavy_frac=0.01, n_files=8)
+
+    def diag(t: pa.Table) -> pa.Table:
+        rows = explode_docs(t)
+        return pa.table({
+            "doc_id": rows.column("doc_id"),
+            "offset": pc.cast(rows.column("offset"), pa.int32()),
+            "kind": rows.column("kind"),
+            "extracted_chars": pc.cast(pc.utf8_length(rows.column("text")), pa.int64()),
+        })
+
+    out = run_extraction(out_dir).map_batches(diag, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------- joins / set ops / sort
@@ -1883,12 +1888,13 @@ def q_asof_last_order(sf_dir: str):
     both = ev.map_batches(tag_events, batch_format="pandas").union(
         od.map_batches(tag_orders, batch_format="pandas")
     )
+    B = _pair_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # bucket the key space: one pandas group per USER costs ~0.4 ms
         # each at shuffle time; a bucket holds thousands of users and
         # the scan below is a single vectorized pass
-        return df.assign(_b=df["k"] % _PAIR_BUCKETS)
+        return df.assign(_b=df["k"] % B)
 
     def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # orders sort BEFORE events at equal t so a same-timestamp order
@@ -1972,26 +1978,6 @@ def q_top_orders(sf_dir: str):
 SQL_TOP_ORDERS = """
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
-"""
-
-
-def q_sample_documents(sf_dir: str):
-    """Deterministic ~25% sample: hash-prefix filter (md5(text)[0] in
-    0..3) — reproducible across runs/cluster sizes, unlike random_sample;
-    the idiom for carving stable eval slices out of a 100TB corpus."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        keep = [hashlib.md5(t.encode()).hexdigest()[0] in "0123" for t in df["text"]]
-        return pd.DataFrame({"doc_id": df.loc[keep, "doc_id"].astype("int64")})
-
-    out = ds.map_batches(f, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
-
-
-SQL_SAMPLE_DOCUMENTS = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
-WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')
 """
 
 
@@ -2178,35 +2164,32 @@ def q_approx_distinct_orderkeys(sf_dir: str):
 
 
 def q_multimodal_image_stats(sf_dir: str):
-    """Binary-payload decode + per-image features via an actor-pool
-    stage (warm setup in __init__, small batch_size for MB-scale rows).
+    """Binary-payload decode + per-image features + resize, all via
+    actor-pool stages (warm setup in __init__, small batch_size for
+    MB-scale rows): branch A extracts features of the ORIGINAL frames,
+    branch B chains a 48x32 nearest-neighbour resize (payload in,
+    payload out, same container) into a second feature pass — one row
+    per media_id with both column sets. The only driver-side step is
+    the result-sized merge of the two per-media feature frames.
     Deterministic output; rows-only driver check."""
     from .stages import multimodal as MM
 
-    out = _media_payloads(sf_dir).map_batches(
-        MM.ImageStats, batch_format="pyarrow",
-        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=_media_pool(),
-    ).to_pandas()
-    return out.sort_values("media_id").reset_index(drop=True)
-
-
-def q_multimodal_resize(sf_dir: str):
-    """Resize actor stage chained into stats: payload -> 48x32
-    nearest-neighbour resize (payload out, same container) -> feature
-    extraction. Deterministic; rows-only driver check (stats reflect
-    the resized frames)."""
-    from .stages import multimodal as MM
-
     conc = _media_pool()
-    resized = _media_payloads(sf_dir).map_batches(
-        MM.ImageResize, fn_constructor_kwargs={"target_h": 48, "target_w": 32},
-        batch_format="pyarrow", batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
-    )
-    out = resized.map_batches(
+    orig = _media_payloads(sf_dir).map_batches(
         MM.ImageStats, batch_format="pyarrow",
         batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
     ).to_pandas()
-    assert (out["height"] == 48).all() and (out["width"] == 32).all()
+    resized = _media_payloads(sf_dir).map_batches(
+        MM.ImageResize, fn_constructor_kwargs={"target_h": 48, "target_w": 32},
+        batch_format="pyarrow", batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
+    ).map_batches(
+        MM.ImageStats, batch_format="pyarrow",
+        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
+    ).to_pandas()
+    assert (resized["height"] == 48).all() and (resized["width"] == 32).all()
+    resized = resized.rename(columns={
+        "height": "r_height", "width": "r_width", "ink_frac": "r_ink_frac"})
+    out = orig.merge(resized, on="media_id", how="inner")
     return out.sort_values("media_id").reset_index(drop=True)
 
 
@@ -2268,22 +2251,18 @@ QUERIES = {
     "distinct_flags": q_distinct_flags,
     "customers_no_orders": q_customers_no_orders,
     "top_orders_per_segment": q_top_orders_per_segment,
-    "median_order_price": q_median_order_price,
-    "median_price_by_priority": q_median_price_by_priority,
+    "median_prices": q_median_prices,
     "event_type_stats": q_event_type_stats,
     "value_hour_corr": q_value_hour_corr,
     "price_stddev_by_priority": q_price_stddev_by_priority,
     "price_histogram": q_price_histogram,
     "hourly_user_windows": q_hourly_user_windows,
-    "user_sessions": q_user_sessions,
     "session_stats": q_session_stats,
     "customer_highvalue_counts": q_customer_highvalue_counts,
     "dataset_splits": q_dataset_splits,
     "rare_token_postings": q_rare_token_postings,
     "dedup_exact": q_dedup_exact,
-    "token_counts": q_token_counts,
-    "quality_scores": q_quality_scores,
-    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
     "fingerprints": q_fingerprints,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -2306,12 +2285,10 @@ QUERIES = {
     "asof_last_order": q_asof_last_order,
     "party_nation_counts": q_party_nation_counts,
     "top_orders": q_top_orders,
-    "sample_documents": q_sample_documents,
     "dedup_ngram": q_dedup_ngram,
     "knn_ivf": q_knn_ivf,
     "approx_distinct_orderkeys": q_approx_distinct_orderkeys,
     "multimodal_image_stats": q_multimodal_image_stats,
-    "multimodal_resize": q_multimodal_resize,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
@@ -2326,21 +2303,18 @@ ORACLE_SQL = {
     "distinct_flags": SQL_DISTINCT_FLAGS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
-    "median_order_price": SQL_MEDIAN_ORDER_PRICE,
-    "median_price_by_priority": SQL_MEDIAN_PRICE_BY_PRIORITY,
+    "median_prices": SQL_MEDIAN_PRICES,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "value_hour_corr": SQL_VALUE_HOUR_CORR,
     "price_stddev_by_priority": SQL_PRICE_STDDEV_BY_PRIORITY,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "hourly_user_windows": SQL_HOURLY_USER_WINDOWS,
-    "user_sessions": SQL_USER_SESSIONS,
     "session_stats": SQL_SESSION_STATS,
     "customer_highvalue_counts": SQL_CUSTOMER_HIGHVALUE_COUNTS,
     "dataset_splits": SQL_DATASET_SPLITS,
     "rare_token_postings": SQL_RARE_TOKEN_POSTINGS,
     "dedup_exact": SQL_DEDUP_EXACT,
-    "token_counts": SQL_TOKEN_COUNTS,
-    "quality_scores": SQL_QUALITY_SCORES,
+    "text_quality": SQL_TEXT_QUALITY,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
     "top_tokens": SQL_TOP_TOKENS,
@@ -2356,5 +2330,4 @@ ORACLE_SQL = {
     "asof_last_order": SQL_ASOF_LAST_ORDER,
     "party_nation_counts": SQL_PARTY_NATION_COUNTS,
     "top_orders": SQL_TOP_ORDERS,
-    "sample_documents": SQL_SAMPLE_DOCUMENTS,
 }

@@ -50,7 +50,10 @@ def docs_to_interleaved(
     kind_flat[starts] = "text"
     text_flat[starts] = np.array(texts, dtype=object)
 
-    dids = np.char.add("tdoc-", np.char.zfill(doc_ids.astype("U8"), 8))
+    # unicode width sized from the data: astype("U8") would silently
+    # TRUNCATE ids over 8 digits (zfill only pads, never shrinks back)
+    id_width = max(8, len(str(int(doc_ids.max())))) if n else 8
+    dids = np.char.add("tdoc-", np.char.zfill(doc_ids.astype(f"U{id_width}"), 8))
 
     pos = starts[has_html] + 1
     kind_flat[pos] = "html"

@@ -89,12 +89,14 @@ def test_frame_sampler_fanout_provenance():
 
 def test_resize_then_stats_composition(ray_session):
     """ImageResize -> ImageStats must compose (no duplicate height/width
-    columns) and report the resized dims."""
+    columns) and the merged image_stats query must carry both the
+    original and the resized (r_*) feature columns."""
     from ocr_ray import queries as Q
 
-    out = Q.QUERIES["multimodal_resize"]("/root/testdata/sf0.001")
-    assert (out["height"] == 48).all() and (out["width"] == 32).all()
-    assert {"media_id", "height", "width", "ink_frac"} <= set(out.columns)
+    out = Q.QUERIES["multimodal_image_stats"]("/root/testdata/sf0.001")
+    assert (out["r_height"] == 48).all() and (out["r_width"] == 32).all()
+    assert {"media_id", "height", "width", "ink_frac",
+            "r_height", "r_width", "r_ink_frac"} <= set(out.columns)
 
 
 def test_pcm_codec_and_audio_features(ray_session):

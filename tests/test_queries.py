@@ -16,19 +16,17 @@ SUBSET = [
     "revenue_topk",
     "order_priority_revenue",
     "mktsegment_stats",
-    "user_sessions",
     "dedup_exact",
-    "token_counts",
+    "text_quality",
     "knn_bruteforce",
     "embedding_similar_pairs",
     "asof_last_order",
     "party_nation_counts",
     "top_orders",
-    "sample_documents",
     "pdf_metadata",
     "customers_no_orders",
     "top_orders_per_segment",
-    "median_order_price",
+    "median_prices",
     "top_tokens",
     "dedup_keep_best",
     "ingest_validation",
@@ -37,7 +35,6 @@ SUBSET = [
     "dataset_splits",
     "rare_token_postings",
     "shipping_priority",
-    "median_price_by_priority",
     "value_hour_corr",
     "price_stddev_by_priority",
     "price_histogram",
@@ -67,7 +64,7 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 def test_rows_only_queries_run(ray_session):
-    for name in ["lang_id", "fingerprints", "dedup_minhash", "dedup_simhash", "knn_lsh"]:
+    for name in ["fingerprints", "dedup_minhash", "dedup_simhash", "knn_lsh"]:
         out = Q.QUERIES[name](SF)
         if isinstance(out, ray.data.Dataset):
             out = out.to_pandas()
