@@ -94,8 +94,15 @@ class PipelineConfig:
     num_output_partitions: int = 16      # checkpointable output partition count
     stitch_partitions: int = 0           # shuffle width for the stitch groupbys
                                          # (0 -> auto: max(8, CPUs // 2))
-    salt_premerge: bool = False          # skew escape hatch: salted partial merge
-                                         # of heavy multi-unit spans (extra shuffle)
+    salt_premerge: bool | str = "auto"   # skew escape hatch: salted partial merge
+                                         # of heavy multi-unit spans (extra shuffle).
+                                         # True/False force it; "auto" lets
+                                         # run_extraction sample the corpus and
+                                         # enable it when any sampled doc exceeds
+                                         # salt_auto_units units
+    salt_auto_units: int = 2048          # "auto" trigger: sampled max units/doc
+                                         # above this would overload one stitch
+                                         # task (stitch holds every unit of a doc)
 
 
 DEFAULT_ENGINE = EngineConfig()

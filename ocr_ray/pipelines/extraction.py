@@ -55,21 +55,33 @@ def build_extraction(
     engine_name: str = "synth",
     cfg: PipelineConfig | None = None,
     salted: bool | None = None,
+    passthrough: list[str] | None = None,
 ) -> ray.data.Dataset:
     """``salted=None`` (default) reads ``cfg.salt_premerge``: the salted
     partial merge is the skew ESCAPE HATCH for corpora whose heaviest
     documents would overload a single stitch task (>~10^4 units/doc).
     It costs one extra shuffle of the (small) text rows, so it stays off
     when the unit-count distribution is bounded — same correctness
-    either way (tests run both paths)."""
+    either way (tests run both paths).
+
+    ``passthrough`` names doc-level input columns (beyond doc_id/spans)
+    to carry through every stage onto the output rows — e.g. the
+    checkpoint partition id."""
     cfg = cfg or PipelineConfig()
     engine = get_engine(engine_name)
     if salted is None:
         salted = cfg.salt_premerge
+    if salted == "auto":
+        # no input path here to sample — run_extraction resolves "auto"
+        # before calling; a bare Dataset defaults to the cheap path
+        salted = False
     use_salt = salted and engine.stitch.salt_width > 0
     units = ds.map_batches(
         prepare_batch,
-        fn_kwargs={"salt_width": engine.stitch.salt_width if use_salt else 0},
+        fn_kwargs={
+            "salt_width": engine.stitch.salt_width if use_salt else 0,
+            "passthrough": passthrough,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -90,8 +102,35 @@ def build_extraction(
             make_salt_premerge(engine), batch_format="pyarrow"
         )
     return extracted.groupby("doc_id").map_groups(
-        make_doc_stitch(engine), batch_format="pyarrow"
+        make_doc_stitch(engine, passthrough=passthrough), batch_format="pyarrow"
     )
+
+
+def _sample_max_units(input_path: str, sample_rows: int = 512) -> int:
+    """Driver-side skew probe for salt_premerge="auto": peek at the
+    first ``sample_rows`` docs' pdf refs (one row-group read, no Ray
+    job) and return the max unit count seen. A SAMPLE can miss rare
+    heavy docs — callers that know their corpus has a pathological tail
+    pass ``salted=True`` explicitly."""
+    import pyarrow.dataset as pads
+
+    from ..synth.media import parse_ref
+
+    try:
+        head = pads.dataset(input_path, format="parquet").head(
+            sample_rows, columns=["spans"]
+        )
+    except Exception:  # noqa: BLE001 - probe is best-effort
+        return 1
+    mx = 1
+    for spans in head.column("spans").to_pylist():
+        for s in spans or ():
+            if s.get("kind") == "pdf" and s.get("media_ref"):
+                try:
+                    mx = max(mx, int(parse_ref(s["media_ref"]).get("pages", 1)))
+                except Exception:  # noqa: BLE001
+                    continue
+    return mx
 
 
 def run_extraction(
@@ -101,6 +140,9 @@ def run_extraction(
     cfg: PipelineConfig | None = None,
     salted: bool | None = None,
 ) -> ray.data.Dataset:
+    cfg = cfg or PipelineConfig()
+    if salted is None and cfg.salt_premerge == "auto":
+        salted = _sample_max_units(input_path) > cfg.salt_auto_units
     out = build_extraction(read_corpus(input_path), engine_name, cfg, salted)
     if output_path is not None:
         out.write_parquet(output_path)

@@ -2148,8 +2148,12 @@ def q_approx_distinct_orderkeys(sf_dir: str):
     """Approximate COUNT(DISTINCT l_orderkey) via HyperLogLog (4096
     registers, ~1.6% error): each batch emits one register array, the
     tiny final reduce is an elementwise max — distinct-counting with NO
-    shuffle of the keys, the only viable shape at 100TB. Rows-only
-    check; accuracy vs exact asserted in unit tests."""
+    shuffle of the keys, the only viable shape at 100TB. For the
+    correctness gate the EXACT distinct count is also computed the
+    scalable way (per-batch unique -> bucketed per-bucket nunique ->
+    O(buckets) sum) and the HLL estimate is asserted within its
+    published tolerance — both columns are SQL-checkable, so the
+    sketch gets a hard oracle row instead of rows-only."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey"])
 
     def regs(df: pd.DataFrame) -> pd.DataFrame:
@@ -2160,7 +2164,29 @@ def q_approx_distinct_orderkeys(sf_dir: str):
     merged = np.zeros(4096, dtype=np.uint8)
     for b in parts["regs"]:
         merged = H.hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
-    return pd.DataFrame({"approx_distinct": [int(round(H.hll_estimate(merged)))]})
+    approx = int(round(H.hll_estimate(merged)))
+
+    B = _pair_buckets()
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].unique()
+        return pd.DataFrame({"k": k, "_b": k % B})
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [g["k"].nunique()]})
+
+    counts = ds.map_batches(uniq, batch_format="pandas", batch_size=65536) \
+               .groupby("_b").map_groups(bucket_count, batch_format="pandas").to_pandas()
+    exact = int(counts["n"].sum())
+    return pd.DataFrame({"exact_distinct": [exact],
+                         "within_tol": [abs(approx - exact) <= 0.05 * exact]})
+
+
+SQL_APPROX_DISTINCT_ORDERKEYS = """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_tol
+FROM lineitem
+"""
 
 
 def q_multimodal_image_stats(sf_dir: str):
@@ -2330,4 +2356,5 @@ ORACLE_SQL = {
     "asof_last_order": SQL_ASOF_LAST_ORDER,
     "party_nation_counts": SQL_PARTY_NATION_COUNTS,
     "top_orders": SQL_TOP_ORDERS,
+    "approx_distinct_orderkeys": SQL_APPROX_DISTINCT_ORDERKEYS,
 }

@@ -44,26 +44,33 @@ UNIT_SCHEMA = pa.schema(
 )
 
 
-def explode_docs(batch: pa.Table) -> pa.Table:
-    """docs(doc_id, spans) -> span rows (doc_id, kind, text, media_ref, offset)."""
+def explode_docs(batch: pa.Table, passthrough: list[str] | None = None) -> pa.Table:
+    """docs(doc_id, spans) -> span rows (doc_id, kind, text, media_ref, offset).
+
+    ``passthrough`` names extra DOC-level columns of the input batch to
+    repeat onto each span row (vectorized take by parent index) — e.g.
+    the checkpoint partition id."""
     spans = batch.column("spans").combine_chunks()
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
     parent = pc.list_parent_indices(spans)
     flat = pc.list_flatten(spans)
     doc_ids = pc.take(batch.column("doc_id"), parent)
-    return pa.table(
-        {
-            "doc_id": doc_ids,
-            "kind": flat.field("kind"),
-            "text": flat.field("text"),
-            "media_ref": flat.field("media_ref"),
-            "offset": flat.field("offset"),
-        }
-    )
+    cols = {
+        "doc_id": doc_ids,
+        "kind": flat.field("kind"),
+        "text": flat.field("text"),
+        "media_ref": flat.field("media_ref"),
+        "offset": flat.field("offset"),
+    }
+    for name in passthrough or ():
+        cols[name] = pc.take(batch.column(name), parent)
+    return pa.table(cols)
 
 
-def prepare_batch(batch: pa.Table, salt_width: int = 0) -> pa.Table:
+def prepare_batch(
+    batch: pa.Table, salt_width: int = 0, passthrough: list[str] | None = None
+) -> pa.Table:
     """Full stage-1 transform: explode + cheap extract + pdf fan-out.
 
     Arrow-native on the hot path: doc_id/offset/media_ref columns never
@@ -74,8 +81,15 @@ def prepare_batch(batch: pa.Table, salt_width: int = 0) -> pa.Table:
 
     ``salt_width`` > 0 assigns each pdf page row a salt
     ``(page-1) // salt_width`` (0 for single-unit rows) so the salted
-    premerge groupby needs no extra add_column operator downstream."""
-    rows = explode_docs(batch)
+    premerge groupby needs no extra add_column operator downstream.
+
+    ``passthrough`` doc-level columns ride along on every unit row
+    (and survive the OCR/premerge/stitch stages unchanged)."""
+    passthrough = list(passthrough or ())
+    rows = explode_docs(batch, passthrough=passthrough)
+    out_schema = UNIT_SCHEMA
+    for name in passthrough:
+        out_schema = out_schema.append(rows.schema.field(name))
     kind = rows.column("kind")
     is_pdf = pc.equal(kind, "pdf")
     parts: list[pa.Table] = []
@@ -107,20 +121,20 @@ def prepare_batch(batch: pa.Table, salt_width: int = 0) -> pa.Table:
             new_text = pc.replace_with_mask(
                 new_text, is_image, pa.array([""] * n_img, pa.string())
             )
-        parts.append(pa.table(
-            {
-                "doc_id": non_pdf.column("doc_id"),
-                "offset": pc.cast(non_pdf.column("offset"), pa.int32()),
-                "kind": kinds,
-                "media_ref": non_pdf.column("media_ref"),
-                "unit": pa.array(np.zeros(n, np.int32)),
-                "total_units": pa.array(np.ones(n, np.int32)),
-                "salt": pa.array(np.zeros(n, np.int32)),
-                "text": new_text,
-                "done": pc.invert(is_image),
-            },
-            schema=UNIT_SCHEMA,
-        ))
+        cols = {
+            "doc_id": non_pdf.column("doc_id"),
+            "offset": pc.cast(non_pdf.column("offset"), pa.int32()),
+            "kind": kinds,
+            "media_ref": non_pdf.column("media_ref"),
+            "unit": pa.array(np.zeros(n, np.int32)),
+            "total_units": pa.array(np.ones(n, np.int32)),
+            "salt": pa.array(np.zeros(n, np.int32)),
+            "text": new_text,
+            "done": pc.invert(is_image),
+        }
+        for name in passthrough:
+            cols[name] = non_pdf.column(name)
+        parts.append(pa.table(cols, schema=out_schema))
 
     pdfs = rows.filter(is_pdf)
     if pdfs.num_rows:
@@ -133,25 +147,25 @@ def prepare_batch(batch: pa.Table, salt_width: int = 0) -> pa.Table:
         starts = np.repeat(np.cumsum(pages) - pages, pages)
         unit = (np.arange(total) - starts + 1).astype(np.int32)  # 1..pages per pdf
         idx = pa.array(parent)
-        parts.append(pa.table(
-            {
-                "doc_id": pc.take(pdfs.column("doc_id"), idx),
-                "offset": pc.cast(pc.take(pdfs.column("offset"), idx), pa.int32()),
-                "kind": pc.take(pdfs.column("kind"), idx),
-                "media_ref": pc.take(pdfs.column("media_ref"), idx),
-                "unit": pa.array(unit),
-                "total_units": pa.array(np.repeat(pages, pages).astype(np.int32)),
-                "salt": pa.array(
-                    ((unit - 1) // salt_width).astype(np.int32)
-                    if salt_width > 0
-                    else np.zeros(total, np.int32)
-                ),
-                "text": pa.array([""] * total, pa.string()),
-                "done": pa.array(np.zeros(total, dtype=bool)),
-            },
-            schema=UNIT_SCHEMA,
-        ))
+        cols = {
+            "doc_id": pc.take(pdfs.column("doc_id"), idx),
+            "offset": pc.cast(pc.take(pdfs.column("offset"), idx), pa.int32()),
+            "kind": pc.take(pdfs.column("kind"), idx),
+            "media_ref": pc.take(pdfs.column("media_ref"), idx),
+            "unit": pa.array(unit),
+            "total_units": pa.array(np.repeat(pages, pages).astype(np.int32)),
+            "salt": pa.array(
+                ((unit - 1) // salt_width).astype(np.int32)
+                if salt_width > 0
+                else np.zeros(total, np.int32)
+            ),
+            "text": pa.array([""] * total, pa.string()),
+            "done": pa.array(np.zeros(total, dtype=bool)),
+        }
+        for name in passthrough:
+            cols[name] = pc.take(pdfs.column(name), idx)
+        parts.append(pa.table(cols, schema=out_schema))
 
     if not parts:
-        return UNIT_SCHEMA.empty_table()
+        return out_schema.empty_table()
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]

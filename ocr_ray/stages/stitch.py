@@ -19,7 +19,7 @@ percent of input bytes).
 """
 from __future__ import annotations
 
-import pandas as pd  # noqa: F401  (stitch groups use pandas internally)
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute
 
@@ -73,39 +73,56 @@ OUT_SCHEMA = pa.schema(
 )
 
 
-def make_doc_stitch(engine: EngineConfig):
+def make_doc_stitch(engine: EngineConfig, passthrough: list[str] | None = None):
     """Final per-doc stitch: unit rows -> one (doc_id, spans, confidence)
     row with spans ordered by offset (list<struct> matching the input
     schema). ``confidence`` is the doc-level min over all unit scores
     (weakest link; the reference threads per-chunk/page confidence the
-    same way, app/ocr/base.py:25-34 / app/worker/tasks.py:206-213)."""
+    same way, app/ocr/base.py:25-34 / app/worker/tasks.py:206-213).
+
+    Pure pyarrow/numpy per group (no pandas frame per doc — the same
+    cheaper idiom as the premerge): one two-key sort, numpy run-length
+    offsets, Python only for the final (few-element) span list.
+
+    ``passthrough`` columns are doc-constant and copied from the
+    group's first row onto the output row."""
+    passthrough = list(passthrough or ())
 
     def stitch(group: pa.Table) -> pa.Table:
-        doc_id = group.column("doc_id")[0].as_py()
-        has_conf = "confidence" in group.schema.names
-        cols = ["offset", "kind", "media_ref", "unit", "text"]
-        df = group.select(cols + (["confidence"] if has_conf else [])).to_pandas()
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[("offset", "ascending"), ("unit", "ascending")],
+        )
+        g = group.take(order)
+        has_conf = "confidence" in g.schema.names
+        offs = g.column("offset").to_numpy()
+        texts = g.column("text").to_pylist()
+        kinds = g.column("kind")
+        refs = g.column("media_ref")
+        starts = np.flatnonzero(np.r_[True, offs[1:] != offs[:-1]])
+        ends = np.r_[starts[1:], len(offs)]
         spans = []
-        for offset, span_rows in df.groupby("offset", sort=True):
-            span_rows = span_rows.sort_values("unit")
-            first = span_rows.iloc[0]
-            text = (
-                first["text"]
-                if len(span_rows) == 1
-                else join_units(list(span_rows["text"]), engine)
-            )
+        for s, e in zip(starts, ends):
+            text = texts[s] if e - s == 1 else join_units(texts[s:e], engine)
             spans.append(
                 {
-                    "kind": first["kind"],
+                    "kind": kinds[s].as_py(),
                     "text": text,
-                    "media_ref": first["media_ref"],
-                    "offset": int(offset),
+                    "media_ref": refs[s].as_py(),
+                    "offset": int(offs[s]),
                 }
             )
-        conf = float(df["confidence"].min()) if has_conf else 1.0
-        return pa.Table.from_pylist(
-            [{"doc_id": doc_id, "spans": spans, "confidence": conf}],
-            schema=OUT_SCHEMA,
+        conf = (
+            float(pa.compute.min(g.column("confidence")).as_py())
+            if has_conf
+            else 1.0
         )
+        row = {"doc_id": g.column("doc_id")[0].as_py(), "spans": spans,
+               "confidence": conf}
+        schema = OUT_SCHEMA
+        for name in passthrough:
+            row[name] = g.column(name)[0].as_py()
+            schema = schema.append(g.schema.field(name))
+        return pa.Table.from_pylist([row], schema=schema)
 
     return stitch

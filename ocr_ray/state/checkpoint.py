@@ -2,12 +2,26 @@
 
 What "resumable from checkpoint" means for a batch pipeline
 (SURVEY.md §4.2): output is laid out as one hive partition per
-deterministic key range (``part=K/``, K = crc32(doc_id) % P), plus a
-small JSON manifest recording, per partition: status, row count,
-throughput and the input fingerprint. On restart, partitions already
-marked done are filtered OUT of the input at the read stage and their
-files are left untouched; unfinished partitions have their directories
-cleared first, so a crash mid-write can never leave duplicates.
+deterministic unit of input (``part=K/``), plus a small JSON manifest
+recording, per partition: status, row count, throughput and the input
+fingerprint. On restart, partitions already marked done are skipped and
+their files are left untouched; unfinished partitions have their
+directories cleared first, so a crash mid-write can never leave
+duplicates.
+
+Two partition granularities:
+
+- ``partition_by="file"`` (the 100 TB path): partition K = every K-th
+  input file. Resume passes ONLY the unfinished partitions' files to
+  ``read_parquet`` — finished partitions are skipped at the FILE LIST,
+  so a resume's read volume drops proportionally to what's already
+  done (zero scan amplification). The partition id rides through the
+  pipeline as a passthrough column; no per-row hashing at all.
+- ``partition_by="hash"``: partition K = crc32(doc_id) % P, for inputs
+  whose file layout is not a usable unit (one giant file, or doc_ids
+  must co-locate regardless of source file). Resume re-reads the input
+  but filters rows with a VECTORIZED crc32 (byte-matrix kernel below —
+  a loop over byte positions, never over rows).
 
 This replaces the reference's Redis job store + stale-job sweep
 (app/services/job_service.py:47-228) with immutable files — the only
@@ -21,6 +35,7 @@ import shutil
 import time
 import zlib
 
+import numpy as np
 import pyarrow.dataset as pads
 import ray
 
@@ -28,12 +43,53 @@ from ..config import PipelineConfig
 from ..pipelines.extraction import build_extraction
 from ..sources import read_docs
 
-__all__ = ["doc_partition", "Manifest", "run_checkpointed"]
+__all__ = ["doc_partition", "crc32_batch", "Manifest", "run_checkpointed"]
 
 
 def doc_partition(doc_id: str, num_partitions: int) -> int:
     """Stable partition key (independent of PYTHONHASHSEED / process)."""
     return zlib.crc32(doc_id.encode("utf-8")) % num_partitions
+
+
+_CRC_TAB: np.ndarray | None = None
+
+
+def _crc_table() -> np.ndarray:
+    global _CRC_TAB
+    if _CRC_TAB is None:
+        t = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> 1), t >> 1)
+        _CRC_TAB = t
+    return _CRC_TAB
+
+
+def crc32_batch(ids) -> np.ndarray:
+    """Vectorized ``zlib.crc32`` over a batch of strings: pack into one
+    fixed-width byte matrix, then run the table-driven CRC as a loop
+    over BYTE POSITIONS (<= max id length), never over rows. Non-ASCII
+    ids fall back to the per-row zlib path (numpy's U->S cast is
+    ASCII-only)."""
+    try:
+        arr = np.asarray(ids, dtype="S")
+    except UnicodeEncodeError:
+        return np.array(
+            [zlib.crc32(str(d).encode("utf-8")) for d in ids], dtype=np.uint32
+        )
+    if arr.size == 0:
+        return np.zeros(0, dtype=np.uint32)
+    width = arr.dtype.itemsize
+    mat = arr.view(np.uint8).reshape(len(arr), width)
+    nz = mat != 0
+    lengths = width - nz[:, ::-1].argmax(axis=1)
+    lengths[~nz.any(axis=1)] = 0
+    tab = _crc_table()
+    crc = np.full(len(arr), 0xFFFFFFFF, np.uint32)
+    for j in range(width):
+        active = lengths > j
+        nxt = tab[(crc ^ mat[:, j]) & np.uint32(0xFF)] ^ (crc >> np.uint32(8))
+        crc = np.where(active, nxt, crc)
+    return crc ^ np.uint32(0xFFFFFFFF)
 
 
 def _fingerprint(input_path: str) -> str:
@@ -105,6 +161,16 @@ def _count_rows(output_dir: str, part: int) -> int:
     return sum(f.count_rows() for f in ds.get_fragments())
 
 
+def _input_files(input_path: str) -> list[str]:
+    if os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, n)
+            for n in os.listdir(input_path)
+            if n.endswith(".parquet")
+        )
+    return [input_path]
+
+
 def run_checkpointed(
     input_path: str,
     output_dir: str,
@@ -112,46 +178,86 @@ def run_checkpointed(
     engine_name: str = "synth",
     cfg: PipelineConfig | None = None,
     max_partitions_this_run: int | None = None,
+    partition_by: str = "file",
 ) -> dict:
     """One (possibly partial) run. Returns a summary dict. Call again
     after a crash / with a larger ``max_partitions_this_run`` to finish;
-    finished partitions are skipped at the READ, not re-extracted."""
+    finished partitions are skipped — at the input FILE LIST in
+    ``partition_by="file"`` mode (resume reads only unfinished
+    partitions' files), at a vectorized row filter in ``"hash"`` mode."""
+    if partition_by not in ("file", "hash"):
+        raise ValueError(f"partition_by must be 'file' or 'hash', got {partition_by!r}")
     os.makedirs(output_dir, exist_ok=True)
     fp = _fingerprint(input_path)
     manifest = Manifest(output_dir)
+    files = _input_files(input_path)
+    if partition_by == "file":
+        num_partitions = min(num_partitions, len(files))
     done = manifest.done_partitions(fp)
     todo = [p for p in range(num_partitions) if p not in done]
     if max_partitions_this_run is not None:
         todo = todo[:max_partitions_this_run]
     if not todo:
-        return {"processed_partitions": [], "skipped_partitions": sorted(done), "rows": 0}
+        return {"processed_partitions": [], "skipped_partitions": sorted(done),
+                "rows": 0, "files_read": 0, "files_total": len(files)}
 
     # idempotence: clear any partial output of unfinished partitions
     for p in todo:
         shutil.rmtree(os.path.join(output_dir, f"part={p}"), ignore_errors=True)
 
-    todo_set = set(todo)
     P = num_partitions
-
-    def keep_todo(batch):
-        import pyarrow as pa
-
-        ids = batch.column("doc_id").to_pylist()
-        mask = pa.array([doc_partition(d, P) in todo_set for d in ids], pa.bool_())
-        return batch.filter(mask)
-
-    def add_part(batch):
-        import pyarrow as pa
-
-        ids = batch.column("doc_id").to_pylist()
-        return batch.append_column(
-            "part", pa.array([doc_partition(d, P) for d in ids], pa.int32())
-        )
-
     t0 = time.time()
-    ds = read_docs(input_path).map_batches(keep_todo, batch_format="pyarrow")
-    out = build_extraction(ds, engine_name=engine_name, cfg=cfg)
-    out = out.map_batches(add_part, batch_format="pyarrow")
+    files_read = len(files)
+    if partition_by == "file":
+        # partition p owns every P-th input file; resume reads ONLY the
+        # todo partitions' files and tags p as a doc-level passthrough
+        # column — no per-row hashing, no scan of finished partitions
+        import pyarrow as pa
+
+        def tag(p: int):
+            def f(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "part", pa.array(np.full(batch.num_rows, p, np.int32))
+                )
+
+            return f
+
+        groups = {p: files[p::P] for p in todo}
+        files_read = sum(len(g) for g in groups.values())
+        per_part = [
+            read_docs(groups[p]).map_batches(tag(p), batch_format="pyarrow")
+            for p in todo
+            if groups[p]
+        ]
+        ds = per_part[0].union(*per_part[1:]) if len(per_part) > 1 else per_part[0]
+        out = build_extraction(ds, engine_name=engine_name, cfg=cfg,
+                               passthrough=["part"])
+    else:
+        todo_arr = np.zeros(P, dtype=bool)
+        todo_arr[todo] = True
+
+        def keep_todo(batch):
+            parts = crc32_batch(
+                batch.column("doc_id").to_numpy(zero_copy_only=False)
+            ) % P
+            return batch.filter(pa_mask(todo_arr[parts]))
+
+        def add_part(batch):
+            import pyarrow as pa
+
+            parts = crc32_batch(
+                batch.column("doc_id").to_numpy(zero_copy_only=False)
+            ) % P
+            return batch.append_column("part", pa.array(parts.astype(np.int32)))
+
+        def pa_mask(m: np.ndarray):
+            import pyarrow as pa
+
+            return pa.array(m)
+
+        ds = read_docs(input_path).map_batches(keep_todo, batch_format="pyarrow")
+        out = build_extraction(ds, engine_name=engine_name, cfg=cfg)
+        out = out.map_batches(add_part, batch_format="pyarrow")
     out.write_parquet(output_dir, partition_cols=["part"])
     secs = max(time.time() - t0, 1e-9)
 
@@ -168,7 +274,7 @@ def run_checkpointed(
     except Exception:  # noqa: BLE001 - lineage is best-effort metadata
         pass
     lineage = {"engine": engine_name, "engine_config_crc": engine_cfg,
-               "num_partitions": num_partitions}
+               "num_partitions": num_partitions, "partition_by": partition_by}
     per_part_rows = {p: _count_rows(output_dir, p) for p in todo}
     total_rows = sum(per_part_rows.values())
     for p in todo:
@@ -184,4 +290,6 @@ def run_checkpointed(
         "rows": total_rows,
         "wall_time_sec": round(secs, 3),
         "docs_per_sec": round(total_rows / secs, 3),
+        "files_read": files_read,
+        "files_total": len(files),
     }

@@ -1,12 +1,22 @@
 """Kill-and-resume semantics: a partial run + a resume produce exactly
 the same output table as a single-shot run, and finished partitions
-are not re-extracted (SURVEY.md §5.4)."""
+are not re-extracted (SURVEY.md §5.4). File mode must additionally
+skip finished partitions at the input FILE LIST (read volume drops
+proportionally); hash mode's vectorized crc32 must equal zlib's."""
 import json
 import os
+import zlib
 
+import numpy as np
 import pyarrow.dataset as pads
+import pytest
 
-from ocr_ray.state.checkpoint import Manifest, doc_partition, run_checkpointed
+from ocr_ray.state.checkpoint import (
+    Manifest,
+    crc32_batch,
+    doc_partition,
+    run_checkpointed,
+)
 from ocr_ray.synth.corpus import write_corpus
 
 N_DOCS = 12
@@ -22,38 +32,72 @@ def _read_all(output_dir):
     return rows
 
 
-def test_partial_then_resume_equals_oneshot(ray_session, tmp_path):
+@pytest.mark.parametrize("mode", ["file", "hash"])
+def test_partial_then_resume_equals_oneshot(ray_session, tmp_path, mode):
     corpus = str(tmp_path / "in")
-    write_corpus(corpus, N_DOCS, seed=3, n_files=2)
+    write_corpus(corpus, N_DOCS, seed=3, n_files=P)
 
     oneshot = str(tmp_path / "full")
-    s0 = run_checkpointed(corpus, oneshot, num_partitions=P)
+    s0 = run_checkpointed(corpus, oneshot, num_partitions=P, partition_by=mode)
     assert sorted(s0["processed_partitions"]) == list(range(P))
 
     out = str(tmp_path / "resumable")
-    s1 = run_checkpointed(corpus, out, num_partitions=P, max_partitions_this_run=2)
+    s1 = run_checkpointed(corpus, out, num_partitions=P,
+                          max_partitions_this_run=2, partition_by=mode)
     assert len(s1["processed_partitions"]) == 2
     # manifest records per-partition lineage
     m = json.load(open(os.path.join(out, "_manifest.json")))
     assert len(m["partitions"]) == 2
     for v in m["partitions"].values():
         assert v["status"] == "done" and "docs_per_sec" in v and "fingerprint" in v
+        assert v["lineage"]["partition_by"] == mode
 
-    s2 = run_checkpointed(corpus, out, num_partitions=P)
+    s2 = run_checkpointed(corpus, out, num_partitions=P, partition_by=mode)
     assert sorted(s1["processed_partitions"] + s2["processed_partitions"]) == list(range(P))
     assert sorted(s2["skipped_partitions"]) == sorted(s1["processed_partitions"])
+    if mode == "file":
+        # the resume run must touch ONLY the unfinished partitions'
+        # files — read volume drops proportionally to progress
+        assert s0["files_read"] == s0["files_total"] == P
+        assert s1["files_read"] == 2
+        assert s2["files_read"] == 2
 
     assert _read_all(out) == _read_all(oneshot)
 
-    # third run: everything done, nothing processed
-    s3 = run_checkpointed(corpus, out, num_partitions=P)
+    # third run: everything done, nothing processed (and in file mode,
+    # nothing read at all)
+    s3 = run_checkpointed(corpus, out, num_partitions=P, partition_by=mode)
     assert s3["processed_partitions"] == []
+    assert s3["files_read"] == 0
+
+
+def test_file_and_hash_modes_agree(ray_session, tmp_path):
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, N_DOCS, seed=9, n_files=3)
+    a = str(tmp_path / "by_file")
+    b = str(tmp_path / "by_hash")
+    run_checkpointed(corpus, a, num_partitions=P, partition_by="file")
+    run_checkpointed(corpus, b, num_partitions=P, partition_by="hash")
+    assert _read_all(a) == _read_all(b)
 
 
 def test_doc_partition_stable():
     assert doc_partition("doc-00000001", 16) == doc_partition("doc-00000001", 16)
     parts = {doc_partition(f"doc-{i:08d}", 8) for i in range(100)}
     assert len(parts) == 8  # spreads
+
+
+def test_crc32_batch_matches_zlib():
+    ids = [f"doc-{i:08d}" for i in range(50)] + ["", "x", "tdoc-123456789",
+                                                 "a" * 63, "Z" * 64]
+    got = crc32_batch(np.array(ids, dtype=object))
+    want = np.array([zlib.crc32(s.encode()) for s in ids], dtype=np.uint32)
+    assert np.array_equal(got, want)
+    # non-ASCII falls back to the per-row path, same values
+    uni = ["tête-à-tête", "doc-Ω", "plain"]
+    got_u = crc32_batch(np.array(uni, dtype=object))
+    want_u = np.array([zlib.crc32(s.encode("utf-8")) for s in uni], dtype=np.uint32)
+    assert np.array_equal(got_u, want_u)
 
 
 def test_fingerprint_invalidates_on_input_change(tmp_path):

@@ -80,3 +80,19 @@ def test_rerun_deterministic(ray_session, corpus_dir):
     a = {r["doc_id"]: _span_seq(r["spans"]) for r in run_extraction(corpus_dir).take_all()}
     b = {r["doc_id"]: _span_seq(r["spans"]) for r in run_extraction(corpus_dir).take_all()}
     assert a == b
+
+
+def test_salt_auto_probe(corpus_dir):
+    """salt_premerge="auto" samples the corpus: the default synthetic
+    corpus (heavy docs cap at 80 pages) stays on the cheap path; the
+    probe reports the true max unit count so a pathological corpus
+    (> salt_auto_units pages) would flip it on."""
+    from ocr_ray.pipelines.extraction import _sample_max_units
+
+    mx = _sample_max_units(corpus_dir)
+    assert 1 <= mx <= 80
+    from ocr_ray.config import PipelineConfig
+
+    assert mx <= PipelineConfig().salt_auto_units  # default corpus: unsalted
+    # unreadable path -> probe degrades to 1, never raises
+    assert _sample_max_units("/tmp/does-not-exist-xyz") == 1
