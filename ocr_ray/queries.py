@@ -920,8 +920,9 @@ def q_dataset_splits(sf_dir: str):
             "in_sample": [c in SAMPLE for c in h],
         })
 
-    out = ds.map_batches(f, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # the per-doc assignment rows ARE the result: return the Dataset
+    # (the consumer writes/streams it; nothing materializes driver-side)
+    return ds.map_batches(f, batch_format="pandas")
 
 
 SQL_DATASET_SPLITS = """
