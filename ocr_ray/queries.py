@@ -769,6 +769,56 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_sliding_user_windows(sf_dir: str):
+    """SLIDING 3-hour event-time windows (step 1h) per user — the
+    windowed-aggregate shape Ray Data lacks natively, built WITHOUT a
+    per-row window loop: per-batch tumbling hourly partials (the
+    hourly_user_windows kernel), each partial row exploded to the 3
+    window starts it covers (vectorized concat), then one bucketed
+    combine keyed on user_id. Work is O(events + 3*hourly_partials);
+    the shuffle carries only pre-aggregated partials, never raw
+    events."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hr=df["ts"].dt.floor("h"))
+        g = df.groupby(["user_id", "hr"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        reps = pd.concat(
+            [g.assign(window_start=g["hr"] - pd.Timedelta(hours=k)) for k in range(3)],
+            ignore_index=True,
+        )
+        reps["user_id"] = reps["user_id"].astype("int64")
+        return reps[["user_id", "window_start", "n_events", "sum_value"]]
+
+    out = _bucketed_combine(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["user_id", "window_start"],
+        {"n_events": "sum", "sum_value": "sum"},
+        round_cols={"sum_value": 4},
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+SQL_SLIDING_USER_WINDOWS = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         COUNT(*) AS n, SUM(value) AS v
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       hr - k * INTERVAL 1 HOUR AS window_start,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(SUM(v), 4) AS sum_value
+FROM h, range(3) t(k)
+GROUP BY user_id, window_start
+"""
+
+
+
 def q_session_stats(sf_dir: str):
     """Session windows (gap > 30 min) per user, per-session aggregates
     (gaps-and-islands: session = run of events with gaps <= 30 min).
@@ -2284,6 +2334,7 @@ QUERIES = {
     "price_stddev_by_priority": q_price_stddev_by_priority,
     "price_histogram": q_price_histogram,
     "hourly_user_windows": q_hourly_user_windows,
+    "sliding_user_windows": q_sliding_user_windows,
     "session_stats": q_session_stats,
     "customer_highvalue_counts": q_customer_highvalue_counts,
     "dataset_splits": q_dataset_splits,
@@ -2336,6 +2387,7 @@ ORACLE_SQL = {
     "price_stddev_by_priority": SQL_PRICE_STDDEV_BY_PRIORITY,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "hourly_user_windows": SQL_HOURLY_USER_WINDOWS,
+    "sliding_user_windows": SQL_SLIDING_USER_WINDOWS,
     "session_stats": SQL_SESSION_STATS,
     "customer_highvalue_counts": SQL_CUSTOMER_HIGHVALUE_COUNTS,
     "dataset_splits": SQL_DATASET_SPLITS,

@@ -105,3 +105,17 @@ def test_sanitize_filename_never_traverses(name):
         assert "/" not in out and "\\" not in out
         assert ".." not in out and not out.startswith(".")
         assert 0 < len(out) <= 255
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                        max_size=40), min_size=1, max_size=30))
+def test_crc32_batch_equals_zlib(ids):
+    import zlib
+
+    import numpy as np
+
+    from ocr_ray.state.checkpoint import crc32_batch
+
+    got = crc32_batch(np.array(ids, dtype=object))
+    want = np.array([zlib.crc32(s.encode()) for s in ids], dtype=np.uint32)
+    assert np.array_equal(got, want)

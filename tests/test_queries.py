@@ -35,6 +35,7 @@ SUBSET = [
     "dataset_splits",
     "rare_token_postings",
     "shipping_priority",
+    "sliding_user_windows",
     "value_hour_corr",
     "price_stddev_by_priority",
     "price_histogram",
