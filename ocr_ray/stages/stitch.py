@@ -49,6 +49,10 @@ def make_salt_premerge(engine: EngineConfig):
             # weakest-link combine: min is associative, so partial
             # merges compose with the final stitch min exactly
             row["confidence"] = float(pa.compute.min(g.column("confidence")).as_py())
+        if "error" in g.schema.names:
+            # error union is associative too: ';'-join the non-empty
+            # unit errors so the final stitch can count them exactly
+            row["error"] = ";".join(e for e in g.column("error").to_pylist() if e)
         # partials stay ordered by their smallest page number (already
         # row 0 after the sort); dtypes inherited from the input schema
         return pa.table(
@@ -69,7 +73,8 @@ def make_salt_premerge(engine: EngineConfig):
 
 
 OUT_SCHEMA = pa.schema(
-    list(DOC_SCHEMA) + [pa.field("confidence", pa.float64())]
+    list(DOC_SCHEMA)
+    + [pa.field("confidence", pa.float64()), pa.field("n_errors", pa.int64())]
 )
 
 
@@ -117,8 +122,18 @@ def make_doc_stitch(engine: EngineConfig, passthrough: list[str] | None = None):
             if has_conf
             else 1.0
         )
+        n_errors = 0
+        if "error" in g.schema.names:
+            # units carry ';'-joined error tags (premerge unions them);
+            # the doc-level count is the error-side observability column
+            # (the reference's per-job error field, app/schemas/job.py:47)
+            n_errors = sum(
+                len([seg for seg in e.split(";") if seg])
+                for e in g.column("error").to_pylist()
+                if e
+            )
         row = {"doc_id": g.column("doc_id")[0].as_py(), "spans": spans,
-               "confidence": conf}
+               "confidence": conf, "n_errors": n_errors}
         schema = OUT_SCHEMA
         for name in passthrough:
             row[name] = g.column(name)[0].as_py()

@@ -65,7 +65,12 @@ def test_bad_media_ref_is_tagged_not_fatal(ray_session):
             {"kind": "image", "text": "", "media_ref": "synth://image/bad/0?t=!!!notb64", "offset": 0},
             {"kind": "text", "text": "still here", "media_ref": "", "offset": 1}]},
     ]
-    rows = {r["doc_id"]: r["spans"] for r in build_extraction(ray.data.from_items(docs)).take_all()}
+    out = {r["doc_id"]: r for r in build_extraction(ray.data.from_items(docs)).take_all()}
+    rows = {k: v["spans"] for k, v in out.items()}
     assert rows["ok"][0]["text"] == "fine"
     assert rows["bad"][0]["text"] == ""          # failed span -> empty, tagged upstream
     assert rows["bad"][1]["text"] == "still here"  # rest of the doc survives
+    # doc-level error-side observability: exact error count + weakest-link
+    # confidence zeroed by the failed unit
+    assert out["ok"]["n_errors"] == 0 and out["ok"]["confidence"] == 1.0
+    assert out["bad"]["n_errors"] == 1 and out["bad"]["confidence"] == 0.0
