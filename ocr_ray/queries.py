@@ -1630,13 +1630,15 @@ _EXTRACTION_CACHE: dict[str, str] = {}
 
 def _sf_tag_and_docs(sf_dir: str) -> tuple[str, int]:
     """Stable scratch tag + size for synthetic-corpus queries: the tag
-    is crc32 of the RESOLVED corpus dir (two different corpus dirs never
-    collide on shared /tmp state), the size comes from the documents
-    table's parquet metadata (no 'sf<number>' basename parsing — any
-    directory name works)."""
+    is crc32 of the RESOLVED corpus dir plus the process id (two
+    different corpus dirs never collide on shared /tmp state, and two
+    CONCURRENT driver processes on the same corpus don't rmtree each
+    other's scratch), the size comes from the documents table's parquet
+    metadata (no 'sf<number>' basename parsing — any directory name
+    works)."""
     import pyarrow.dataset as pads
 
-    tag = format(zlib.crc32(os.path.abspath(sf_dir).encode()), "08x")
+    tag = format(zlib.crc32(os.path.abspath(sf_dir).encode()), "08x") + f"-{os.getpid()}"
     n_rows = pads.dataset(os.path.join(sf_dir, "documents.parquet")).count_rows()
     return tag, n_rows
 

