@@ -18,3 +18,18 @@ def test_lance_paths_routed_with_clear_error():
     if not has_lance:
         with pytest.raises(ImportError, match="lance"):
             read_docs("/tmp/nope.lance")
+
+
+def test_cli_entry_runs_and_resumes(ray_session, tmp_path):
+    """python -m ocr_ray.run (the `ray job submit` surface): one run
+    extracts, a re-run resumes (nothing processed, nothing read)."""
+    from ocr_ray.run import main
+    from ocr_ray.synth.corpus import write_corpus
+
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, 8, seed=21, n_files=2)
+    out = str(tmp_path / "out")
+    s1 = main(["--input", corpus, "--output", out, "--partitions", "2"])
+    assert s1["rows"] == 8 and s1["files_read"] == 2
+    s2 = main(["--input", corpus, "--output", out, "--partitions", "2"])
+    assert s2["processed_partitions"] == [] and s2["files_read"] == 0
