@@ -112,3 +112,22 @@ def test_fingerprint_invalidates_on_input_change(tmp_path):
     m = Manifest(str(tmp_path / "out"))
     m.mark_done(0, fp1, 10, 1.0, 10.0)
     assert m.done_partitions("different") == set()
+
+
+def test_partial_partition_cleared_on_retry(ray_session, tmp_path):
+    """Crash-mid-write simulation: a stray part=K directory with
+    leftover files (not marked done in the manifest) must be cleared on
+    the next run — never duplicated rows."""
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, N_DOCS, seed=13, n_files=P)
+    out = str(tmp_path / "out")
+    stray = os.path.join(out, "part=1")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "garbage.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    s = run_checkpointed(corpus, out, num_partitions=P)
+    assert sorted(s["processed_partitions"]) == list(range(P))
+    assert not os.path.exists(os.path.join(stray, "garbage.parquet"))
+    assert s["rows"] == N_DOCS
+    rows = _read_all(out)
+    assert len(rows) == N_DOCS  # one output row per doc, no duplicates
