@@ -119,3 +119,37 @@ def test_crc32_batch_equals_zlib(ids):
     got = crc32_batch(np.array(ids, dtype=object))
     want = np.array([zlib.crc32(s.encode()) for s in ids], dtype=np.uint32)
     assert np.array_equal(got, want)
+
+
+@given(st.permutations(list(range(6))))
+@settings(max_examples=25, deadline=None)
+def test_stitch_permutation_invariant(perm):
+    """The per-doc stitch re-establishes order from carried provenance
+    (offset, unit) regardless of how the shuffle delivered the rows —
+    the §4.3 no-preserve_order contract, tested directly."""
+    import pyarrow as pa
+
+    from ocr_ray.config import get_engine
+    from ocr_ray.stages.stitch import make_doc_stitch
+
+    rows = [
+        # two pdf pages at offset 0, then text/html/image spans
+        {"doc_id": "d", "offset": 0, "kind": "pdf", "media_ref": "r0",
+         "unit": 1, "text": "page one", "confidence": 0.9, "error": ""},
+        {"doc_id": "d", "offset": 0, "kind": "pdf", "media_ref": "r0",
+         "unit": 2, "text": "page two", "confidence": 0.8, "error": ""},
+        {"doc_id": "d", "offset": 1, "kind": "text", "media_ref": "",
+         "unit": 0, "text": "mid", "confidence": 1.0, "error": ""},
+        {"doc_id": "d", "offset": 2, "kind": "html", "media_ref": "",
+         "unit": 0, "text": "stripped", "confidence": 1.0, "error": ""},
+        {"doc_id": "d", "offset": 3, "kind": "image", "media_ref": "ri",
+         "unit": 0, "text": "ocr'd", "confidence": 0.7, "error": "X: boom"},
+        {"doc_id": "d", "offset": 4, "kind": "text", "media_ref": "",
+         "unit": 0, "text": "tail", "confidence": 1.0, "error": ""},
+    ]
+    stitch = make_doc_stitch(get_engine("synth"))
+    base = stitch(pa.Table.from_pylist(rows)).to_pylist()[0]
+    got = stitch(pa.Table.from_pylist([rows[i] for i in perm])).to_pylist()[0]
+    assert got == base
+    assert [s["offset"] for s in base["spans"]] == [0, 1, 2, 3, 4]
+    assert base["confidence"] == 0.7 and base["n_errors"] == 1
