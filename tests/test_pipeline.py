@@ -96,3 +96,19 @@ def test_salt_auto_probe(corpus_dir):
     assert mx <= PipelineConfig().salt_auto_units  # default corpus: unsalted
     # unreadable path -> probe degrades to 1, never raises
     assert _sample_max_units("/tmp/does-not-exist-xyz") == 1
+
+
+def test_pipeline_matches_oracle_wider(ray_session, tmp_path):
+    """Span-sequence equality at ~10x the base fixture (120 docs, 10%
+    heavy multi-page, 8 files) — wide enough that every engine kind
+    path, the pdf fan-out, block boundaries and multi-file reads are
+    all exercised against the single-process oracle."""
+    n = 120
+    docs = generate_docs(n, seed=31, heavy_frac=0.1).to_pylist()
+    expected = {d["doc_id"]: _span_seq(d["spans"]) for d in extract_corpus(docs)}
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, n, seed=31, heavy_frac=0.1, n_files=8)
+    rows = run_extraction(corpus).take_all()
+    assert len(rows) == n
+    got = {r["doc_id"]: _span_seq(r["spans"]) for r in rows}
+    assert got == expected
