@@ -45,8 +45,14 @@ def _pair_buckets() -> int:
 # --------------------------------------------------------------- helpers
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          **kwargs) -> ray.data.Dataset:
+    """Pruned read: always column-pruned; pass ``filter=pc.field(...)``
+    to additionally push a row filter into the parquet scan (row-group
+    stats pruning + Arrow-side evaluation, nothing reaches Python)."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, **kwargs
+    )
 
 
 def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
@@ -397,24 +403,63 @@ GROUP BY c_mktsegment
 """
 
 
-def q_large_part_items(sf_dir: str):
-    """Broadcast SEMI-join: key set of big parts filters lineitem inside
-    map_batches (no shuffle), then grouped count."""
-    parts = _read(sf_dir, "part", ["p_partkey", "p_size"])
-    keys = parts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["p_size"], 40)).select(["p_partkey"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    keyset_ref = ray.put(set(keys["p_partkey"]))
+# broadcast-semi-join guard: a keyset bigger than this is not "a small
+# side" — ~16 MB of int64 keys per task is the budget; past it the same
+# query switches to the bucketed semi-join (the planner decision a
+# dim-size statistic would drive)
+_BROADCAST_MAX_KEYS = 2_000_000
+
+
+def q_large_part_items(sf_dir: str, _broadcast_max: int | None = None):
+    """SEMI-join lineitem against the big-part keyset, with a SIZE
+    GUARD: the filtered dim is collected with a limit probe; if it fits
+    the broadcast budget it is ray.put once and probed per batch (no
+    shuffle at all); past the budget the query falls back to the
+    bucketed semi-join (the shipping_priority pattern — two bounded
+    shuffles, nothing driver-side scales with the dim). The filter on
+    p_size is pushed into the parquet scan."""
+    budget = _BROADCAST_MAX_KEYS if _broadcast_max is None else _broadcast_max
+    parts = _read(sf_dir, "part", ["p_partkey"],
+                  filter=pc.greater_equal(pc.field("p_size"), 40))
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
 
-    def filt(batch: pd.DataFrame) -> pd.DataFrame:
-        keyset = ray.get(keyset_ref)
-        kept = batch[batch["l_partkey"].isin(keyset)]
-        return kept.groupby("l_returnflag", as_index=False).agg(n_items=("l_partkey", "size"))
+    probe = parts.limit(budget + 1).to_pandas()
+    if len(probe) <= budget:
+        keyset_ref = ray.put(set(probe["p_partkey"]))
 
-    out = li.map_batches(filt, batch_format="pandas", batch_size=65536).to_pandas()
-    out = out.groupby("l_returnflag", as_index=False).agg(n_items=("n_items", "sum"))
+        def filt(batch: pd.DataFrame) -> pd.DataFrame:
+            keyset = ray.get(keyset_ref)
+            kept = batch[batch["l_partkey"].isin(keyset)]
+            return kept.groupby("l_returnflag", as_index=False) \
+                       .agg(n_items=("l_partkey", "size"))
+
+        parts_df = li.map_batches(filt, batch_format="pandas", batch_size=65536) \
+                     .to_pandas()
+    else:
+        B = _pair_buckets()
+
+        def k_prep(df: pd.DataFrame) -> pd.DataFrame:
+            k = df["p_partkey"].astype("int64")
+            return pd.DataFrame({"bucket": k % B, "key": k,
+                                 "l_returnflag": "", "side": "k"})
+
+        def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+            k = df["l_partkey"].astype("int64")
+            return pd.DataFrame({"bucket": k % B, "key": k,
+                                 "l_returnflag": df["l_returnflag"], "side": "l"})
+
+        def semi_count(g: pd.DataFrame) -> pd.DataFrame:
+            keys = set(g.loc[g["side"] == "k", "key"])
+            kept = g[(g["side"] == "l") & g["key"].isin(keys)]
+            return kept.groupby("l_returnflag", as_index=False) \
+                       .agg(n_items=("key", "size"))
+
+        parts_df = parts.map_batches(k_prep, batch_format="pandas", batch_size=65536) \
+            .union(li.map_batches(li_prep, batch_format="pandas", batch_size=65536)) \
+            .groupby("bucket").map_groups(semi_count, batch_format="pandas") \
+            .to_pandas()
+
+    out = parts_df.groupby("l_returnflag", as_index=False).agg(n_items=("n_items", "sum"))
     out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values("l_returnflag").reset_index(drop=True)
 

@@ -213,3 +213,14 @@ def test_lsh_pairs_subset_and_planted_recall(ray_session):
     found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
     recall = len(found & set(planted)) / len(planted)
     assert recall >= 0.75, (recall, found)
+
+
+def test_large_part_items_guard_paths_agree(ray_session):
+    """The broadcast-budget guard: forcing the bucketed semi-join
+    fallback (budget=1 key) must produce the identical result as the
+    broadcast path."""
+    from ocr_ray.queries import q_large_part_items
+
+    a = q_large_part_items(SF)
+    b = q_large_part_items(SF, _broadcast_max=1)
+    pd.testing.assert_frame_equal(a, b)
