@@ -375,7 +375,9 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 def q_mktsegment_stats(sf_dir: str):
     """Broadcast join: the small customer dim is ray.put ONCE and read
     inside each task (never re-shipped per batch); orders stream through
-    a stateless map_batches doing a dict lookup + partial agg."""
+    a stateless map_batches doing a dict lookup + partial agg. (A dim
+    that outgrows task memory takes the guarded path — see
+    q_large_part_items' broadcast budget / bucketed fallback.)"""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
