@@ -302,7 +302,11 @@ def q_shipping_priority(sf_dir: str):
                              "o_orderdate": pd.Timestamp("1970-01-01"),
                              "side": "c"})
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    # date predicates pushed into the parquet scans (row-group stats
+    # pruning + Arrow-side evaluation); the pandas-side filter is kept
+    # as the exact semantic statement
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=pc.less(pc.field("o_orderdate"), pa.scalar(cutoff)))
 
     def o_semi_prep(df: pd.DataFrame) -> pd.DataFrame:
         kept = df[df["o_orderdate"] < cutoff]
@@ -327,7 +331,9 @@ def q_shipping_priority(sf_dir: str):
         return pd.DataFrame({"bucket": k % B, "key": k, "rev": np.float64(0.0),
                              "o_orderdate": df["o_orderdate"], "side": "o"})
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+               filter=pc.greater(pc.field("l_shipdate"), pa.scalar(cutoff)))
 
     def li_prep(df: pd.DataFrame) -> pd.DataFrame:
         kept = df[df["l_shipdate"] > cutoff]
@@ -930,10 +936,12 @@ def q_customer_highvalue_counts(sf_dir: str):
     """LEFT OUTER join shape (every customer, count of >400k orders,
     zeros included): bucketed — the order side pre-aggregates per key
     per batch BEFORE the shuffle, each bucket fills missing keys with
-    0. Neither side broadcast."""
+    0. Neither side broadcast. The >400k predicate is pushed into the
+    order scan (row-group stats pruning)."""
     B = 32
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   filter=pc.greater(pc.field("o_totalprice"), pa.scalar(400_000.0)))
 
     def c_prep(df: pd.DataFrame) -> pd.DataFrame:
         k = df["c_custkey"].astype("int64")
