@@ -214,8 +214,9 @@ def q_order_priority_revenue(sf_dir: str):
     """Bucketed hash join lineitem |><| orders: both sides get
     bucket = key % B, tagged, unioned, then per-bucket pandas merge in
     map_groups — the explicit partitioned join pattern (no broadcast,
-    both sides large at scale; B=32 here, proportional to cluster at 100TB)."""
-    B = 32
+    both sides large at scale; shuffle width proportional to the
+    cluster via _pair_buckets)."""
+    B = _pair_buckets()
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
@@ -497,7 +498,7 @@ def q_customers_no_orders(sf_dir: str):
     both sides hash custkey into B shuffle partitions, each bucket does
     one vectorized isin — neither side is broadcast (both are large at
     corpus scale)."""
-    B = 32
+    B = _pair_buckets()
     cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -938,7 +939,7 @@ def q_customer_highvalue_counts(sf_dir: str):
     per batch BEFORE the shuffle, each bucket fills missing keys with
     0. Neither side broadcast. The >400k predicate is pushed into the
     order scan (row-group stats pruning)."""
-    B = 32
+    B = _pair_buckets()
     cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
                    filter=pc.greater(pc.field("o_totalprice"), pa.scalar(400_000.0)))
