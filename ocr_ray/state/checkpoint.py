@@ -278,9 +278,16 @@ def run_checkpointed(
     per_part_rows = {p: _count_rows(output_dir, p) for p in todo}
     total_rows = sum(per_part_rows.values())
     for p in todo:
+        part_lineage = dict(lineage)
+        if partition_by == "file":
+            # input provenance: exactly which files this partition owns
+            # (resume debugging / re-derivation without rehashing)
+            part_lineage["input_files"] = [
+                os.path.basename(f) for f in files[p::P]
+            ]
         manifest.mark_done(
             p, fp, per_part_rows[p], secs / len(todo),
-            total_rows / secs / len(todo), lineage=lineage,
+            total_rows / secs / len(todo), lineage=part_lineage,
         )
     manifest.save()
     _ = ray  # session owned by caller

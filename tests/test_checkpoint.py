@@ -51,6 +51,9 @@ def test_partial_then_resume_equals_oneshot(ray_session, tmp_path, mode):
     for v in m["partitions"].values():
         assert v["status"] == "done" and "docs_per_sec" in v and "fingerprint" in v
         assert v["lineage"]["partition_by"] == mode
+        if mode == "file":
+            # per-partition input-file provenance recorded
+            assert len(v["lineage"]["input_files"]) == 1
 
     s2 = run_checkpointed(corpus, out, num_partitions=P, partition_by=mode)
     assert sorted(s1["processed_partitions"] + s2["processed_partitions"]) == list(range(P))
