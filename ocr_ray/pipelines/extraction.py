@@ -26,7 +26,11 @@ __all__ = ["read_corpus", "build_extraction", "run_extraction"]
 
 
 def read_corpus(path: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(path)
+    # via sources.read_docs so .lance paths route to the Lance reader
+    # (or its clear ImportError) — the pipeline never names a format
+    from ..sources import read_docs
+
+    return read_docs(path)
 
 
 def _pool_size(cfg: PipelineConfig) -> int:
@@ -117,6 +121,8 @@ def _sample_max_units(input_path: str, sample_rows: int = 512) -> int:
     from ..synth.media import parse_ref
 
     try:
+        # parquet-only probe: .lance / exotic layouts degrade to 1 (auto
+        # stays off there — pass salted=True explicitly for such corpora)
         head = pads.dataset(input_path, format="parquet").head(
             sample_rows, columns=["spans"]
         )

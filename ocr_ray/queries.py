@@ -1694,9 +1694,41 @@ def _sf_tag_and_docs(sf_dir: str) -> tuple[str, int]:
     works)."""
     import pyarrow.dataset as pads
 
+    _prune_dead_scratch()
     tag = format(zlib.crc32(os.path.abspath(sf_dir).encode()), "08x") + f"-{os.getpid()}"
     n_rows = pads.dataset(os.path.join(sf_dir, "documents.parquet")).count_rows()
     return tag, n_rows
+
+
+_SCRATCH_ROOTS = ("/tmp/ocr_ray_spans", "/tmp/ocr_ray_corpus", "/tmp/ocr_ray_ckpt_out")
+_PRUNED = False
+
+
+def _prune_dead_scratch() -> None:
+    """pid-suffixed scratch isolates concurrent drivers but would
+    accumulate forever (each process only ever rmtree's its own tag);
+    once per process, sweep sibling dirs whose owning pid is gone."""
+    global _PRUNED
+    if _PRUNED:
+        return
+    _PRUNED = True
+    import shutil
+
+    for root in _SCRATCH_ROOTS:
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            continue
+        for name in entries:
+            pid_part = name.rsplit("-", 1)[-1]
+            if not pid_part.isdigit() or int(pid_part) == os.getpid():
+                continue
+            try:
+                os.kill(int(pid_part), 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            except OSError:
+                continue  # pid exists but not ours (EPERM) — leave it
 
 
 def _extraction_diag(sf_dir: str) -> ray.data.Dataset:
@@ -2299,32 +2331,34 @@ FROM lineitem
 
 
 def q_multimodal_image_stats(sf_dir: str):
-    """Binary-payload decode + per-image features + resize, all via
-    actor-pool stages (warm setup in __init__, small batch_size for
-    MB-scale rows): branch A extracts features of the ORIGINAL frames,
-    branch B chains a 48x32 nearest-neighbour resize (payload in,
-    payload out, same container) into a second feature pass — one row
-    per media_id with both column sets. The only driver-side step is
-    the result-sized merge of the two per-media feature frames.
-    Deterministic output; rows-only driver check."""
+    """Binary-payload decode + per-image features + resize as ONE
+    streamed chain of actor-pool stages (warm setup in __init__, small
+    batch_size for MB-scale rows): original-frame stats (payload kept
+    on the row) -> 48x32 nearest-neighbour resize (payload in, payload
+    out, same container) -> resized-frame stats under the r_ prefix —
+    one row per media_id with both column sets, ONE scan of the
+    payloads, no driver-side merge. Deterministic output; rows-only
+    driver check."""
     from .stages import multimodal as MM
 
     conc = _media_pool()
-    orig = _media_payloads(sf_dir).map_batches(
-        MM.ImageStats, batch_format="pyarrow",
-        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
-    ).to_pandas()
-    resized = _media_payloads(sf_dir).map_batches(
-        MM.ImageResize, fn_constructor_kwargs={"target_h": 48, "target_w": 32},
-        batch_format="pyarrow", batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
-    ).map_batches(
-        MM.ImageStats, batch_format="pyarrow",
-        batch_size=MM.MEDIA_BATCH_SIZE, concurrency=conc,
-    ).to_pandas()
-    assert (resized["height"] == 48).all() and (resized["width"] == 32).all()
-    resized = resized.rename(columns={
-        "height": "r_height", "width": "r_width", "ink_frac": "r_ink_frac"})
-    out = orig.merge(resized, on="media_id", how="inner")
+    kw = dict(batch_format="pyarrow", batch_size=MM.MEDIA_BATCH_SIZE)
+    # stats stages hold no warm state -> plain task-pool instances;
+    # only the resize keeps the fixed actor pool. Stacking three FIXED
+    # pools would reserve every CPU on small clusters and starve the
+    # read (the streaming-executor deadlock documented in the repo
+    # verify notes).
+    out = (
+        _media_payloads(sf_dir)
+        .map_batches(MM.ImageStats(keep_payload=True), **kw)
+        .map_batches(MM.ImageResize,
+                     fn_constructor_kwargs={"target_h": 48, "target_w": 32,
+                                            "dims_cols": False},
+                     concurrency=conc, **kw)
+        .map_batches(MM.ImageStats(prefix="r_"), **kw)
+        .to_pandas()
+    )
+    assert (out["r_height"] == 48).all() and (out["r_width"] == 32).all()
     return out.sort_values("media_id").reset_index(drop=True)
 
 

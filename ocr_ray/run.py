@@ -30,7 +30,11 @@ def main(argv: list[str] | None = None) -> dict:
                    help="cap partitions this run (resume later for the rest)")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="single-shot write_parquet, no manifest/resume")
+    p.add_argument("--salted", choices=["auto", "on", "off"], default="auto",
+                   help="salted premerge for pathologically heavy docs: "
+                        "auto = corpus sample probe, on/off force it")
     args = p.parse_args(argv)
+    salted = {"auto": None, "on": True, "off": False}[args.salted]
 
     import ray
 
@@ -40,15 +44,29 @@ def main(argv: list[str] | None = None) -> dict:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    import os
+
+    from .config import PipelineConfig
+
+    cfg = None if salted is None else PipelineConfig(salt_premerge=salted)
     try:
         if args.no_checkpoint:
+            if os.path.isdir(args.output) and os.listdir(args.output):
+                # write_parquet APPENDS new fragment files — a rerun
+                # into a non-empty dir would silently duplicate rows
+                raise SystemExit(
+                    f"--no-checkpoint refuses non-empty output dir "
+                    f"{args.output!r} (a rerun would append duplicate "
+                    "rows); clear it, pick a fresh dir, or drop "
+                    "--no-checkpoint to get resumable semantics"
+                )
             from .pipelines.extraction import run_extraction
 
             import time
 
             t0 = time.time()
             run_extraction(args.input, output_path=args.output,
-                           engine_name=args.engine)
+                           engine_name=args.engine, cfg=cfg)
             import pyarrow.dataset as pads
 
             rows = pads.dataset(args.output, format="parquet").count_rows()
@@ -62,6 +80,7 @@ def main(argv: list[str] | None = None) -> dict:
                 args.input, args.output,
                 num_partitions=args.partitions,
                 engine_name=args.engine,
+                cfg=cfg,
                 partition_by=args.partition_by,
                 max_partitions_this_run=args.max_partitions,
             )

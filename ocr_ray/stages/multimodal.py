@@ -130,10 +130,18 @@ class AudioFeatures:
 class ImageStats:
     """Actor stage: binary payload -> typed feature columns
     (height, width, ink_frac). Warm state: nothing heavy here, but the
-    class shape is the model-holding contract (setup once per actor)."""
+    class shape is the model-holding contract (setup once per actor).
 
-    def __init__(self, ink_threshold: int = 128):
+    ``keep_payload=True`` leaves the payload column in place so further
+    payload stages (e.g. ImageResize) can CHAIN in the same streamed
+    pipeline; ``prefix`` namespaces the feature columns so original and
+    post-transform stats coexist on one row."""
+
+    def __init__(self, ink_threshold: int = 128, keep_payload: bool = False,
+                 prefix: str = ""):
         self.ink_threshold = ink_threshold
+        self.keep_payload = keep_payload
+        self.prefix = prefix
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         heights, widths, inks = [], [], []
@@ -142,13 +150,13 @@ class ImageStats:
             heights.append(frames.shape[1])
             widths.append(frames.shape[2])
             inks.append(float((frames[0] < self.ink_threshold).mean()))
-        out = batch.drop_columns(["payload"])
+        out = batch if self.keep_payload else batch.drop_columns(["payload"])
         # upstream stages (ImageResize) may already carry height/width:
         # overwrite in place instead of appending duplicates
-        out = _set_or_append(out, "height", pa.array(heights, pa.int32()))
-        out = _set_or_append(out, "width", pa.array(widths, pa.int32()))
+        out = _set_or_append(out, f"{self.prefix}height", pa.array(heights, pa.int32()))
+        out = _set_or_append(out, f"{self.prefix}width", pa.array(widths, pa.int32()))
         return _set_or_append(
-            out, "ink_frac", pa.array(np.round(inks, 6), pa.float64())
+            out, f"{self.prefix}ink_frac", pa.array(np.round(inks, 6), pa.float64())
         )
 
 
@@ -156,8 +164,13 @@ class ImageResize:
     """Actor stage: nearest-neighbour resize of every frame to
     (target_h, target_w); payload in, payload out (same container)."""
 
-    def __init__(self, target_h: int = 64, target_w: int = 64):
+    def __init__(self, target_h: int = 64, target_w: int = 64,
+                 dims_cols: bool = True):
+        # dims_cols=False: don't write height/width (a chained stats
+        # stage records them under its own prefix — writing here would
+        # clobber the original dims already on the row)
         self.th, self.tw = target_h, target_w
+        self.dims_cols = dims_cols
 
     def _resize(self, frames: np.ndarray) -> np.ndarray:
         n, h, w = frames.shape
@@ -172,6 +185,8 @@ class ImageResize:
         ]
         idx = batch.schema.get_field_index("payload")
         out = batch.set_column(idx, "payload", pa.array(resized, pa.binary()))
+        if not self.dims_cols:
+            return out
         out = _set_or_append(out, "height", pa.array([self.th] * out.num_rows, pa.int32()))
         return _set_or_append(out, "width", pa.array([self.tw] * out.num_rows, pa.int32()))
 

@@ -91,7 +91,9 @@ class OcrPageExtractor:
                 # file_validation.py; a 100TB pipeline tags the row)
                 texts[i] = ""
                 conf_col[i] = 0.0
-                error_col[i] = f"{type(ex).__name__}: {ex}"[:200]
+                # ';' is the premerge's error-union separator and the
+                # stitch's n_errors split token — keep it out of tags
+                error_col[i] = f"{type(ex).__name__}: {ex}"[:200].replace(";", ",")
                 continue
             if kinds[i] == "pdf":
                 text = page_block(units[i], totals[i], text, engine)

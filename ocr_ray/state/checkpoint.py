@@ -80,9 +80,11 @@ def crc32_batch(ids) -> np.ndarray:
         return np.zeros(0, dtype=np.uint32)
     width = arr.dtype.itemsize
     mat = arr.view(np.uint8).reshape(len(arr), width)
-    nz = mat != 0
-    lengths = width - nz[:, ::-1].argmax(axis=1)
-    lengths[~nz.any(axis=1)] = 0
+    # true byte lengths from the ORIGINAL strings (ASCII: chars==bytes),
+    # not inferred from the byte matrix — numpy S-dtype padding is
+    # indistinguishable from a trailing NUL, which would silently drop
+    # real \x00 suffix bytes and diverge from zlib.crc32/doc_partition
+    lengths = np.fromiter(map(len, ids), dtype=np.int64, count=len(arr))
     tab = _crc_table()
     crc = np.full(len(arr), 0xFFFFFFFF, np.uint32)
     for j in range(width):
@@ -123,6 +125,26 @@ class Manifest:
             for k, v in self.data["partitions"].items()
             if v.get("status") == "done" and v.get("fingerprint") == fingerprint
         }
+
+    def check_scheme(self, partition_by: str, num_partitions: int) -> None:
+        """A partition index only names a document set RELATIVE to the
+        partitioning scheme; resuming an output dir under a different
+        scheme would silently skip/duplicate documents. Refuse instead."""
+        for k, v in self.data["partitions"].items():
+            lin = v.get("lineage") or {}
+            prev_by = lin.get("partition_by")
+            prev_n = lin.get("num_partitions")
+            if prev_by is None:
+                continue
+            if prev_by != partition_by or prev_n != num_partitions:
+                raise ValueError(
+                    f"output dir was checkpointed with partition_by="
+                    f"{prev_by!r}, num_partitions={prev_n} (partition {k}); "
+                    f"resuming with partition_by={partition_by!r}, "
+                    f"num_partitions={num_partitions} would skip or duplicate "
+                    "documents — pass the original settings or use a fresh "
+                    "output dir"
+                )
 
     def mark_done(
         self,
@@ -192,7 +214,17 @@ def run_checkpointed(
     manifest = Manifest(output_dir)
     files = _input_files(input_path)
     if partition_by == "file":
+        if not files or not any(f.endswith(".parquet") for f in files):
+            # never report success over an input file mode cannot see
+            # (.lance dir, hive-nested layout, typo'd path)
+            raise ValueError(
+                f"partition_by='file' found no top-level *.parquet files in "
+                f"{input_path!r} — for .lance or nested layouts use "
+                "partition_by='hash' (reads via read_docs), or point at the "
+                "directory that holds the parquet shards"
+            )
         num_partitions = min(num_partitions, len(files))
+    manifest.check_scheme(partition_by, num_partitions)
     done = manifest.done_partitions(fp)
     todo = [p for p in range(num_partitions) if p not in done]
     if max_partitions_this_run is not None:
@@ -208,6 +240,15 @@ def run_checkpointed(
     P = num_partitions
     t0 = time.time()
     files_read = len(files)
+    # resolve the "auto" skew probe HERE too (build_extraction has no
+    # input path to sample) — the checkpointed/CLI surface gets the same
+    # salted-premerge auto-enablement as run_extraction
+    cfg = cfg or PipelineConfig()
+    salted = None
+    if cfg.salt_premerge == "auto":
+        from ..pipelines.extraction import _sample_max_units
+
+        salted = _sample_max_units(input_path) > cfg.salt_auto_units
     if partition_by == "file":
         # partition p owns every P-th input file; resume reads ONLY the
         # todo partitions' files and tags p as a doc-level passthrough
@@ -231,7 +272,7 @@ def run_checkpointed(
         ]
         ds = per_part[0].union(*per_part[1:]) if len(per_part) > 1 else per_part[0]
         out = build_extraction(ds, engine_name=engine_name, cfg=cfg,
-                               passthrough=["part"])
+                               salted=salted, passthrough=["part"])
     else:
         todo_arr = np.zeros(P, dtype=bool)
         todo_arr[todo] = True
@@ -256,7 +297,7 @@ def run_checkpointed(
             return pa.array(m)
 
         ds = read_docs(input_path).map_batches(keep_todo, batch_format="pyarrow")
-        out = build_extraction(ds, engine_name=engine_name, cfg=cfg)
+        out = build_extraction(ds, engine_name=engine_name, cfg=cfg, salted=salted)
         out = out.map_batches(add_part, batch_format="pyarrow")
     out.write_parquet(output_dir, partition_cols=["part"])
     secs = max(time.time() - t0, 1e-9)

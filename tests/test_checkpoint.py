@@ -134,3 +134,46 @@ def test_partial_partition_cleared_on_retry(ray_session, tmp_path):
     assert s["rows"] == N_DOCS
     rows = _read_all(out)
     assert len(rows) == N_DOCS  # one output row per doc, no duplicates
+
+
+def test_cross_scheme_resume_refused(ray_session, tmp_path):
+    """Resuming an output dir under a different partitioning scheme
+    would silently skip/duplicate documents — it must REFUSE instead."""
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, N_DOCS, seed=17, n_files=P)
+    out = str(tmp_path / "out")
+    run_checkpointed(corpus, out, num_partitions=P, partition_by="hash",
+                     max_partitions_this_run=2)
+    with pytest.raises(ValueError, match="partition_by"):
+        run_checkpointed(corpus, out, num_partitions=P, partition_by="file")
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_checkpointed(corpus, out, num_partitions=2 * P, partition_by="hash")
+    # same scheme still resumes fine
+    s = run_checkpointed(corpus, out, num_partitions=P, partition_by="hash")
+    assert len(s["skipped_partitions"]) == 2
+
+
+def test_file_mode_refuses_parquetless_input(ray_session, tmp_path):
+    """file mode must never report rows=0 success over an input layout
+    it cannot see (.lance dir, nested/hive layout, empty dir)."""
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no top-level"):
+        run_checkpointed(str(empty), str(tmp_path / "o1"))
+    lance_like = tmp_path / "corpus.lance"
+    lance_like.mkdir()
+    (lance_like / "data.lance").write_bytes(b"x")
+    with pytest.raises(ValueError, match="hash"):
+        run_checkpointed(str(lance_like), str(tmp_path / "o2"))
+
+
+def test_cli_no_checkpoint_refuses_nonempty_output(ray_session, tmp_path):
+    from ocr_ray.run import main
+
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, 4, seed=23, n_files=1)
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "old.parquet").write_bytes(b"x")
+    with pytest.raises(SystemExit, match="non-empty"):
+        main(["--input", corpus, "--output", str(out), "--no-checkpoint"])
