@@ -151,5 +151,14 @@ def run_extraction(
         salted = _sample_max_units(input_path) > cfg.salt_auto_units
     out = build_extraction(read_corpus(input_path), engine_name, cfg, salted)
     if output_path is not None:
+        import os
+
+        if os.path.isdir(output_path) and os.listdir(output_path):
+            # write_parquet APPENDS fragment files — writing into a
+            # non-empty dir silently duplicates rows for any consumer
+            raise ValueError(
+                f"output_path {output_path!r} is not empty; clear it or "
+                "use run_checkpointed for resumable append semantics"
+            )
         out.write_parquet(output_path)
     return out

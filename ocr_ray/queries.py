@@ -1707,13 +1707,18 @@ _PRUNED = False
 def _prune_dead_scratch() -> None:
     """pid-suffixed scratch isolates concurrent drivers but would
     accumulate forever (each process only ever rmtree's its own tag);
-    once per process, sweep sibling dirs whose owning pid is gone."""
+    once per process, sweep sibling dirs that are BOTH aged past a
+    grace window AND owned by a dead pid — the age guard protects live
+    drivers a pid probe can't see (shared /tmp across pid namespaces),
+    and a hard 24h cap reclaims dirs whose pid number was recycled."""
     global _PRUNED
     if _PRUNED:
         return
     _PRUNED = True
     import shutil
+    import time as _time
 
+    now = _time.time()
     for root in _SCRATCH_ROOTS:
         try:
             entries = os.listdir(root)
@@ -1721,14 +1726,25 @@ def _prune_dead_scratch() -> None:
             continue
         for name in entries:
             pid_part = name.rsplit("-", 1)[-1]
-            if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            if not pid_part.isdigit() or pid_part == str(os.getpid()):
                 continue
+            path = os.path.join(root, name)
             try:
-                os.kill(int(pid_part), 0)
-            except ProcessLookupError:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                age = now - os.path.getmtime(path)
             except OSError:
-                continue  # pid exists but not ours (EPERM) — leave it
+                continue
+            if age < 600:
+                continue  # grace window: never touch fresh scratch
+            dead = age > 86_400  # pid-reuse backstop
+            if not dead:
+                try:
+                    os.kill(int(pid_part), 0)
+                except ProcessLookupError:
+                    dead = True
+                except (OSError, OverflowError, ValueError):
+                    continue  # EPERM / absurd suffix — leave it
+            if dead:
+                shutil.rmtree(path, ignore_errors=True)
 
 
 def _extraction_diag(sf_dir: str) -> ray.data.Dataset:

@@ -36,6 +36,17 @@ def main(argv: list[str] | None = None) -> dict:
     args = p.parse_args(argv)
     salted = {"auto": None, "on": True, "off": False}[args.salted]
 
+    import os
+
+    if args.no_checkpoint and os.path.isdir(args.output) and os.listdir(args.output):
+        # refuse BEFORE paying Ray startup: write_parquet appends, so a
+        # rerun into a non-empty dir would silently duplicate rows
+        raise SystemExit(
+            f"--no-checkpoint refuses non-empty output dir {args.output!r} "
+            "(a rerun would append duplicate rows); clear it, pick a fresh "
+            "dir, or drop --no-checkpoint to get resumable semantics"
+        )
+
     import ray
 
     owns = not ray.is_initialized()
@@ -44,22 +55,11 @@ def main(argv: list[str] | None = None) -> dict:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    import os
-
     from .config import PipelineConfig
 
     cfg = None if salted is None else PipelineConfig(salt_premerge=salted)
     try:
         if args.no_checkpoint:
-            if os.path.isdir(args.output) and os.listdir(args.output):
-                # write_parquet APPENDS new fragment files — a rerun
-                # into a non-empty dir would silently duplicate rows
-                raise SystemExit(
-                    f"--no-checkpoint refuses non-empty output dir "
-                    f"{args.output!r} (a rerun would append duplicate "
-                    "rows); clear it, pick a fresh dir, or drop "
-                    "--no-checkpoint to get resumable semantics"
-                )
             from .pipelines.extraction import run_extraction
 
             import time

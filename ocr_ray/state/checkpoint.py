@@ -65,11 +65,21 @@ def _crc_table() -> np.ndarray:
 
 
 def crc32_batch(ids) -> np.ndarray:
-    """Vectorized ``zlib.crc32`` over a batch of strings: pack into one
-    fixed-width byte matrix, then run the table-driven CRC as a loop
-    over BYTE POSITIONS (<= max id length), never over rows. Non-ASCII
-    ids fall back to the per-row zlib path (numpy's U->S cast is
-    ASCII-only)."""
+    """Vectorized ``zlib.crc32`` over a sequence of str (or bytes)
+    ids: pack into one fixed-width byte matrix, then run the
+    table-driven CRC as a loop over BYTE POSITIONS (<= max id length).
+    The only per-row Python work is one ``len()`` pass — LOAD-BEARING
+    for correctness, do not replace with byte-matrix length inference:
+    numpy S-dtype padding is indistinguishable from a real trailing
+    ``\\x00``, which would silently drop suffix NUL bytes and diverge
+    from zlib.crc32/doc_partition. Non-ASCII ids fall back to the
+    per-row zlib path (numpy's U->S cast is ASCII-only)."""
+    if isinstance(ids, np.ndarray) and ids.dtype.kind == "S":
+        raise TypeError(
+            "crc32_batch takes a sequence of str/bytes objects, not an "
+            "S-dtype array (indexing one strips trailing NULs, losing bytes)"
+        )
+    ids = list(ids)  # materialize once: generators, pandas, object arrays
     try:
         arr = np.asarray(ids, dtype="S")
     except UnicodeEncodeError:
@@ -80,10 +90,6 @@ def crc32_batch(ids) -> np.ndarray:
         return np.zeros(0, dtype=np.uint32)
     width = arr.dtype.itemsize
     mat = arr.view(np.uint8).reshape(len(arr), width)
-    # true byte lengths from the ORIGINAL strings (ASCII: chars==bytes),
-    # not inferred from the byte matrix — numpy S-dtype padding is
-    # indistinguishable from a trailing NUL, which would silently drop
-    # real \x00 suffix bytes and diverge from zlib.crc32/doc_partition
     lengths = np.fromiter(map(len, ids), dtype=np.int64, count=len(arr))
     tab = _crc_table()
     crc = np.full(len(arr), 0xFFFFFFFF, np.uint32)
@@ -210,6 +216,17 @@ def run_checkpointed(
     if partition_by not in ("file", "hash"):
         raise ValueError(f"partition_by must be 'file' or 'hash', got {partition_by!r}")
     os.makedirs(output_dir, exist_ok=True)
+    loose = [n for n in os.listdir(output_dir)
+             if n.endswith(".parquet") and not n.startswith("_")]
+    if loose:
+        # an output dir holding non-partitioned parquet (e.g. from a
+        # prior --no-checkpoint run) would be read as old+new rows by
+        # any dataset consumer — refuse rather than silently mix
+        raise ValueError(
+            f"output dir {output_dir!r} contains loose parquet files "
+            f"(e.g. {loose[0]!r}) that are not part of a checkpointed "
+            "layout; clear it or use a fresh directory"
+        )
     fp = _fingerprint(input_path)
     manifest = Manifest(output_dir)
     files = _input_files(input_path)

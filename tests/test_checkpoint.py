@@ -177,3 +177,27 @@ def test_cli_no_checkpoint_refuses_nonempty_output(ray_session, tmp_path):
     (out / "old.parquet").write_bytes(b"x")
     with pytest.raises(SystemExit, match="non-empty"):
         main(["--input", corpus, "--output", str(out), "--no-checkpoint"])
+
+
+def test_checkpoint_refuses_loose_parquet_output(ray_session, tmp_path):
+    """An output dir polluted with non-partitioned parquet (e.g. a prior
+    --no-checkpoint run) would read as old+new rows — refuse it."""
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, 4, seed=29, n_files=1)
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "stale.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError, match="loose parquet"):
+        run_checkpointed(corpus, str(out))
+
+
+def test_run_extraction_refuses_nonempty_output(ray_session, tmp_path):
+    from ocr_ray.pipelines.extraction import run_extraction
+
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, 4, seed=31, n_files=1)
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "old.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError, match="not empty"):
+        run_extraction(corpus, output_path=str(out))
