@@ -1,0 +1,75 @@
+"""Product quantization: reconstruction quality, ADC recall, and
+distributed-trainer == local-trainer equality (the same old-vs-new
+pinning used for the IVF coarse quantizer)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_ray.functions import pq
+
+
+def _clustered_vectors(n=400, dim=64, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((10, dim)) * 3
+    v = centers[rng.integers(0, 10, n)] + rng.standard_normal((n, dim)) * 0.3
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_roundtrip_beats_untrained_and_compresses():
+    v = _clustered_vectors()
+    cb = pq.pq_train(v, m=8, k=16, iters=8)
+    codes = pq.pq_encode(v, cb)
+    assert codes.shape == (len(v), 8) and codes.dtype == np.uint8
+    trained_err = float(np.mean((pq.pq_decode(codes, cb) - v) ** 2))
+    cb0 = pq._init_codebooks(v, 8, 16, seed=13)  # untrained (init only)
+    err0 = float(np.mean((pq.pq_decode(pq.pq_encode(v, cb0), cb0) - v) ** 2))
+    assert trained_err < err0  # Lloyd iterations reduce distortion
+    # 64 float64 -> 8 bytes/vector: 64x compression
+    assert codes.nbytes * 64 == v.nbytes
+
+
+def test_adc_topk_recall_vs_exact():
+    """Standard PQ eval, recall@R: the exact top-10 must appear in the
+    ADC top-50 (coded search shortlists, an exact rerank would finish —
+    the IVF-PQ pipeline shape)."""
+    v = _clustered_vectors(seed=3)
+    cb = pq.pq_train(v, m=16, k=32, iters=8)
+    codes = pq.pq_encode(v, cb)
+    recalls = []
+    for qi in range(8):
+        exact = set(np.argsort(-(v @ v[qi]))[:10])
+        shortlist = set(np.argsort(-pq.pq_adc_scores(v[qi], codes, cb))[:50])
+        recalls.append(len(exact & shortlist) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_encode_deterministic_and_decode_shape():
+    v = _clustered_vectors(seed=5)
+    cb = pq.pq_train(v, m=4, k=8, iters=4)
+    a, b = pq.pq_encode(v, cb), pq.pq_encode(v, cb)
+    assert np.array_equal(a, b)
+    assert pq.pq_decode(a, cb).shape == v.shape
+
+
+def test_distributed_trainer_matches_local(ray_session):
+    import ray.data
+
+    v = _clustered_vectors(n=300, seed=9)
+    init = pq._init_codebooks(v, 8, 16, seed=13)
+    local = pq.pq_train(v, m=8, k=16, iters=4, seed=13)
+    df = pd.DataFrame({"vec_id": np.arange(len(v)), "embedding": list(v)})
+    # multiple blocks so the partial-sum combine path is real
+    ds = ray.data.from_pandas([df.iloc[i::3].reset_index(drop=True) for i in range(3)])
+    dist = pq.pq_train_distributed(ds, m=8, k=16, iters=4, init=init)
+    # same init + same update math -> same codebooks (partial sums are
+    # per-(subspace, code) so only benign float-summation order differs)
+    assert np.allclose(local, dist, atol=1e-9)
+    assert np.array_equal(pq.pq_encode(v, local), pq.pq_encode(v, dist))
+
+
+def test_validation_errors():
+    v = _clustered_vectors(n=20)
+    with pytest.raises(ValueError, match="divisible"):
+        pq.pq_train(v, m=7)
+    with pytest.raises(ValueError, match=">= k"):
+        pq.pq_train(v[:4], m=8, k=16)
