@@ -73,3 +73,38 @@ def test_validation_errors():
         pq.pq_train(v, m=7)
     with pytest.raises(ValueError, match=">= k"):
         pq.pq_train(v[:4], m=8, k=16)
+
+
+def test_pq_encode_as_ray_stage(ray_session):
+    """The index-build shape at corpus scale: codebooks broadcast once
+    via ray.put, encoding a vectorized map_batches stage emitting
+    (vec_id, code bytes) — the full float column never leaves the
+    cluster, the driver receives only uint8 codes."""
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    head = np.stack(ds.limit(128).to_pandas()["embedding"].to_numpy())
+    head = head / np.linalg.norm(head, axis=1, keepdims=True)
+    cb = pq.pq_train(head, m=8, k=16, iters=4)
+    ref = ray.put(cb)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "code": [row.tobytes() for row in pq.pq_encode(v, c)],
+        })
+
+    out = ds.map_batches(encode, batch_format="pandas").to_pandas()
+    assert len(out) == ds.count()
+    assert all(len(b) == 8 for b in out["code"])  # 8 B per vector
+    out2 = ds.map_batches(encode, batch_format="pandas").to_pandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = out2.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
