@@ -47,6 +47,11 @@ def _split(vectors: np.ndarray, m: int) -> np.ndarray:
 def _init_codebooks(vectors: np.ndarray, m: int, k: int, seed: int) -> np.ndarray:
     """Seeded init: k distinct sample rows per subspace (the standard
     k-means++-free deterministic baseline)."""
+    if k > 256:
+        # codes are uint8 throughout (_assign casts argmin); a larger k
+        # would silently wrap 256 -> 0 and corrupt every downstream
+        # encode / ADC score — refuse at train time instead
+        raise ValueError(f"k={k} exceeds 256, the uint8 code space")
     n = len(vectors)
     if n < k:
         raise ValueError(f"need >= k={k} vectors, got {n}")
@@ -93,15 +98,27 @@ def pq_train_distributed(
     per-(subspace, code) partial (sum, count); the driver combines
     O(m*k) rows and never holds the data. ``init`` lets callers (and
     the equality test) share the exact seeded init with the local
-    trainer; without it, the init rows are taken from the first batch.
+    trainer — pass it whenever bit-reproducibility against ``pq_train``
+    matters. Without it, the default init samples a few rows from EVERY
+    block (a map_batches head per batch), not the first blocks, so a
+    corpus whose leading file is unrepresentative (sorted layouts, one
+    hot shard) cannot skew the seeded codewords; the sample is
+    deterministic given a fixed block layout but not across layouts.
     """
     import pandas as pd
     import ray
 
     if init is None:
-        head = ds.limit(max(k, 256)).to_pandas()
+        # scattered seeded sample: <= rows_per_block rows from each
+        # block (O(blocks) driver rows, never the data)
+        def head_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return df[[embedding_col]].head(max(8, k))
+
+        sample = ds.map_batches(
+            head_rows, batch_format="pandas", batch_size=batch_size
+        ).to_pandas()
         init = _init_codebooks(
-            np.stack(head[embedding_col].to_numpy()), m, k, seed
+            np.stack(sample[embedding_col].to_numpy()), m, k, seed
         )
     codebooks = np.array(init, dtype=np.float64)
     mm, kk, dsub = codebooks.shape
@@ -137,6 +154,10 @@ def pq_train_distributed(
 
 def pq_encode(vectors: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """(n, dim) float -> (n, m) uint8 codes."""
+    if codebooks.shape[1] > 256:
+        raise ValueError(
+            f"codebook k={codebooks.shape[1]} exceeds 256, the uint8 code space"
+        )
     sub = _split(np.asarray(vectors, dtype=np.float64), codebooks.shape[0])
     return _assign(sub, codebooks)
 

@@ -1709,8 +1709,12 @@ def _prune_dead_scratch() -> None:
     accumulate forever (each process only ever rmtree's its own tag);
     once per process, sweep sibling dirs that are BOTH aged past a
     grace window AND owned by a dead pid — the age guard protects live
-    drivers a pid probe can't see (shared /tmp across pid namespaces),
-    and a hard 24h cap reclaims dirs whose pid number was recycled."""
+    drivers a pid probe can't see (shared /tmp across pid namespaces).
+    The 24h hard cap applies ONLY when the liveness probe is
+    inconclusive (EPERM / foreign pid namespace): a conclusive "alive"
+    always wins, so a long-running driver's scratch is never reclaimed
+    out from under it (its cache reads also refresh mtime — see
+    _extraction_diag)."""
     global _PRUNED
     if _PRUNED:
         return
@@ -1735,14 +1739,15 @@ def _prune_dead_scratch() -> None:
                 continue
             if age < 600:
                 continue  # grace window: never touch fresh scratch
-            dead = age > 86_400  # pid-reuse backstop
-            if not dead:
-                try:
-                    os.kill(int(pid_part), 0)
-                except ProcessLookupError:
-                    dead = True
-                except (OSError, OverflowError, ValueError):
-                    continue  # EPERM / absurd suffix — leave it
+            try:
+                os.kill(int(pid_part), 0)
+                dead = False  # conclusively alive — never reclaim
+            except ProcessLookupError:
+                dead = True
+            except (OSError, OverflowError, ValueError):
+                # EPERM / foreign pid namespace / absurd suffix: the
+                # probe can't decide — reclaim only past the 24h cap
+                dead = age > 86_400
             if dead:
                 shutil.rmtree(path, ignore_errors=True)
 
@@ -1792,6 +1797,14 @@ def _extraction_diag(sf_dir: str) -> ray.data.Dataset:
             explode_diag, batch_format="pyarrow"
         ).write_parquet(out_dir)
         _EXTRACTION_CACHE[sf_dir] = out_dir
+    else:
+        # refresh mtime on every cache read so a long-running driver's
+        # scratch stays inside _prune_dead_scratch's grace window even
+        # when a sibling process can't probe this pid
+        try:
+            os.utime(_EXTRACTION_CACHE[sf_dir])
+        except OSError:
+            pass
     return ray.data.read_parquet(_EXTRACTION_CACHE[sf_dir])
 
 

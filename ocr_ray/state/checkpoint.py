@@ -132,11 +132,21 @@ class Manifest:
             if v.get("status") == "done" and v.get("fingerprint") == fingerprint
         }
 
-    def check_scheme(self, partition_by: str, num_partitions: int) -> None:
+    def check_scheme(
+        self, partition_by: str, num_partitions: int, fingerprint: str | None = None
+    ) -> None:
         """A partition index only names a document set RELATIVE to the
         partitioning scheme; resuming an output dir under a different
-        scheme would silently skip/duplicate documents. Refuse instead."""
+        scheme would silently skip/duplicate documents. Refuse instead.
+
+        Only partitions recorded against the CURRENT input fingerprint
+        participate: when the input legitimately changed, the stale
+        records are dead weight (done_partitions already ignores them,
+        every partition recomputes) and must not veto a re-clamped or
+        re-chosen scheme for the new input."""
         for k, v in self.data["partitions"].items():
+            if fingerprint is not None and v.get("fingerprint") != fingerprint:
+                continue
             lin = v.get("lineage") or {}
             prev_by = lin.get("partition_by")
             prev_n = lin.get("num_partitions")
@@ -212,7 +222,16 @@ def run_checkpointed(
     after a crash / with a larger ``max_partitions_this_run`` to finish;
     finished partitions are skipped — at the input FILE LIST in
     ``partition_by="file"`` mode (resume reads only unfinished
-    partitions' files), at a vectorized row filter in ``"hash"`` mode."""
+    partitions' files), at a vectorized row filter in ``"hash"`` mode.
+
+    INVARIANT for ``partition_by="file"``: each doc_id must live in
+    exactly ONE input file. The file owns the doc, so a doc_id spanning
+    files owned by different partitions would emit one stitched row in
+    a one-shot run but one row PER owning partition after a partial-run
+    resume (the stitch only sees spans within a partition's files). For
+    inputs where doc_ids repeat across files, use
+    ``partition_by="hash"`` — it co-locates a doc_id's rows regardless
+    of source file."""
     if partition_by not in ("file", "hash"):
         raise ValueError(f"partition_by must be 'file' or 'hash', got {partition_by!r}")
     os.makedirs(output_dir, exist_ok=True)
@@ -241,7 +260,7 @@ def run_checkpointed(
                 "directory that holds the parquet shards"
             )
         num_partitions = min(num_partitions, len(files))
-    manifest.check_scheme(partition_by, num_partitions)
+    manifest.check_scheme(partition_by, num_partitions, fp)
     done = manifest.done_partitions(fp)
     todo = [p for p in range(num_partitions) if p not in done]
     if max_partitions_this_run is not None:

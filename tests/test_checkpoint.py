@@ -201,3 +201,23 @@ def test_run_extraction_refuses_nonempty_output(ray_session, tmp_path):
     (out / "old.parquet").write_bytes(b"x")
     with pytest.raises(ValueError, match="not empty"):
         run_extraction(corpus, output_path=str(out))
+
+
+def test_stale_fingerprint_does_not_veto_scheme(ray_session, tmp_path):
+    """After the input legitimately changes (new fingerprint — full
+    recompute anyway), records from the OLD input must not refuse a
+    re-chosen scheme: only current-fingerprint partitions participate
+    in the scheme check."""
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, N_DOCS, seed=23, n_files=P)
+    out = str(tmp_path / "out")
+    run_checkpointed(corpus, out, num_partitions=P, partition_by="hash")
+    # input changes -> old partition records are stale
+    write_corpus(str(tmp_path / "in2"), N_DOCS + 4, seed=24, n_files=P + 2)
+    corpus2 = str(tmp_path / "in2")
+    s = run_checkpointed(corpus2, out, num_partitions=2 * P, partition_by="file")
+    assert s["rows"] > 0 and not s["skipped_partitions"]
+    # the NEW scheme is now the recorded one for the new fingerprint:
+    # same-input resume under a different scheme still refuses
+    with pytest.raises(ValueError, match="partition_by"):
+        run_checkpointed(corpus2, out, num_partitions=2 * P, partition_by="hash")

@@ -148,3 +148,14 @@ def test_ivfpq_composition_recall():
             recalls.append(len(reachable & shortlist) / len(reachable))
     assert recalls and sum(recalls) / len(recalls) >= 0.9
     assert codes.nbytes == len(v) * 8  # 8 B/vector at m=8
+
+
+def test_k_over_256_refused():
+    """Codes are uint8: k>256 must raise at train/encode time, never
+    silently wrap 256->0 into corrupt codes."""
+    v = _clustered_vectors(n=300, seed=11)
+    with pytest.raises(ValueError, match="256"):
+        pq.pq_train(v, m=8, k=300)
+    cb_bad = np.zeros((4, 300, 16))
+    with pytest.raises(ValueError, match="256"):
+        pq.pq_encode(np.zeros((5, 64)), cb_bad)
