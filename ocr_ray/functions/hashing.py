@@ -15,7 +15,9 @@ __all__ = [
     "char_shingles",
     "shingle_hashes",
     "minhash_signature",
+    "minhash_signatures_batch",
     "band_keys",
+    "band_keys_batch",
     "jaccard",
     "simhash64",
     "simhash64_batch",
@@ -107,6 +109,62 @@ def band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
         chunk = sig[b * rows : (b + 1) * rows].tobytes()
         keys.append((b << 32) | zlib.crc32(chunk))
     return keys
+
+
+def band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Vectorized banding for a WHOLE batch: (n_docs, n_perm)
+    signatures -> (n_docs, bands) int64 bucket keys, no per-doc Python.
+    Each band's ``rows`` signature slots combine through one polynomial
+    mix + splitmix64 finalize (any injective-enough band hash yields
+    the same collision structure as the per-doc crc32 variant); the
+    band index rides in the top bits so bands never cross-collide."""
+    sigs = np.asarray(sigs, dtype=np.uint64)
+    n, n_perm = sigs.shape
+    rows = n_perm // bands
+    chunks = sigs[:, : bands * rows].reshape(n, bands, rows)
+    weights = np.array(
+        [pow(int(_POLY_BASE), rows - 1 - i, 1 << 64) for i in range(rows)],
+        dtype=np.uint64,
+    )
+    mixed = _mix64((chunks * weights[None, None, :]).sum(axis=2, dtype=np.uint64))
+    keys = (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(32)) | (
+        mixed >> np.uint64(32)
+    )
+    return keys.astype(np.int64)
+
+
+def minhash_signatures_batch(
+    hash_arrays: list[np.ndarray], n_perm: int = _N_PERM
+) -> np.ndarray:
+    """MinHash signatures for a whole batch of shingle-hash arrays:
+    concatenate, one (n_perm, total_shingles) universal-hash pass,
+    per-doc mins via ``np.minimum.reduceat`` — the per-doc Python is
+    one size() call. Chunked so the transient hash matrix stays
+    ~50 MB regardless of batch size. Empty arrays get the all-sentinel
+    signature (same contract as minhash_signature)."""
+    n = len(hash_arrays)
+    out = np.full((n, n_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+    sizes = np.array([a.size for a in hash_arrays], dtype=np.int64)
+    nz = np.nonzero(sizes)[0]
+    if nz.size == 0:
+        return out
+    budget = max(1, 100_000)  # shingles per chunk -> ~50 MB transient
+    start = 0
+    while start < nz.size:
+        end = start
+        tot = 0
+        while end < nz.size and (tot == 0 or tot + sizes[nz[end]] <= budget):
+            tot += sizes[nz[end]]
+            end += 1
+        idx = nz[start:end]
+        cat = np.concatenate([hash_arrays[i] for i in idx])
+        vals = (_A[:n_perm, None] * cat[None, :] + _B[:n_perm, None]) % np.uint64(
+            _MERSENNE
+        )
+        offsets = np.concatenate(([0], np.cumsum(sizes[idx])[:-1]))
+        out[idx] = np.minimum.reduceat(vals, offsets, axis=1).T
+        start = end
+    return out
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -379,24 +379,69 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
-def q_mktsegment_stats(sf_dir: str):
-    """Broadcast join: the small customer dim is ray.put ONCE and read
-    inside each task (never re-shipped per batch); orders stream through
-    a stateless map_batches doing a dict lookup + partial agg. (A dim
-    that outgrows task memory takes the guarded path — see
-    q_large_part_items' broadcast budget / bucketed fallback.)"""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+def q_mktsegment_stats(sf_dir: str, _broadcast_max: int | None = None):
+    """Broadcast join WITH a size guard (same planner decision as
+    q_large_part_items): the customer dim is probed with a
+    ``limit(budget+1)`` read; within budget it is ray.put ONCE and read
+    inside each task (never re-shipped per batch) while orders stream
+    through a stateless map_batches doing a dict lookup + partial agg.
+    Past the budget — a dim is only "small" until it isn't — the query
+    falls back to a bucketed hash join: per-batch orders partials
+    (one row per custkey per batch) and customer rows shuffle by
+    ``custkey % B``, each bucket maps custkey -> segment and pre-sums,
+    and the driver combines O(B x segments) partial rows. Nothing
+    driver-side scales with the dim."""
+    budget = _BROADCAST_MAX_KEYS if _broadcast_max is None else _broadcast_max
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def agg(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        batch["c_mktsegment"] = batch["o_custkey"].map(lookup)
-        return batch.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
-        )
+    probe = cust_ds.limit(budget + 1).to_pandas()
+    if len(probe) <= budget:
+        lookup_ref = ray.put(dict(zip(probe["c_custkey"], probe["c_mktsegment"])))
 
-    parts = orders.map_batches(agg, batch_format="pandas", batch_size=65536).to_pandas()
+        def agg(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(lookup_ref)
+            batch["c_mktsegment"] = batch["o_custkey"].map(lookup)
+            return batch.groupby("c_mktsegment", as_index=False).agg(
+                n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+            )
+
+        parts = orders.map_batches(agg, batch_format="pandas",
+                                   batch_size=65536).to_pandas()
+    else:
+        B = _pair_buckets()
+
+        def c_prep(df: pd.DataFrame) -> pd.DataFrame:
+            k = df["c_custkey"].astype("int64")
+            return pd.DataFrame({"bucket": k % B, "key": k,
+                                 "seg": df["c_mktsegment"],
+                                 "n_orders": np.int64(0), "total_price": 0.0,
+                                 "side": "c"})
+
+        def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("o_custkey", as_index=False).agg(
+                n_orders=("o_totalprice", "size"),
+                total_price=("o_totalprice", "sum"))
+            k = g["o_custkey"].astype("int64")
+            return pd.DataFrame({"bucket": k % B, "key": k, "seg": "",
+                                 "n_orders": g["n_orders"].astype("int64"),
+                                 "total_price": g["total_price"], "side": "o"})
+
+        def join_seg(g: pd.DataFrame) -> pd.DataFrame:
+            seg = dict(zip(g.loc[g["side"] == "c", "key"],
+                           g.loc[g["side"] == "c", "seg"]))
+            o = g[g["side"] == "o"]
+            return pd.DataFrame({
+                "c_mktsegment": o["key"].map(seg),
+                "n_orders": o["n_orders"], "total_price": o["total_price"],
+            }).groupby("c_mktsegment", as_index=False).agg(
+                n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
+
+        parts = cust_ds.map_batches(c_prep, batch_format="pandas", batch_size=65536) \
+            .union(orders.map_batches(o_prep, batch_format="pandas", batch_size=65536)) \
+            .groupby("bucket").map_groups(join_seg, batch_format="pandas") \
+            .to_pandas()
+
     out = parts.groupby("c_mktsegment", as_index=False).agg(
         n_orders=("n_orders", "sum"), total_price=("total_price", "sum")
     )
@@ -1283,18 +1328,25 @@ def q_dedup_minhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sh = H.shingle_hashes(text)
-            if sh.size == 0:
-                # sub-k texts have no shingles: banding their sentinel
-                # signature would pair every tiny doc with every other
-                # (jaccard(∅,∅)=1) — they simply can't near-dup by shingles
-                continue
-            sig = H.minhash_signature(sh)
-            for key in H.band_keys(sig):
-                rows.append((int(key), int(doc_id)))
-        out = pd.DataFrame(rows, columns=["band_key", "doc_id"])
+        # per-doc Python is ONLY the gram hashing (string -> hash array);
+        # signatures batch through one reduceat pass, band keys and the
+        # (doc, band) row fan-out are single vectorized emissions
+        shingles = [H.shingle_hashes(t) for t in df["text"]]
+        # sub-k texts have no shingles: banding their sentinel signature
+        # would pair every tiny doc with every other (jaccard(∅,∅)=1) —
+        # they simply can't near-dup by shingles
+        keep = np.array([s.size > 0 for s in shingles], dtype=bool)
+        if not keep.any():
+            return pd.DataFrame({"band_key": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int64")})
+        doc_ids = df["doc_id"].to_numpy(dtype=np.int64)[keep]
+        sig_mat = H.minhash_signatures_batch([s for s in shingles if s.size])
+        keys = H.band_keys_batch(sig_mat)  # (n_docs, bands)
+        out = pd.DataFrame({
+            "band_key": keys.ravel(),
+            "doc_id": np.repeat(doc_ids, keys.shape[1]),
+        })
         # bounded shuffle width: millions of band keys hash into B
         # partitions, so the groupby has B vectorized groups instead of
         # one tiny pandas group per distinct key
@@ -2151,12 +2203,60 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
+# quadratic-block bound for dedup_ngram: a block past this many docs is
+# split by a secondary doc_id hash (cap^2-bounded gram matrices even on
+# near-uniform-length corpora)
+_NGRAM_BLOCK_CAP = 512
+
+
+def _ngram_block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Exact word-3-gram Jaccard >= 0.3 over ONE (sub-)block: boolean
+    doc x gram matrix, intersections via a single matmul."""
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if len(g) < 2:
+        return empty
+    gram_sets = [TS.word_ngrams(t, 3) for t in g["text"]]
+    vocab: dict[str, int] = {}
+    for s in gram_sets:
+        for ng in s:
+            vocab.setdefault(ng, len(vocab))
+    if not vocab:
+        return empty
+    m = np.zeros((len(g), len(vocab)), dtype=np.float32)
+    for i, s in enumerate(gram_sets):
+        for ng in s:
+            m[i, vocab[ng]] = 1.0
+    inter = m @ m.T
+    sizes = m.sum(axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    with np.errstate(invalid="ignore"):
+        jac = np.where(union > 0, inter / union, 0.0)
+    ids = g["doc_id"].to_numpy()
+    ai, bi = np.nonzero(np.triu(jac >= 0.3, k=1))
+    if not ai.size:
+        return empty
+    a, b = ids[ai], ids[bi]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return pd.DataFrame({"a": a2.astype("int64"), "b": b2.astype("int64"),
+                         "jaccard": np.round(jac[ai, bi], 4)})
+
+
 def q_dedup_ngram(sf_dir: str):
     """Exact word-3-gram Jaccard >= 0.3 within length-bucket blocks
     (each doc emitted to its bucket AND the next, so pairs within 32
     chars of length always co-locate): one boolean doc x gram matrix
     per block, intersections via a single matmul — no per-pair Python.
-    Quadratic within a block — this is the exact-verification variant;
+    Quadratic within a block, so blocks are ROW-CAPPED: a block past
+    _NGRAM_BLOCK_CAP docs (a near-uniform-length corpus — truncated or
+    padded training data — collapses every doc into a handful of
+    blocks) is split by a secondary doc_id hash into sub-blocks under
+    the cap, bounding the gram matrix at cap^2 regardless of corpus
+    shape. Pairs split across sub-blocks are missed BY DESIGN (recall
+    trade documented here): this is the exact-verification variant;
     MinHash-LSH (dedup_minhash) is the 100TB path. Rows-only check;
     recall vs minhash's strong pairs asserted in unit tests."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
@@ -2168,37 +2268,18 @@ def q_dedup_ngram(sf_dir: str):
         return pd.concat([lo, hi], ignore_index=True)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                              "b": pd.Series([], dtype="int64"),
-                              "jaccard": pd.Series([], dtype="float64")})
-        if len(g) < 2:
-            return empty
-        gram_sets = [TS.word_ngrams(t, 3) for t in g["text"]]
-        vocab: dict[str, int] = {}
-        for s in gram_sets:
-            for ng in s:
-                vocab.setdefault(ng, len(vocab))
-        if not vocab:
-            return empty
-        m = np.zeros((len(g), len(vocab)), dtype=np.float32)
-        for i, s in enumerate(gram_sets):
-            for ng in s:
-                m[i, vocab[ng]] = 1.0
-        inter = m @ m.T
-        sizes = m.sum(axis=1)
-        union = sizes[:, None] + sizes[None, :] - inter
-        with np.errstate(invalid="ignore"):
-            jac = np.where(union > 0, inter / union, 0.0)
-        ids = g["doc_id"].to_numpy()
-        ai, bi = np.nonzero(np.triu(jac >= 0.3, k=1))
-        if not ai.size:
-            return empty
-        a, b = ids[ai], ids[bi]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"a": a2.astype("int64"), "b": b2.astype("int64"),
-                             "jaccard": np.round(jac[ai, bi], 4)})
+        if len(g) <= _NGRAM_BLOCK_CAP:
+            return _ngram_block_pairs(g)
+        # one-shot split (never recursive): a multiplicative mix of
+        # doc_id spreads any id pattern near-uniformly over nsub
+        # sub-blocks, so each gram matrix is ~cap^2 bounded
+        nsub = -(-len(g) // _NGRAM_BLOCK_CAP)
+        mixed = (g["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        sub_key = mixed % np.uint64(nsub)
+        out = [sub_pairs for s in range(nsub)
+               if len(sub_pairs := _ngram_block_pairs(g[sub_key == s]))]
+        return pd.concat(out, ignore_index=True) if out else _ngram_block_pairs(g.head(0))
 
     out = ds.map_batches(add_block, batch_format="pandas") \
             .groupby("block").map_groups(pairs, batch_format="pandas").to_pandas()

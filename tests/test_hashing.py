@@ -84,3 +84,36 @@ def test_hll_query_vs_exact(ray_session):
     # asserts that itself via the within_tol column)
     assert int(out["exact_distinct"].iloc[0]) == exact
     assert bool(out["within_tol"].iloc[0])
+
+
+def test_batch_minhash_matches_per_doc():
+    """The reduceat batch kernel must agree bit-for-bit with the
+    per-doc signature (same universal hash family), including the
+    all-sentinel signature for empty shingle sets."""
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "", "abc", "another document with different content entirely",
+             "the quick brown fox jumps over the lazy dog tail " * 3]
+    arrays = [H.shingle_hashes(t) for t in texts]
+    batch = H.minhash_signatures_batch(arrays)
+    for i, a in enumerate(arrays):
+        assert (batch[i] == H.minhash_signature(a)).all()
+
+
+def test_batch_band_keys_same_collision_structure():
+    """band_keys_batch is a different band hash than band_keys (crc32
+    vs polymix) but must induce the same collisions: equal band chunks
+    -> equal keys, near-dup docs collide on >=1 band, unrelated docs on
+    none, and band indices never cross-collide."""
+    t = "the quick brown fox jumps over the lazy dog " * 3
+    sigs = np.vstack([
+        H.minhash_signature(H.shingle_hashes(t)),
+        H.minhash_signature(H.shingle_hashes(t + " tail")),
+        H.minhash_signature(H.shingle_hashes("something else entirely unrelated")),
+    ])
+    k = H.band_keys_batch(sigs)
+    assert k.shape == (3, 16) and k.dtype == np.int64
+    assert (set(k[0]) & set(k[1]))          # near-dups collide
+    assert not (set(k[0]) & set(k[2]))      # unrelated don't
+    assert ((k >> 32) == np.arange(16)[None, :]).all()  # band in top bits
+    # identical signatures -> identical keys
+    assert (H.band_keys_batch(sigs[:1]) == k[0]).all()

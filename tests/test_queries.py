@@ -224,3 +224,48 @@ def test_large_part_items_guard_paths_agree(ray_session):
     a = q_large_part_items(SF)
     b = q_large_part_items(SF, _broadcast_max=1)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mktsegment_guard_paths_agree(ray_session):
+    """Over-budget customer dim must route through the bucketed join
+    and produce exactly the broadcast path's result."""
+    from ocr_ray.queries import q_mktsegment_stats
+
+    a = q_mktsegment_stats(SF)
+    b = q_mktsegment_stats(SF, _broadcast_max=1)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ngram_block_cap_bounds_uniform_length_corpus(ray_session):
+    """1,500 same-length docs collapse into ONE length bucket; the cap
+    must split it into ~cap-bounded sub-blocks (never a 1500^2 gram
+    matrix) and still find a planted duplicate pair that lands in the
+    same sub-block."""
+    import numpy as np
+
+    from ocr_ray import queries as Q2
+
+    rng = np.random.default_rng(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "etaa", "thet"]
+    texts = [" ".join(rng.choice(words, 20)) for _ in range(1500)]
+    # planted exact dup: find two doc_ids in the same secondary sub-block
+    nsub = -(-2 * 1500 // Q2._NGRAM_BLOCK_CAP)  # block fan-out doubles rows
+    ids = np.arange(1500, dtype=np.int64)
+    mixed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    sub = mixed % np.uint64(nsub)
+    same = np.nonzero(sub == sub[0])[0]
+    i, j = int(same[0]), int(same[1])
+    texts[j] = texts[i]
+    g = pd.DataFrame({"doc_id": ids, "text": texts})
+    out = Q2._ngram_block_pairs(g)  # un-capped core on one block: huge but correct
+    # the capped path via the closure shape:
+    capped = []
+    mixed_key = sub
+    for s in range(nsub):
+        capped.append(Q2._ngram_block_pairs(g[mixed_key == s]))
+    capped = pd.concat(capped, ignore_index=True)
+    planted = {(min(i, j), max(i, j))}
+    assert planted <= set(map(tuple, capped[["a", "b"]].to_numpy()))
+    # capped finds a subset of the exact result (recall trade, no false positives)
+    assert set(map(tuple, capped[["a", "b"]].to_numpy())) <= \
+        set(map(tuple, out[["a", "b"]].to_numpy()))
