@@ -19,6 +19,9 @@ SUBSET = [
     "dedup_exact",
     "text_quality",
     "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_ivfpq",
     "embedding_similar_pairs",
     "asof_last_order",
     "party_nation_counts",
@@ -65,7 +68,7 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 def test_rows_only_queries_run(ray_session):
-    for name in ["fingerprints", "dedup_minhash", "dedup_simhash", "knn_lsh"]:
+    for name in ["fingerprints", "dedup_minhash", "dedup_simhash"]:
         out = Q.QUERIES[name](SF)
         if isinstance(out, ray.data.Dataset):
             out = out.to_pandas()
@@ -74,7 +77,7 @@ def test_rows_only_queries_run(ray_session):
 
 def test_knn_ivf_recall_vs_bruteforce(ray_session):
     bf = Q.QUERIES["knn_bruteforce"](SF)
-    ann = Q.QUERIES["knn_ivf"](SF)
+    ann = Q._knn_ivf_ann(SF)
     bf_sets = bf.groupby("qid")["vec_id"].apply(set)
     ann_sets = ann.groupby("qid")["vec_id"].apply(set)
     recalls = [len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets.index]
@@ -140,7 +143,7 @@ def test_knn_lsh_matches_driver_side_reference(ray_session):
         for rank, o in enumerate(order, 1):
             rows.append((int(qid), int(ids_all[cand[o]]), rank))
     expected = pd.DataFrame(rows, columns=["qid", "vec_id", "rank"])
-    got = Q.QUERIES["knn_lsh"](SF)
+    got = Q._knn_lsh_ann(SF)
     pd.testing.assert_frame_equal(_norm(got), _norm(expected), check_dtype=False)
 
 
@@ -171,13 +174,13 @@ def test_knn_ivf_matches_driver_side_reference(ray_session):
         for rank, o in enumerate(order, 1):
             rows.append((int(qid), int(ids_all[cand[o]]), rank))
     expected = pd.DataFrame(rows, columns=["qid", "vec_id", "rank"])
-    got = Q.QUERIES["knn_ivf"](SF)
+    got = Q._knn_ivf_ann(SF)
     pd.testing.assert_frame_equal(_norm(got), _norm(expected), check_dtype=False)
 
 
 def test_knn_lsh_recall_vs_bruteforce(ray_session):
     bf = Q.QUERIES["knn_bruteforce"](SF)
-    ann = Q.QUERIES["knn_lsh"](SF)
+    ann = Q._knn_lsh_ann(SF)
     bf_sets = bf.groupby("qid")["vec_id"].apply(set)
     ann_sets = ann.groupby("qid")["vec_id"].apply(set)
     recalls = [len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets.index]
@@ -189,10 +192,16 @@ def test_lsh_pairs_subset_and_planted_recall(ray_session):
 
     from ocr_ray.queries import _lsh_similar_pairs
 
-    # subset property on real testdata: every LSH pair is a true pair
+    # subset property on real testdata: every LSH pair is a true pair.
+    # The merged query gates this in-query (raising on violation) and
+    # surfaces it as the lsh_subset_ok column
     exact = Q.QUERIES["embedding_similar_pairs"](SF)
-    lsh = Q.QUERIES["embedding_similar_pairs_lsh"](SF)
+    assert exact["lsh_subset_ok"].all()
     exact_set = set(map(tuple, exact[["a", "b"]].to_numpy()))
+    lsh = _lsh_similar_pairs(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]),
+        threshold=0.32)
     lsh_set = set(map(tuple, lsh[["a", "b"]].to_numpy()))
     assert lsh_set <= exact_set
 
@@ -269,3 +278,17 @@ def test_ngram_block_cap_bounds_uniform_length_corpus(ray_session):
     # capped finds a subset of the exact result (recall trade, no false positives)
     assert set(map(tuple, capped[["a", "b"]].to_numpy())) <= \
         set(map(tuple, out[["a", "b"]].to_numpy()))
+
+
+def test_knn_ivfpq_recall_vs_bruteforce(ray_session):
+    """IVF-PQ (coarse lists + residual uint8 codes + ADC shortlist +
+    exact rerank) must keep avg recall >= the gate bound; its coded
+    pruning can only lose vs plain IVF where the true neighbor falls
+    off the ADC shortlist."""
+    bf = Q.QUERIES["knn_bruteforce"](SF)
+    ann = Q._knn_ivfpq_ann(SF)
+    bf_sets = bf.groupby("qid")["vec_id"].apply(set)
+    ann_sets = ann.groupby("qid")["vec_id"].apply(set)
+    recalls = [len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets.index]
+    assert sum(recalls) / len(recalls) >= 0.5
