@@ -26,6 +26,9 @@ the tests pin by construction).
 """
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 
 __all__ = [
@@ -34,6 +37,8 @@ __all__ = [
     "pq_encode",
     "pq_decode",
     "pq_adc_scores",
+    "build_pq_index",
+    "load_pq_index",
 ]
 
 
@@ -167,6 +172,93 @@ def pq_decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     m = codebooks.shape[0]
     parts = [codebooks[j, codes[:, j], :] for j in range(m)]
     return np.concatenate(parts, axis=1)
+
+
+def build_pq_index(
+    ds,
+    output_dir: str,
+    codebooks: np.ndarray | None = None,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    normalize: bool = True,
+    batch_size: int = 4096,
+):
+    """Build a persistent PQ index as a DATASET JOB: train codebooks
+    (``pq_train_distributed``, unless ``codebooks`` is supplied — e.g.
+    residual codebooks from an IVF composition), broadcast them once
+    via ``ray.put``, encode every vector to ``m`` uint8 codes inside
+    ``map_batches``, and ``write_parquet`` the (id, code-bytes) table
+    next to a ``_pq_codebook.json`` sidecar (underscore-prefixed so
+    parquet dataset discovery skips it, like the checkpoint manifest).
+
+    The scale shape: the float column is read, encoded, and written
+    entirely on the cluster — the driver holds only the (m, k, dsub)
+    codebook. At 10^12 vectors the codes table is the thing that fits
+    in cluster RAM (8 B/vector at m=8) while the float table does not;
+    queries then run ADC over the codes (``pq_adc_scores``) and fetch
+    floats only for the final rerank shortlist.
+
+    Returns the trained/used codebooks. Reload with
+    :func:`load_pq_index`.
+    """
+    import pandas as pd
+    import ray
+
+    if codebooks is None:
+        codebooks = pq_train_distributed(
+            ds, m=m, k=k, iters=iters, seed=seed,
+            embedding_col=embedding_col, batch_size=batch_size,
+        )
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+    ref = ray.put(codebooks)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        cb = ray.get(ref)
+        v = np.stack(df[embedding_col].to_numpy()).astype(np.float64)
+        if normalize:
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+        codes = pq_encode(v, cb)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "code": [row.tobytes() for row in codes],
+        })
+
+    os.makedirs(output_dir, exist_ok=True)
+    ds.map_batches(
+        encode, batch_format="pandas", batch_size=batch_size
+    ).write_parquet(os.path.join(output_dir, "codes"))
+    sidecar = {
+        "m": int(codebooks.shape[0]),
+        "k": int(codebooks.shape[1]),
+        "dsub": int(codebooks.shape[2]),
+        "id_col": id_col,
+        "normalize": bool(normalize),
+        "codebooks": codebooks.tolist(),
+    }
+    tmp = os.path.join(output_dir, "_pq_codebook.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(sidecar, fh)
+    os.replace(tmp, os.path.join(output_dir, "_pq_codebook.json"))
+    return codebooks
+
+
+def load_pq_index(index_dir: str):
+    """Load a :func:`build_pq_index` output: returns ``(codebooks,
+    codes_dataset)`` where ``codes_dataset`` is the lazy
+    ``ray.data.Dataset`` over the codes table (stream it through
+    ``pq_adc_scores`` in ``map_batches``; never ``to_pandas`` it at
+    scale)."""
+    import ray.data
+
+    with open(os.path.join(index_dir, "_pq_codebook.json")) as fh:
+        sidecar = json.load(fh)
+    codebooks = np.asarray(sidecar["codebooks"], dtype=np.float64)
+    codes = ray.data.read_parquet(os.path.join(index_dir, "codes"))
+    return codebooks, codes
 
 
 def pq_adc_scores(query: np.ndarray, codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:

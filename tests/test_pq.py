@@ -159,3 +159,37 @@ def test_k_over_256_refused():
     cb_bad = np.zeros((4, 300, 16))
     with pytest.raises(ValueError, match="256"):
         pq.pq_encode(np.zeros((5, 64)), cb_bad)
+
+
+def test_build_and_load_pq_index_roundtrip(ray_session, tmp_path):
+    """build_pq_index writes the codes table + codebook sidecar as a
+    dataset job; load_pq_index streams the codes back and ADC scoring
+    over the ON-DISK codes must equal scoring over a fresh in-memory
+    encode (the index is the artifact, not a cache of driver state)."""
+    import ray
+    import ray.data
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    out = str(tmp_path / "pq_index")
+    cb = pq.build_pq_index(ds, out, m=8, k=16, iters=4)
+
+    cb2, codes_ds = pq.load_pq_index(out)
+    np.testing.assert_array_equal(cb, cb2)
+    codes_df = codes_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(codes_df) == ds.count()
+    codes = np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes_df["code"]])
+
+    full = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    v = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    np.testing.assert_array_equal(codes, pq.pq_encode(v, cb))
+
+    q = v[3]
+    disk_scores = pq.pq_adc_scores(q, codes, cb2)
+    mem_scores = pq.pq_adc_scores(q, pq.pq_encode(v, cb), cb)
+    np.testing.assert_allclose(disk_scores, mem_scores)
+    # ADC over 8 B/vector codes still finds the true neighborhood
+    exact_top = set(np.argsort(-(v @ q))[:10])
+    adc_top = set(np.argsort(-disk_scores)[:50])
+    assert len(exact_top & adc_top) / 10 >= 0.5
