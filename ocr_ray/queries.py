@@ -1581,16 +1581,12 @@ FROM r WHERE rank <= 5
 """
 
 
-def q_embedding_similar_pairs(sf_dir: str):
-    """Embedding near-dup pairs (cosine >= 0.32), exact + LSH in ONE
-    self-gating row: the exact block-matmul path (broadcast matrix,
-    O(n*n/B) vectorized matmuls) produces the SQL-checkable pair rows;
-    the LSH-bucketed scale path (_lsh_similar_pairs — hyperplane bucket
-    codes, within-bucket cosine, no broadcast, no all-pairs) runs on
-    the same input and is asserted IN-QUERY to be a subset of the exact
-    pairs, surfaced as the constant ``lsh_subset_ok`` column the oracle
-    can check (the approx_distinct_orderkeys pattern). At 100TB only
-    the LSH path runs — the exact kernel is the verification tool."""
+def _exact_pair_ds(sf_dir: str):
+    """Exact embedding near-dup pair Dataset (cosine >= 0.32): block
+    matmul against the broadcast normalized matrix, one (a < b, cos)
+    row per qualifying pair, emitted where the data lives. Shared by
+    q_embedding_similar_pairs (the pair listing) and q_dedup_clusters
+    (the edge source for connected components)."""
     ids_all, mat_all = _emb_matrix(sf_dir)
     normed = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
     ref = ray.put((ids_all, normed))
@@ -1612,8 +1608,22 @@ def q_embedding_similar_pairs(sf_dir: str):
             {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
              "cos_sim": pd.Series([], dtype="float64")})
 
-    out = ds.map_batches(block, batch_format="pandas", batch_size=2048).to_pandas()
+    return ds.map_batches(block, batch_format="pandas", batch_size=2048)
+
+
+def q_embedding_similar_pairs(sf_dir: str):
+    """Embedding near-dup pairs (cosine >= 0.32), exact + LSH in ONE
+    self-gating row: the exact block-matmul path (broadcast matrix,
+    O(n*n/B) vectorized matmuls) produces the SQL-checkable pair rows;
+    the LSH-bucketed scale path (_lsh_similar_pairs — hyperplane bucket
+    codes, within-bucket cosine, no broadcast, no all-pairs) runs on
+    the same input and is asserted IN-QUERY to be a subset of the exact
+    pairs, surfaced as the constant ``lsh_subset_ok`` column the oracle
+    can check (the approx_distinct_orderkeys pattern). At 100TB only
+    the LSH path runs — the exact kernel is the verification tool."""
+    out = _exact_pair_ds(sf_dir).to_pandas()
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     lsh = _lsh_similar_pairs(ds, threshold=0.32)
     exact_keys = set(map(tuple, out[["a", "b"]].to_numpy()))
@@ -1633,6 +1643,92 @@ SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b,
        TRUE AS lsh_subset_ok
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.32
+"""
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Connected components over the near-dup pair graph -> one
+    (vec_id, cluster_id=min id in component) row per node: the step a
+    dedup pipeline needs AFTER pair finding (transitive closure picks
+    one keeper per cluster; pairs alone over-delete A-B, B-C corpora).
+
+    Distributed hash-to-min (Rastogi et al. 2013, "Finding Connected
+    Components in Map-Reduce"): the state is a (k, v) membership table
+    ("v is in k's cluster view"), seeded with self rows + both edge
+    directions. One round = ONE bucketed shuffle: group by k, take
+    m = min of the view, send the whole view to m and m to the whole
+    view. Cluster views collapse doubly-exponentially — a depth-d
+    component converges in ~log2(d)+2 rounds (the sf graph, depth ~14,
+    takes 4-5), each round touching O(state) rows; the corpus itself
+    never shuffles, only the pair graph (tiny relative: only near-dup
+    members appear). State is materialized per round (stops lazy
+    re-execution) and convergence is a cluster-side (count, sum, sum)
+    fixpoint probe. Known caveat at 10^12 scale, documented per the
+    custom-operator contract: the root of a giant component
+    accumulates O(component) rows — the small-star/large-star variant
+    bounds that; row counts here stay O(edges). Hard SQL oracle:
+    DuckDB recursive-CTE transitive closure."""
+    edges_src = _exact_pair_ds(sf_dir)
+    B = _pair_buckets()
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"k": np.concatenate([a, b, a, b]),
+                             "v": np.concatenate([b, a, a, b])})
+
+    state = edges_src.map_batches(seed, batch_format="pandas").materialize()
+    if state.count() == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+
+    def h2m(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        m = g.groupby("k")["v"].transform("min").to_numpy(np.int64)
+        # min -> every member, every member -> min (vectorized emit)
+        out = np.unique(
+            np.stack([np.concatenate([m, v]), np.concatenate([v, m])], axis=1),
+            axis=0)
+        return pd.DataFrame({"k": out[:, 0], "v": out[:, 1]})
+
+    prev = None
+    for _round in range(30):
+        state = state.map_batches(
+            lambda df: df.assign(_b=df["k"] % B), batch_format="pandas"
+        ).groupby("_b").map_groups(h2m, batch_format="pandas").materialize()
+        probe = (state.count(), state.sum("k"), state.sum("v"))
+        if probe == prev:
+            break
+        prev = probe
+    else:
+        raise AssertionError("hash-to-min did not converge in 30 rounds")
+
+    def local_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False)["v"].min()
+
+    labels = state.map_batches(local_min, batch_format="pandas") \
+        .groupby("k").min("v").to_pandas()
+    labels.columns = ["vec_id", "cluster_id"]
+    return labels.astype("int64").sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+pairs AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.32
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+walk(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT u, u FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+)
+SELECT u AS vec_id, MIN(v) AS cluster_id FROM walk GROUP BY u
 """
 
 
@@ -2208,6 +2304,80 @@ FROM events e ASOF JOIN orders o
 """
 
 
+def q_range_join_events(sf_dir: str):
+    """Interval (range) join Ray Data lacks natively: for every error
+    event, count the SAME user's click events within +/-1 hour — the
+    `ON key equal AND ts BETWEEN lo AND hi` shape (SURVEY.md §2.8's
+    as-of sibling). Both sides are pruned at the read with a pushed
+    event_type filter; the key space hashes into bucket groups (ONE
+    shuffle of the filtered rows); inside a bucket the window count is
+    two vectorized searchsorted calls over a composite (dense user
+    rank, ts-offset) key — no per-user loop, no per-row loop.
+
+    Partitioning assumption (documented per the custom-operator
+    contract): a user's rows co-locate via the hash bucket; window
+    width is bounded (2h), so bucket skew is bounded by the hottest
+    user's row count, the same salting levers as the premerge apply."""
+    H = 3_600_000_000  # one hour in microseconds
+    err = _read(sf_dir, "events", ["event_id", "ts", "user_id"],
+                filter=pc.field("event_type") == "error")
+    clk = _read(sf_dir, "events", ["ts", "user_id"],
+                filter=pc.field("event_type") == "click")
+
+    def tag_err(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["user_id"].astype("int64"),
+                             "t": df["ts"].astype("int64"),
+                             "event_id": df["event_id"].astype("int64")})
+
+    def tag_clk(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": df["user_id"].astype("int64"),
+                             "t": df["ts"].astype("int64"),
+                             "event_id": np.int64(-1)})
+
+    both = err.map_batches(tag_err, batch_format="pandas").union(
+        clk.map_batches(tag_clk, batch_format="pandas"))
+    B = _pair_buckets()
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_err = (g["event_id"] >= 0).to_numpy()
+        users = np.unique(g["k"].to_numpy(np.int64))
+        rank = np.searchsorted(users, g["k"].to_numpy(np.int64))
+        t = g["t"].to_numpy(np.int64)
+        base, hi = t.min(), t.max()
+        span = np.int64(hi - base + 2 * H + 2)
+        if len(users) and span > (2**62) // len(users):
+            raise AssertionError(
+                "composite range-join key would overflow int64 — narrow "
+                "the bucket time range or raise the bucket count")
+        key = rank * span + (t - base) + H  # +H margin: lo stays >= 0
+        ck = np.sort(key[~is_err])
+        ek = key[is_err]
+        n = np.searchsorted(ck, ek + H, side="right") - \
+            np.searchsorted(ck, ek - H, side="left")
+        return pd.DataFrame({
+            "event_id": g.loc[is_err, "event_id"].to_numpy(np.int64),
+            "user_id": g.loc[is_err, "k"].to_numpy(np.int64),
+            "n_nearby_clicks": n.astype(np.int64),
+        })
+
+    out = both.map_batches(lambda df: df.assign(_b=df["k"] % B),
+                           batch_format="pandas") \
+              .groupby("_b").map_groups(count_bucket, batch_format="pandas") \
+              .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_RANGE_JOIN_EVENTS = """
+SELECT e.event_id, CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_nearby_clicks
+FROM events e LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts + INTERVAL 1 HOUR
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
 def q_party_nation_counts(sf_dir: str):
     """Set op + broadcast join: customers UNION ALL suppliers counted
     per nation, nation names joined from a driver-read broadcast dict
@@ -2732,6 +2902,34 @@ def q_multimodal_frame_sample(sf_dir: str):
     return stats.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def q_multimodal_features(sf_dir: str):
+    """The three multimodal actor-stage pipelines (image stats+resize
+    chain, audio feature extraction, video frame-sample fan-out) as ONE
+    catalog row in long format: (kind, media_id, frame_idx, feature,
+    value) — each sub-pipeline keeps its own wide schema internally
+    (q_multimodal_image_stats / _audio_features / _frame_sample, still
+    individually pinned in unit tests) and is melted to the common
+    shape here. Deterministic synthetic payloads; rows-only driver
+    check (binary decode stays env-gated, stages/multimodal.py)."""
+    frames = []
+    for kind, fn in (("image", q_multimodal_image_stats),
+                     ("audio", q_multimodal_audio_features),
+                     ("frame", q_multimodal_frame_sample)):
+        df = fn(sf_dir)
+        id_vars = ["media_id"] + (["frame_idx"] if "frame_idx" in df else [])
+        keep = id_vars + [c for c in df.select_dtypes(include=[np.number]).columns
+                          if c not in id_vars]
+        num = df[keep].melt(id_vars=id_vars, var_name="feature", value_name="value")
+        if "frame_idx" not in num:
+            num["frame_idx"] = np.int64(-1)
+        num["kind"] = kind
+        frames.append(num[["kind", "media_id", "frame_idx", "feature", "value"]])
+    out = pd.concat(frames, ignore_index=True).astype(
+        {"media_id": "int64", "frame_idx": "int64", "value": "float64"})
+    return out.sort_values(["kind", "media_id", "frame_idx", "feature"]) \
+              .reset_index(drop=True)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -2780,9 +2978,9 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_ivfpq": q_knn_ivfpq,
     "approx_distinct_orderkeys": q_approx_distinct_orderkeys,
-    "multimodal_image_stats": q_multimodal_image_stats,
-    "multimodal_audio_features": q_multimodal_audio_features,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_features": q_multimodal_features,
+    "range_join_events": q_range_join_events,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLE_SQL = {
@@ -2824,6 +3022,8 @@ ORACLE_SQL = {
     "extraction_confidence": SQL_EXTRACTION_CONFIDENCE,
     "pdf_metadata": SQL_PDF_METADATA,
     "asof_last_order": SQL_ASOF_LAST_ORDER,
+    "range_join_events": SQL_RANGE_JOIN_EVENTS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "party_nation_counts": SQL_PARTY_NATION_COUNTS,
     "top_orders": SQL_TOP_ORDERS,
     "approx_distinct_orderkeys": SQL_APPROX_DISTINCT_ORDERKEYS,

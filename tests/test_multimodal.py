@@ -93,7 +93,7 @@ def test_resize_then_stats_composition(ray_session):
     original and the resized (r_*) feature columns."""
     from ocr_ray import queries as Q
 
-    out = Q.QUERIES["multimodal_image_stats"]("/root/testdata/sf0.001")
+    out = Q.q_multimodal_image_stats("/root/testdata/sf0.001")
     assert (out["r_height"] == 48).all() and (out["r_width"] == 32).all()
     assert {"media_id", "height", "width", "ink_frac",
             "r_height", "r_width", "r_ink_frac"} <= set(out.columns)
@@ -115,8 +115,8 @@ def test_pcm_codec_and_audio_features(ray_session):
 
     # feature sanity on a pure sine: rms ~= A/sqrt(2), zcr ~= 2f/rate
     from ocr_ray import queries as Q
-    out = Q.QUERIES["multimodal_audio_features"]("/root/testdata/sf0.001")
-    out2 = Q.QUERIES["multimodal_audio_features"]("/root/testdata/sf0.001")
+    out = Q.q_multimodal_audio_features("/root/testdata/sf0.001")
+    out2 = Q.q_multimodal_audio_features("/root/testdata/sf0.001")
     assert out.equals(out2)
     assert len(out) > 0
     assert (out["duration_sec"] > 0).all()

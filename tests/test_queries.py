@@ -1,6 +1,7 @@
 """Driver-contract conformance at sf0.001: Ray query vs DuckDB oracle
 (the same comparison CORRECTNESS_r{N}.json records at sf0.01)."""
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 import ray.data
@@ -24,6 +25,8 @@ SUBSET = [
     "knn_ivfpq",
     "embedding_similar_pairs",
     "asof_last_order",
+    "range_join_events",
+    "dedup_clusters",
     "party_nation_counts",
     "top_orders",
     "pdf_metadata",
@@ -101,10 +104,10 @@ def test_dedup_ngram_finds_planted_pair(ray_session):
 
 
 def test_multimodal_queries_deterministic(ray_session):
-    a = Q.QUERIES["multimodal_image_stats"](SF)
-    b = Q.QUERIES["multimodal_image_stats"](SF)
+    a = Q.q_multimodal_image_stats(SF)
+    b = Q.q_multimodal_image_stats(SF)
     pd.testing.assert_frame_equal(a, b)
-    fs = Q.QUERIES["multimodal_frame_sample"](SF)
+    fs = Q.q_multimodal_frame_sample(SF)
     assert fs["frame_idx"].isin([0, 4]).all()
     assert len(fs) == 2 * len(a)
 
@@ -292,3 +295,59 @@ def test_knn_ivfpq_recall_vs_bruteforce(ray_session):
     recalls = [len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q])
                for q in bf_sets.index]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_multimodal_features_merged_row(ray_session):
+    """The merged long-format multimodal row: all three kinds present,
+    deterministic, and the image slice agrees with the wide helper."""
+    out = Q.QUERIES["multimodal_features"](SF)
+    assert sorted(out["kind"].unique()) == ["audio", "frame", "image"]
+    out2 = Q.QUERIES["multimodal_features"](SF)
+    pd.testing.assert_frame_equal(out, out2)
+    wide = Q.q_multimodal_image_stats(SF)
+    img = out[(out["kind"] == "image") & (out["feature"] == "ink_frac")]
+    assert np.allclose(
+        img.sort_values("media_id")["value"].to_numpy(),
+        wide.sort_values("media_id")["ink_frac"].to_numpy())
+
+
+def test_range_join_window_semantics(ray_session):
+    """Driver-side recomputation of the +/-1h window count for a few
+    users pins the bucketed searchsorted kernel (inclusive bounds)."""
+    out = Q.QUERIES["range_join_events"](SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    err = ev[ev.event_type == "error"]
+    clk = ev[ev.event_type == "click"]
+    assert len(out) == len(err)
+    H = pd.Timedelta(hours=1)
+    sample = err.head(50)
+    for _, r in sample.iterrows():
+        n = ((clk.user_id == r.user_id) & (clk.ts >= r.ts - H) & (clk.ts <= r.ts + H)).sum()
+        got = out.loc[out.event_id == r.event_id, "n_nearby_clicks"].iloc[0]
+        assert got == n, (r.event_id, got, n)
+
+
+def test_dedup_clusters_matches_union_find(ray_session):
+    """Hash-to-min connected components vs a driver-side union-find
+    over the same exact pair set."""
+    pairs = Q._exact_pair_ds(SF).to_pandas()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs[["a", "b"]].itertuples(index=False):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = pd.DataFrame(
+        sorted((int(n), int(find(n))) for n in parent),
+        columns=["vec_id", "cluster_id"])
+    got = Q.QUERIES["dedup_clusters"](SF)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    # cluster ids are the component minimum (a member of the cluster)
+    assert (got.groupby("cluster_id")["vec_id"].min()
+            == got["cluster_id"].unique()).all()
