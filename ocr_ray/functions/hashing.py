@@ -148,7 +148,7 @@ def minhash_signatures_batch(
     nz = np.nonzero(sizes)[0]
     if nz.size == 0:
         return out
-    budget = max(1, 100_000)  # shingles per chunk -> ~50 MB transient
+    budget = 100_000  # shingles per chunk -> ~50 MB transient
     start = 0
     while start < nz.size:
         end = start

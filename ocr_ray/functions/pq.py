@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 
@@ -209,8 +210,21 @@ def build_pq_index(
     import ray
 
     if codebooks is None:
+        # Train on the SAME representation we encode: codebooks fit on
+        # raw vectors while encode() normalizes would collapse any
+        # non-unit-norm corpus into a handful of codes.
+        train_ds = ds
+        if normalize:
+            def _norm(df: pd.DataFrame) -> pd.DataFrame:
+                v = np.stack(df[embedding_col].to_numpy()).astype(np.float64)
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                return pd.DataFrame({embedding_col: list(v)})
+
+            train_ds = ds.map_batches(
+                _norm, batch_format="pandas", batch_size=batch_size
+            )
         codebooks = pq_train_distributed(
-            ds, m=m, k=k, iters=iters, seed=seed,
+            train_ds, m=m, k=k, iters=iters, seed=seed,
             embedding_col=embedding_col, batch_size=batch_size,
         )
     codebooks = np.asarray(codebooks, dtype=np.float64)
@@ -228,9 +242,15 @@ def build_pq_index(
         })
 
     os.makedirs(output_dir, exist_ok=True)
+    codes_dir = os.path.join(output_dir, "codes")
+    if os.path.isdir(codes_dir):
+        # a rebuild into the same dir must not merge with stale files:
+        # write_parquet uses unique names, so leftovers from a prior
+        # build would silently double the codes table on load
+        shutil.rmtree(codes_dir)
     ds.map_batches(
         encode, batch_format="pandas", batch_size=batch_size
-    ).write_parquet(os.path.join(output_dir, "codes"))
+    ).write_parquet(codes_dir)
     sidecar = {
         "m": int(codebooks.shape[0]),
         "k": int(codebooks.shape[1]),
@@ -248,17 +268,19 @@ def build_pq_index(
 
 def load_pq_index(index_dir: str):
     """Load a :func:`build_pq_index` output: returns ``(codebooks,
-    codes_dataset)`` where ``codes_dataset`` is the lazy
+    codes_dataset, meta)`` where ``codes_dataset`` is the lazy
     ``ray.data.Dataset`` over the codes table (stream it through
     ``pq_adc_scores`` in ``map_batches``; never ``to_pandas`` it at
-    scale)."""
+    scale) and ``meta`` carries the sidecar's ``normalize`` / ``id_col``
+    / shape fields — callers need ``normalize`` to preprocess query
+    vectors the same way the index was encoded."""
     import ray.data
 
     with open(os.path.join(index_dir, "_pq_codebook.json")) as fh:
         sidecar = json.load(fh)
-    codebooks = np.asarray(sidecar["codebooks"], dtype=np.float64)
+    codebooks = np.asarray(sidecar.pop("codebooks"), dtype=np.float64)
     codes = ray.data.read_parquet(os.path.join(index_dir, "codes"))
-    return codebooks, codes
+    return codebooks, codes, sidecar
 
 
 def pq_adc_scores(query: np.ndarray, codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:

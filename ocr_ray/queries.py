@@ -1662,8 +1662,10 @@ def q_dedup_clusters(sf_dir: str):
     takes 4-5), each round touching O(state) rows; the corpus itself
     never shuffles, only the pair graph (tiny relative: only near-dup
     members appear). State is materialized per round (stops lazy
-    re-execution) and convergence is a cluster-side (count, sum, sum)
-    fixpoint probe. Known caveat at 10^12 scale, documented per the
+    re-execution) and convergence is a cluster-side content-fingerprint
+    fixpoint probe (count + order-independent xor/sum of per-row mixed
+    hashes — a plain (count, sum) pair can collide across successive
+    symmetric states). Known caveat at 10^12 scale, documented per the
     custom-operator contract: the root of a giant component
     accumulates O(component) rows — the small-star/large-star variant
     bounds that; row counts here stay O(edges). Hard SQL oracle:
@@ -1692,12 +1694,32 @@ def q_dedup_clusters(sf_dir: str):
             axis=0)
         return pd.DataFrame({"k": out[:, 0], "v": out[:, 1]})
 
+    def fp_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # one row per batch: (rows, xor, wrapped sum) of mixed row
+        # hashes — order/partition-independent, content-sensitive
+        k = df["k"].to_numpy(np.int64).view(np.uint64)
+        v = df["v"].to_numpy(np.int64).view(np.uint64)
+        h = H._mix64(k * np.uint64(0x9E3779B97F4A7C15) ^ v)
+        return pd.DataFrame({
+            "n": [np.int64(len(df))],
+            "x": [np.bitwise_xor.reduce(h, initial=np.uint64(0))
+                    .astype(np.int64)],
+            "s": [h.sum(dtype=np.uint64).astype(np.int64)],
+        })
+
+    def fingerprint(ds_state) -> tuple:
+        parts = ds_state.map_batches(fp_batch, batch_format="pandas").to_pandas()
+        x = np.bitwise_xor.reduce(
+            parts["x"].to_numpy(np.int64).view(np.uint64), initial=np.uint64(0))
+        s = parts["s"].to_numpy(np.int64).view(np.uint64).sum(dtype=np.uint64)
+        return (int(parts["n"].sum()), int(x), int(s))
+
     prev = None
     for _round in range(30):
         state = state.map_batches(
             lambda df: df.assign(_b=df["k"] % B), batch_format="pandas"
         ).groupby("_b").map_groups(h2m, batch_format="pandas").materialize()
-        probe = (state.count(), state.sum("k"), state.sum("v"))
+        probe = fingerprint(state)
         if probe == prev:
             break
         prev = probe
@@ -1796,6 +1818,9 @@ def _lsh_similar_pairs(ds: ray.data.Dataset, threshold: float, tables: int = 6,
     return res.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+_BF_EXACT_CACHE: dict[str, pd.DataFrame] = {}
+
+
 def _ann_recall_gate(sf_dir: str, ann: pd.DataFrame, bound: float,
                      flag_col: str) -> pd.DataFrame:
     """Self-gating oracle for ANN rows (the approx_distinct pattern):
@@ -1805,8 +1830,15 @@ def _ann_recall_gate(sf_dir: str, ann: pd.DataFrame, bound: float,
     also emit — the exact kernel anchors the value hash, the recall
     assertion (a raise on violation = a red driver row) gates the
     approximate path. At 100TB the gate runs on a sampled query set;
-    here the query set is already tiny."""
-    exact = q_knn_bruteforce(sf_dir)
+    here the query set is already tiny.
+
+    The exact kernel is memoized per sf_dir (driver-side nq*5-row
+    frame): a full catalog run gates three ANN rows and would
+    otherwise rerun the full-corpus brute-force scan for each."""
+    key = os.path.realpath(sf_dir)
+    if key not in _BF_EXACT_CACHE:
+        _BF_EXACT_CACHE[key] = q_knn_bruteforce(sf_dir)
+    exact = _BF_EXACT_CACHE[key].copy()
     ex = exact.groupby("qid")["vec_id"].apply(set)
     an = ann.groupby("qid")["vec_id"].apply(set)
     recalls = [len(ex[q] & an.get(q, set())) / len(ex[q]) for q in ex.index]
@@ -2312,7 +2344,7 @@ def q_range_join_events(sf_dir: str):
     event_type filter; the key space hashes into bucket groups (ONE
     shuffle of the filtered rows); inside a bucket the window count is
     two vectorized searchsorted calls over a composite (dense user
-    rank, ts-offset) key — no per-user loop, no per-row loop.
+    rank, click-time rank) key — no per-user loop, no per-row loop.
 
     Partitioning assumption (documented per the custom-operator
     contract): a user's rows co-locate via the hash bucket; window
@@ -2324,14 +2356,19 @@ def q_range_join_events(sf_dir: str):
     clk = _read(sf_dir, "events", ["ts", "user_id"],
                 filter=pc.field("event_type") == "click")
 
+    def _us(ts: pd.Series) -> pd.Series:
+        # pin microseconds regardless of the arrow->pandas resolution
+        # (datetime64[ns] would silently shrink the window 1000x)
+        return ts.astype("datetime64[us]").astype("int64")
+
     def tag_err(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"k": df["user_id"].astype("int64"),
-                             "t": df["ts"].astype("int64"),
+                             "t": _us(df["ts"]),
                              "event_id": df["event_id"].astype("int64")})
 
     def tag_clk(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"k": df["user_id"].astype("int64"),
-                             "t": df["ts"].astype("int64"),
+                             "t": _us(df["ts"]),
                              "event_id": np.int64(-1)})
 
     both = err.map_batches(tag_err, batch_format="pandas").union(
@@ -2343,17 +2380,26 @@ def q_range_join_events(sf_dir: str):
         users = np.unique(g["k"].to_numpy(np.int64))
         rank = np.searchsorted(users, g["k"].to_numpy(np.int64))
         t = g["t"].to_numpy(np.int64)
-        base, hi = t.min(), t.max()
-        span = np.int64(hi - base + 2 * H + 2)
-        if len(users) and span > (2**62) // len(users):
+        # Composite key over (user rank, click-time RANK) — ranks, not
+        # raw times, so the multiplier is O(bucket rows) and the key
+        # cannot overflow int64 until a single bucket holds ~3e9 rows
+        # (which would not fit a worker anyway). A click time x lies in
+        # [t-H, t+H] iff its left-rank in the sorted click times lies in
+        # [left-rank(t-H), right-rank(t+H)) — duplicate-safe.
+        cvals = np.sort(t[~is_err])
+        mult = np.int64(len(cvals) + 1)
+        if len(users) and int(users.size) * int(mult) >= 2**62:
             raise AssertionError(
-                "composite range-join key would overflow int64 — narrow "
-                "the bucket time range or raise the bucket count")
-        key = rank * span + (t - base) + H  # +H margin: lo stays >= 0
-        ck = np.sort(key[~is_err])
-        ek = key[is_err]
-        n = np.searchsorted(ck, ek + H, side="right") - \
-            np.searchsorted(ck, ek - H, side="left")
+                "range-join bucket too large for the int64 rank "
+                "composite — raise the bucket count")
+        ck = np.sort(rank[~is_err] * mult
+                     + np.searchsorted(cvals, t[~is_err], side="left"))
+        eu = rank[is_err]
+        et = t[is_err]
+        lo = eu * mult + np.searchsorted(cvals, et - H, side="left")
+        hi = eu * mult + np.searchsorted(cvals, et + H, side="right")
+        n = np.searchsorted(ck, hi, side="left") - \
+            np.searchsorted(ck, lo, side="left")
         return pd.DataFrame({
             "event_id": g.loc[is_err, "event_id"].to_numpy(np.int64),
             "user_id": g.loc[is_err, "k"].to_numpy(np.int64),
@@ -2666,7 +2712,8 @@ def _knn_ivfpq_ann(sf_dir: str, shortlist: int = 50):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
         filter=pc.field("vec_id").isin(init_ids),
-    ).to_pandas()
+    ).to_pandas().set_index("vec_id").loc[init_ids]  # pin seeded order:
+    # the filtered read's row order depends on Ray block layout
     init_m = np.stack(init_df["embedding"].to_numpy()).astype(np.float64)
     init_m /= np.linalg.norm(init_m, axis=1, keepdims=True)
     init_resid = init_m - cent[np.argmax(init_m @ cent.T, axis=1)]

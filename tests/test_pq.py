@@ -174,8 +174,10 @@ def test_build_and_load_pq_index_roundtrip(ray_session, tmp_path):
     out = str(tmp_path / "pq_index")
     cb = pq.build_pq_index(ds, out, m=8, k=16, iters=4)
 
-    cb2, codes_ds = pq.load_pq_index(out)
+    cb2, codes_ds, meta = pq.load_pq_index(out)
     np.testing.assert_array_equal(cb, cb2)
+    assert meta["normalize"] is True and meta["id_col"] == "vec_id"
+    assert (meta["m"], meta["k"]) == (8, 16)
     codes_df = codes_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert len(codes_df) == ds.count()
     codes = np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes_df["code"]])
@@ -193,3 +195,47 @@ def test_build_and_load_pq_index_roundtrip(ray_session, tmp_path):
     exact_top = set(np.argsort(-(v @ q))[:10])
     adc_top = set(np.argsort(-disk_scores)[:50])
     assert len(exact_top & adc_top) / 10 >= 0.5
+
+
+def test_build_pq_index_trains_on_encoded_representation(ray_session, tmp_path):
+    """normalize=True must train codebooks on NORMALIZED vectors (the
+    representation encode() uses): training on raw scale-50 vectors and
+    encoding unit vectors collapses the index into a couple of codes."""
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((600, 64)) * 50.0  # decidedly non-unit-norm
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(600, dtype=np.int64), "embedding": list(v)}))
+    out = str(tmp_path / "pq_nonunit")
+    cb = pq.build_pq_index(ds, out, m=8, k=16, iters=4)
+
+    _, codes_ds, _ = pq.load_pq_index(out)
+    codes_df = codes_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    codes = np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes_df["code"]])
+    # a healthy codebook uses most of the k=16 code space per subspace
+    assert all(len(np.unique(codes[:, j])) >= 8 for j in range(codes.shape[1]))
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    q = vn[7]
+    adc = pq.pq_adc_scores(q, codes, cb)
+    exact_top = set(np.argsort(-(vn @ q))[:10])
+    adc_top = set(np.argsort(-adc)[:50])
+    assert len(exact_top & adc_top) / 10 >= 0.5
+
+
+def test_build_pq_index_rebuild_replaces_stale_codes(ray_session, tmp_path):
+    """Rebuilding into the same output_dir must REPLACE the codes table
+    (write_parquet uses unique file names; merging stale files would
+    silently double the index on load)."""
+    import ray.data
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    out = str(tmp_path / "pq_rebuild")
+    pq.build_pq_index(ds, out, m=8, k=16, iters=2)
+    pq.build_pq_index(ds, out, m=8, k=16, iters=4)  # rebuild, same dir
+    _, codes_ds, _ = pq.load_pq_index(out)
+    df = codes_ds.to_pandas()
+    assert len(df) == ds.count()
+    assert df["vec_id"].is_unique

@@ -260,8 +260,11 @@ def test_ngram_block_cap_bounds_uniform_length_corpus(ray_session):
     rng = np.random.default_rng(42)
     words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "etaa", "thet"]
     texts = [" ".join(rng.choice(words, 20)) for _ in range(1500)]
-    # planted exact dup: find two doc_ids in the same secondary sub-block
-    nsub = -(-2 * 1500 // Q2._NGRAM_BLOCK_CAP)  # block fan-out doubles rows
+    # planted exact dup: find two doc_ids in the same secondary
+    # sub-block. One block GROUP holds each doc once (the b/b+1
+    # fan-out lands in different groups), so production pairs() sees
+    # len(g)=1500 -> nsub = ceil(1500/cap) — replicate exactly.
+    nsub = -(-1500 // Q2._NGRAM_BLOCK_CAP)
     ids = np.arange(1500, dtype=np.int64)
     mixed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
     sub = mixed % np.uint64(nsub)
