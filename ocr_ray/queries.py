@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .functions import bloom as BLOOM
 from .functions import hashing as H
 from .functions import textstats as TS
 
@@ -539,16 +540,55 @@ SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
 def q_customers_no_orders(sf_dir: str):
-    """Anti-join (customers with no HIGH-VALUE order, > 400k), bucketed:
-    both sides hash custkey into B shuffle partitions, each bucket does
-    one vectorized isin — neither side is broadcast (both are large at
-    corpus scale)."""
+    """Anti-join (customers with no HIGH-VALUE order, > 400k) with a
+    BLOOM-FILTER pruning pass in front of the bucketed exact join — the
+    100TB anti-join shape:
+
+    1. Build: one map_batches pass over orders emits per-batch partial
+       bitmaps over the filtered keys (functions/bloom.py); the
+       order-independent OR-combine leaves the driver holding only the
+       O(bits) filter (~1.2 bytes/key at 1% fpp), broadcast once.
+    2. Prune: customers stream through the filter. Bloom-NEGATIVE keys
+       definitely have no qualifying order — they are final output and
+       never shuffle. Only the bloom-positive sliver (true hits + fpp)
+       pays the bucketed exact anti-join against the order keys.
+
+    Cost model: two pruned single-column scans of customer replace
+    shuffling its full keyset — columnar scans are the cheap resource,
+    the all-to-all exchange is the scarce one, and the exchange now
+    carries ~hit_rate + 1% of the probe side. Exactness is unaffected
+    (no false negatives; positives are exact-checked), pinned by the
+    unchanged SQL oracle + a planted-fpp unit test."""
     B = _pair_buckets()
     cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def c_prep(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["c_custkey"].astype("int64")
+    # -- build the filter over qualifying order keys (cluster-side) --
+    n_hint = orders.count()  # parquet metadata upper bound, no scan
+    m_bits, k_hashes = BLOOM.bloom_params(n_hint, fpp=0.01)
+
+    def o_bitmap(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["o_totalprice"] > 400_000, "o_custkey"] \
+                 .astype("int64").to_numpy()
+        return pd.DataFrame(
+            {"words": [BLOOM.bloom_partial(keys, m_bits, k_hashes).tobytes()]})
+
+    parts = orders.map_batches(o_bitmap, batch_format="pandas").to_pandas()
+    bloom_ref = ray.put(BLOOM.bloom_or(parts["words"]))
+
+    # -- negatives bypass the shuffle entirely --
+    def c_negatives(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64").to_numpy()
+        hit = BLOOM.bloom_might_contain(ray.get(bloom_ref), k, k_hashes)
+        return pd.DataFrame({"c_custkey": k[~hit]})
+
+    kept = cust.map_batches(c_negatives, batch_format="pandas").to_pandas()
+
+    # -- positives (true hits + fpp sliver) take the exact bucketed join --
+    def c_positives(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64").to_numpy()
+        hit = BLOOM.bloom_might_contain(ray.get(bloom_ref), k, k_hashes)
+        k = k[hit]
         return pd.DataFrame({"key": k, "side": "c", "bucket": k % B})
 
     def o_prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -557,7 +597,7 @@ def q_customers_no_orders(sf_dir: str):
               .astype("int64").drop_duplicates()
         return pd.DataFrame({"key": k, "side": "o", "bucket": k % B})
 
-    both = cust.map_batches(c_prep, batch_format="pandas").union(
+    both = cust.map_batches(c_positives, batch_format="pandas").union(
         orders.map_batches(o_prep, batch_format="pandas")
     )
 
@@ -567,7 +607,8 @@ def q_customers_no_orders(sf_dir: str):
         out = left[~left.isin(right)]
         return pd.DataFrame({"c_custkey": out.to_numpy(dtype=np.int64)})
 
-    out = both.groupby("bucket").map_groups(anti, batch_format="pandas").to_pandas()
+    fp = both.groupby("bucket").map_groups(anti, batch_format="pandas").to_pandas()
+    out = pd.concat([kept, fp], ignore_index=True)
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
