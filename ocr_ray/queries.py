@@ -26,6 +26,7 @@ import ray.data
 
 from .functions import bloom as BLOOM
 from .functions import hashing as H
+from .functions import sketch as SK
 from .functions import textstats as TS
 
 # candidate-pair self-joins hash their (huge-cardinality) key space into
@@ -1253,24 +1254,86 @@ def q_top_tokens(sf_dir: str):
     """Corpus-wide token frequency top-20: per-batch partial counts
     (value_counts inside map_batches) -> cluster-side bucketed combine
     with per-bucket top-20 pruning — the driver receives at most
-    buckets*20 candidate rows, never the full vocabulary."""
+    buckets*20 candidate rows, never the full vocabulary.
+
+    Fused into the SAME pass: a mergeable SpaceSaving heavy-hitters
+    summary (functions/sketch.py — Agarwal et al., PODS 2012), the
+    100 TB path for when even the pruned exact combine is too wide
+    (vocabulary ~ corpus size). Each batch tags its exact partial rows
+    with the truncated-summary columns (``lo`` = count if the token made
+    the batch's top-64 else 0, ``es`` = the batch's truncation bound eps
+    on kept rows) plus ONE eps sentinel row (token ``""`` — impossible
+    for the ``[a-z0-9]+`` tokenizer), so one bucketed combine yields,
+    per token, the exact count AND the summary bounds
+    ``[lower, lower + total_eps - eps_seen]`` that provably contain it.
+    At true 100 TB scale the exact columns are dropped and ONLY the
+    truncated summary rows (64/batch) shuffle.
+
+    Self-gating oracle: asserts in-query (a raise = red driver row)
+    that every exact top-20 count sits inside its summary bounds, that
+    each top-20 token's upper bound reaches the 20th-largest lower
+    bound (candidate-set membership), and that the SpaceSaving
+    guarantee holds (count > total_eps => the token survived in some
+    batch's summary); surfaced as the constant ``hh_bounds_ok`` column
+    the SQL oracle also emits."""
     ds = _read(sf_dir, "documents", ["text"])
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
         c = toks.value_counts()
-        return pd.DataFrame({"token": c.index.to_numpy(), "n": c.to_numpy().astype(np.int64)})
+        summ = SK.topk_summarize_counts(c, m=64)
+        eps = int(summ["eps"].iloc[0]) if len(summ) else 0
+        kept = c.index.isin(summ["token"])
+        out = pd.DataFrame({
+            "token": c.index.to_numpy(),
+            "n": c.to_numpy().astype(np.int64),
+            "lo": np.where(kept, c.to_numpy(), 0).astype(np.int64),
+            "es": np.where(kept, eps, 0).astype(np.int64),
+        })
+        sentinel = pd.DataFrame({"token": [""], "n": [0], "lo": [0], "es": [eps]})
+        return pd.concat([out, sentinel.astype(out.dtypes)], ignore_index=True)
 
     parts = ds.map_batches(counts, batch_format="pandas", batch_size=8192)
-    agg = _bucketed_combine(parts, ["token"], {"n": "sum"},
-                            topk=(20, ["n", "token"], [False, True]))
-    top = agg.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    buckets = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
+        return df.assign(_b=(h % buckets).astype("int64"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="_b").groupby("token", as_index=False).agg(
+            n=("n", "sum"), lo=("lo", "sum"), es=("es", "sum"))
+        # union prune: bucket-local top-20 by exact count (the result
+        # rows), top-20 by summary lower bound (so the global 20th-
+        # largest lower is computable exactly), and the eps sentinel
+        by_n = out.sort_values(["n", "token"], ascending=[False, True]).head(20)
+        by_lo = out.sort_values(["lo", "token"], ascending=[False, True]).head(20)
+        keep = pd.concat([by_n, by_lo, out[out["token"] == ""]])
+        return keep[~keep.index.duplicated()]
+
+    agg = (parts.map_batches(add_bucket, batch_format="pandas")
+           .groupby("_b").map_groups(combine, batch_format="pandas").to_pandas())
+    total_eps = int(agg.loc[agg["token"] == "", "es"].sum())
+    real = agg[agg["token"] != ""].copy()
+    real["upper"] = real["lo"] + (total_eps - real["es"])
+    kth_lower = int(real["lo"].nlargest(20).iloc[-1]) if len(real) >= 20 else 0
+    top = real.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    bad = top[(top["n"] < top["lo"]) | (top["n"] > top["upper"])
+              | (top["upper"] < kth_lower)
+              | ((top["n"] > total_eps) & (top["lo"] <= 0))]
+    if len(bad):
+        raise AssertionError(
+            f"hh_bounds_ok: {len(bad)} top-20 tokens violate SpaceSaving "
+            f"bounds (total_eps={total_eps}, kth_lower={kth_lower}): "
+            f"{bad['token'].tolist()[:5]}")
+    top = top[["token", "n"]].reset_index(drop=True)
     top["n"] = top["n"].astype("int64")
-    return top.reset_index(drop=True)
+    top["hh_bounds_ok"] = True
+    return top
 
 
 SQL_TOP_TOKENS = """
-SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS hh_bounds_ok FROM (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents
 ) GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
