@@ -35,7 +35,8 @@ __all__ = [
     "bloom_might_contain",
 ]
 
-# 16 fixed odd seeds (golden-ratio multiples, uint64 wraparound is fine)
+# 16 fixed distinct seeds (golden-ratio multiples with uint64 wraparound;
+# they only feed an xor before splitmix64, so no parity/oddness is needed)
 _SEEDS = np.uint64(0x9E3779B97F4A7C15) * np.arange(1, 17, dtype=np.uint64)
 
 

@@ -71,6 +71,7 @@ def _bucketed_combine(
     buckets: int | None = None,
     round_cols: dict[str, int] | None = None,
     topk: tuple[int, list[str], list[bool]] | None = None,
+    prune: "callable | None" = None,
 ) -> pd.DataFrame:
     """Cluster-side final combine for HIGH-cardinality grouped partials:
     hash ``keys[0]`` into ``buckets`` shuffle partitions and run one
@@ -78,7 +79,11 @@ def _bucketed_combine(
     distinct key (~0.4 ms each) and never a driver-side reduce whose
     memory is O(distinct keys). ``topk=(n, cols, ascending)`` prunes
     each bucket to its local top-n (the global top-n is a subset of the
-    union of per-bucket top-ns), bounding what reaches the driver."""
+    union of per-bucket top-ns), bounding what reaches the driver;
+    ``prune`` is the general form — an arbitrary per-bucket
+    DataFrame -> DataFrame reducer applied after the groupby (callers
+    with a union-of-criteria prune pass this instead of forking the
+    bucketing machinery)."""
     if buckets is None:
         buckets = _pair_buckets()
 
@@ -98,6 +103,8 @@ def _bucketed_combine(
         if topk is not None:
             n, cols, asc = topk
             out = out.sort_values(cols, ascending=asc).head(n)
+        if prune is not None:
+            out = prune(out)
         return out
 
     return (
@@ -554,28 +561,43 @@ def q_customers_no_orders(sf_dir: str):
        never shuffle. Only the bloom-positive sliver (true hits + fpp)
        pays the bucketed exact anti-join against the order keys.
 
-    Cost model: two pruned single-column scans of customer replace
-    shuffling its full keyset — columnar scans are the cheap resource,
-    the all-to-all exchange is the scarce one, and the exchange now
-    carries ~hit_rate + 1% of the probe side. Exactness is unaffected
-    (no false negatives; positives are exact-checked), pinned by the
-    unchanged SQL oracle + a planted-fpp unit test."""
+    Cost model: a few row-group-pruned single-column scans replace
+    shuffling the probe side's full keyset — columnar scans are the
+    cheap resource, the all-to-all exchange is the scarce one, and the
+    exchange now carries ~hit_rate + 1% of the probe side. Exactness is
+    unaffected (no false negatives; positives are exact-checked),
+    pinned by the unchanged SQL oracle + a planted-fpp unit test."""
     B = _pair_buckets()
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # the price predicate is pushed into the parquet scan (row-group
+    # stats pruning, Arrow-side evaluation) for every pass below
+    hi_orders = _read(sf_dir, "orders", ["o_custkey"],
+                      filter=pc.field("o_totalprice") > 400_000)
 
     # -- build the filter over qualifying order keys (cluster-side) --
-    n_hint = orders.count()  # parquet metadata upper bound, no scan
+    # size from the FILTERED key count (one pruned single-column pass):
+    # every map_batches task ships a full m_bits bitmap regardless of
+    # its key count, so sizing from the raw table row count would
+    # multiply the whole bitmap exchange by the inverse selectivity
+    n_hint = hi_orders.count()
+    if n_hint == 0:
+        # no qualifying orders: every customer is a bloom-negative
+        return cust.to_pandas().astype({"c_custkey": "int64"}) \
+            .sort_values("c_custkey").reset_index(drop=True)
     m_bits, k_hashes = BLOOM.bloom_params(n_hint, fpp=0.01)
 
     def o_bitmap(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df.loc[df["o_totalprice"] > 400_000, "o_custkey"] \
-                 .astype("int64").to_numpy()
+        keys = df["o_custkey"].astype("int64").to_numpy()
         return pd.DataFrame(
             {"words": [BLOOM.bloom_partial(keys, m_bits, k_hashes).tobytes()]})
 
-    parts = orders.map_batches(o_bitmap, batch_format="pandas").to_pandas()
-    bloom_ref = ray.put(BLOOM.bloom_or(parts["words"]))
+    # streaming OR: the driver folds partial bitmaps as they arrive and
+    # holds only the accumulator + one incoming partial (O(bits)), never
+    # all n_batches bitmaps at once
+    bitmaps = hi_orders.map_batches(o_bitmap, batch_format="pandas")
+    bloom_ref = ray.put(BLOOM.bloom_or(
+        w for b in bitmaps.iter_batches(batch_format="pandas")
+        for w in b["words"]))
 
     # -- negatives bypass the shuffle entirely --
     def c_negatives(df: pd.DataFrame) -> pd.DataFrame:
@@ -593,13 +615,12 @@ def q_customers_no_orders(sf_dir: str):
         return pd.DataFrame({"key": k, "side": "c", "bucket": k % B})
 
     def o_prep(df: pd.DataFrame) -> pd.DataFrame:
-        # filter at the map, pre-shrink the probe side to distinct keys
-        k = df.loc[df["o_totalprice"] > 400_000, "o_custkey"] \
-              .astype("int64").drop_duplicates()
+        # pre-shrink the build side to distinct keys per batch
+        k = df["o_custkey"].astype("int64").drop_duplicates()
         return pd.DataFrame({"key": k, "side": "o", "bucket": k % B})
 
     both = cust.map_batches(c_positives, batch_format="pandas").union(
-        orders.map_batches(o_prep, batch_format="pandas")
+        hi_orders.map_batches(o_prep, batch_format="pandas")
     )
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
@@ -1283,7 +1304,9 @@ def q_top_tokens(sf_dir: str):
         c = toks.value_counts()
         summ = SK.topk_summarize_counts(c, m=64)
         eps = int(summ["eps"].iloc[0]) if len(summ) else 0
-        kept = c.index.isin(summ["token"])
+        # summ is by construction the descending head of c, so the kept
+        # mask is positional — no hash-set membership over the vocab
+        kept = np.arange(len(c)) < len(summ)
         out = pd.DataFrame({
             "token": c.index.to_numpy(),
             "n": c.to_numpy().astype(np.int64),
@@ -1294,15 +1317,8 @@ def q_top_tokens(sf_dir: str):
         return pd.concat([out, sentinel.astype(out.dtypes)], ignore_index=True)
 
     parts = ds.map_batches(counts, batch_format="pandas", batch_size=8192)
-    buckets = _pair_buckets()
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
-        return df.assign(_b=(h % buckets).astype("int64"))
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="_b").groupby("token", as_index=False).agg(
-            n=("n", "sum"), lo=("lo", "sum"), es=("es", "sum"))
+    def prune(out: pd.DataFrame) -> pd.DataFrame:
         # union prune: bucket-local top-20 by exact count (the result
         # rows), top-20 by summary lower bound (so the global 20th-
         # largest lower is computable exactly), and the eps sentinel
@@ -1311,8 +1327,8 @@ def q_top_tokens(sf_dir: str):
         keep = pd.concat([by_n, by_lo, out[out["token"] == ""]])
         return keep[~keep.index.duplicated()]
 
-    agg = (parts.map_batches(add_bucket, batch_format="pandas")
-           .groupby("_b").map_groups(combine, batch_format="pandas").to_pandas())
+    agg = _bucketed_combine(parts, ["token"],
+                            {"n": "sum", "lo": "sum", "es": "sum"}, prune=prune)
     total_eps = int(agg.loc[agg["token"] == "", "es"].sum())
     real = agg[agg["token"] != ""].copy()
     real["upper"] = real["lo"] + (total_eps - real["es"])

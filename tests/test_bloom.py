@@ -51,7 +51,7 @@ def test_negative_keys_and_empty_batches():
     assert bloom.bloom_might_contain(words, np.array([], dtype=np.int64), k).size == 0
 
 
-def test_pruned_antijoin_exact_under_heavy_fpp(ray_session):
+def test_pruned_antijoin_exact_under_heavy_fpp():
     """customers_no_orders stays oracle-exact even when the filter is
     DELIBERATELY tiny (high fpp): positives are exact-checked, so false
     positives cost shuffle volume, never correctness. Exercised through

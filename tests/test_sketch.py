@@ -98,6 +98,37 @@ def test_merge_empty_and_exact_when_nothing_dropped():
         assert row["lower"] == row["upper"] == true[tok]
 
 
+def test_sentinel_encoding_matches_topk_merge():
+    """Drift guard: q_top_tokens renders the merge as a bucketed combine
+    over sentinel-encoded rows (lo / es columns + one eps row per batch)
+    instead of bid-tagged topk_merge; both must produce identical
+    [lower, upper] bounds or one of the two implementations has drifted."""
+    rng = np.random.default_rng(3)
+    batches = [list(rng.choice([f"t{i}" for i in range(40)], size=200))
+               for _ in range(7)]
+    m = 8
+    # reference: bid-tagged summaries through topk_merge (untruncated)
+    parts = _batches_to_parts(batches, m=m)
+    ref = SK.topk_merge(parts, k=10**9).set_index("token")
+    # query-style: per-batch rows (token, lo, es) + one ("", 0, eps)
+    # sentinel, merged with plain per-token sums
+    rows = []
+    for toks in batches:
+        s = SK.topk_summarize(pd.Series(toks), m=m)
+        eps = int(s["eps"].iloc[0]) if len(s) else 0
+        rows.append(pd.DataFrame(
+            {"token": s["token"], "lo": s["n"], "es": eps}))
+        rows.append(pd.DataFrame({"token": [""], "lo": [0], "es": [eps]}))
+    merged = pd.concat(rows).groupby("token").sum()
+    total_eps = int(merged.loc["", "es"])
+    merged = merged.drop(index="")
+    merged["upper"] = merged["lo"] + (total_eps - merged["es"])
+    assert set(merged.index) == set(ref.index)
+    for tok in merged.index:
+        assert merged.loc[tok, "lo"] == ref.loc[tok, "lower"], tok
+        assert merged.loc[tok, "upper"] == ref.loc[tok, "upper"], tok
+
+
 def test_summarize_counts_matches_summarize():
     toks = pd.Series(["a"] * 4 + ["b"] * 2 + ["c"])
     a = SK.topk_summarize(toks, m=2)
