@@ -26,6 +26,7 @@ import ray.data
 
 from .functions import bloom as BLOOM
 from .functions import hashing as H
+from .functions import quantile as QU
 from .functions import sketch as SK
 from .functions import textstats as TS
 
@@ -688,18 +689,48 @@ def q_median_prices(sf_dir: str):
     group) and narrows until every group's candidate bin is small,
     then one filtered pass collects the survivors. O(passes) scans for
     ALL groups together — no per-group full sort, no join, no global
-    sort, no full materialization."""
+    sort, no full materialization.
+
+    Fused into the FIRST stats pass: a mergeable quantile summary
+    (functions/quantile.py) of the global price column — the
+    SINGLE-pass 100 TB quantile path for when even O(passes) scans are
+    too many. Each batch emits one compact weighted summary row; the
+    driver folds them binary-counter-style while streaming
+    ``iter_batches`` (O(k log batches) driver state, same shape as the
+    Bloom build's streaming OR). Self-gating oracle: the summary's
+    median interval (guaranteed by its explicit rank-error budget to
+    bracket the true median) must contain the exact histogram-narrowed
+    median — asserted in-query, surfaced as the constant ``qsketch_ok``
+    column the SQL oracle also emits."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
     BINS = 512
+    QK = 1024
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("o_orderpriority")["o_totalprice"]
         out = g.agg(n="count", lo="min", hi="max").reset_index()
         v = df["o_totalprice"]
         out.loc[len(out)] = ["ALL", len(v), v.min(), v.max()]
+        out["qs"] = None
+        qvals, qwts, qerr, qn = QU.qsummary(v.to_numpy(), k=QK)
+        out.loc[len(out)] = ["__QS__", 0, np.nan, np.nan, np.concatenate(
+            [[qerr, float(qn)], qvals, qwts]).tobytes()]
         return out
 
-    parts = ds.map_batches(stats, batch_format="pandas", batch_size=65536).to_pandas()
+    stat_rows: list[pd.DataFrame] = []
+
+    def _summaries():
+        stream = ds.map_batches(stats, batch_format="pandas", batch_size=65536)
+        for b in stream.iter_batches(batch_format="pandas"):
+            qs_mask = b["o_orderpriority"] == "__QS__"
+            stat_rows.append(b.loc[~qs_mask].drop(columns="qs"))
+            for buf in b.loc[qs_mask, "qs"]:
+                arr = np.frombuffer(buf, dtype=np.float64)
+                m = (len(arr) - 2) // 2
+                yield arr[2:2 + m], arr[2 + m:], float(arr[0]), int(arr[1])
+
+    summary = QU.qfold(_summaries(), k=QK)
+    parts = pd.concat(stat_rows, ignore_index=True)
     agg = parts.groupby("o_orderpriority").agg(
         n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
     state: dict[str, list] = {}
@@ -761,15 +792,30 @@ def q_median_prices(sf_dir: str):
 
     vals = ds.map_batches(in_range, batch_format="pandas").to_pandas()
     rows = []
+    exact_all = None
     for grp, s in sorted(state.items()):
         v = np.sort(vals.loc[vals["grp"] == grp, "o_totalprice"].to_numpy())
-        rows.append((grp, round(float(v[s[2] - 1]), 2)))
-    return pd.DataFrame(rows, columns=["o_orderpriority", "median_price"])
+        exact = float(v[s[2] - 1])
+        if grp == "ALL":
+            exact_all = exact
+        rows.append((grp, round(exact, 2)))
+    # gate the single-pass summary against the exact path: its median
+    # interval carries a proven rank-error budget, so containment can
+    # only fail on an implementation bug — which should go red here
+    n_all = int(agg.loc["ALL", "n"])
+    qlo, qhi = QU.quantile_interval(summary, (n_all + 1) // 2)
+    if not (qlo - 1e-9 <= exact_all <= qhi + 1e-9):
+        raise AssertionError(
+            f"qsketch_ok: exact median {exact_all} outside the quantile "
+            f"summary interval [{qlo}, {qhi}] (err={summary[2]:.1f})")
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "median_price"])
+    out["qsketch_ok"] = True
+    return out
 
 
 SQL_MEDIAN_PRICES = """
 WITH per AS (
-  SELECT o_orderpriority, ROUND(v, 2) AS median_price FROM (
+  SELECT o_orderpriority, ROUND(v, 2) AS median_price, TRUE AS qsketch_ok FROM (
     SELECT o_orderpriority, o_totalprice AS v,
            row_number() OVER (PARTITION BY o_orderpriority
                               ORDER BY o_totalprice) AS rn,
@@ -777,7 +823,7 @@ WITH per AS (
     FROM orders
   ) WHERE rn = (n + 1) // 2
 ), allr AS (
-  SELECT 'ALL' AS o_orderpriority, ROUND(v, 2) AS median_price FROM (
+  SELECT 'ALL' AS o_orderpriority, ROUND(v, 2) AS median_price, TRUE AS qsketch_ok FROM (
     SELECT o_totalprice AS v,
            row_number() OVER (ORDER BY o_totalprice) AS rn,
            COUNT(*) OVER () AS n
