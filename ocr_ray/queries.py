@@ -3143,6 +3143,243 @@ def q_multimodal_features(sf_dir: str):
               .reset_index(drop=True)
 
 
+# --------------------------------------------------------------- window functions / OLAP
+
+
+def q_user_event_gaps(sf_dir: str):
+    """Per-key LAG window: inter-event gaps per user — the distributed
+    shape of SQL's ``ts - LAG(ts) OVER (PARTITION BY user ORDER BY
+    ts)``. Users are hashed into _pair_buckets() shuffle partitions
+    (same rationale as q_session_stats: one pandas group per USER is
+    the shuffle-side bottleneck at millions of users; each bucket diffs
+    thousands of users in ONE vectorized sort+shift pass). The gap
+    multiset is invariant to tie order among equal timestamps, so both
+    sides only need ORDER BY ts. Raw events shuffle exactly once,
+    bucketed; output is O(users with >= 2 events)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return pd.DataFrame({"user_id": u, "ts": df["ts"], "_b": u % B})
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        # date_diff('second', ...) semantics: whole-second boundary
+        # crossings (floor both endpoints first), as in q_session_stats
+        gap = g["ts"].dt.floor("s").diff().dt.total_seconds().where(same_user)
+        per = pd.DataFrame({"user_id": g["user_id"], "gap": gap}).dropna()
+        out = per.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), avg_gap_sec=("gap", "mean"),
+            max_gap_sec=("gap", "max"))
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "n_gaps": out["n_gaps"].astype("int64"),
+            # integer-second gaps sum exactly in float64, so the mean is
+            # bit-identical to the oracle's AVG(BIGINT)
+            "avg_gap_sec": out["avg_gap_sec"].astype(float).round(4),
+            "max_gap_sec": out["max_gap_sec"].astype("int64"),
+        })
+
+    out = ds.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("_b").map_groups(gaps_bucket, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS gap
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap), 4) AS avg_gap_sec,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_sec
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_ranked_orders(sf_dir: str):
+    """Per-key ROW_NUMBER window: top-3 orders per customer by price
+    with an explicit rank column. Every batch first prunes to its LOCAL
+    per-customer top-3 (the global top-3 per key is a subset of the
+    union of per-batch top-3s), so the shuffle carries <= 3 rows per
+    (customer, batch) instead of the whole order table; the bucketed
+    map_groups then ranks thousands of customers per bucket in one
+    vectorized sort + cumcount. Rank is made total by breaking price
+    ties on orderkey — required for a deterministic distributed window
+    (an unordered tie would make the result shuffle-dependent)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    B = _pair_buckets()
+    ORDER = ["o_custkey", "o_totalprice", "o_orderkey"]
+    ASC = [True, False, True]
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ORDER, ascending=ASC)
+        df = df.groupby("o_custkey", sort=False).head(3)
+        return df.assign(_b=df["o_custkey"].astype("int64") % B)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="_b").sort_values(ORDER, ascending=ASC)
+        rnk = g.groupby("o_custkey", sort=False).cumcount() + 1
+        g = g.assign(rnk=rnk)[rnk <= 3]
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_totalprice": g["o_totalprice"].astype(float).round(2),
+            "rnk": g["rnk"].astype("int64"),
+        })
+
+    out = ds.map_batches(local_top, batch_format="pandas") \
+            .groupby("_b").map_groups(rank_bucket, batch_format="pandas").to_pandas()
+    return out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+
+
+SQL_RANKED_ORDERS = """
+SELECT * FROM (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         ROUND(o_totalprice, 2) AS o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_cumulative_revenue(sf_dir: str):
+    """Running total over the date axis (SQL ``SUM(..) OVER (ORDER BY
+    date)``) — the distributed prefix-sum shape: per-batch partial sums
+    per date, bucketed combine to ONE row per date, then the cumulative
+    sum runs over the O(distinct dates) aggregate — bounded, because a
+    date axis grows with calendar time, not data volume (~2.4k rows
+    here and still ~10k at 100 TB) — never over raw orders. Money is
+    folded in integer cents so the 2,400-step running sum is exact (no
+    float summation-order drift vs the oracle)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    daily = _partial_group_sum(ds, ["o_orderdate"], {"rev": "o_totalprice"},
+                               distributed=True)
+    daily = daily.sort_values("o_orderdate").reset_index(drop=True)
+    cents = np.round(daily["rev"].to_numpy(dtype=float) * 100).astype(np.int64)
+    return pd.DataFrame({
+        "o_orderdate": daily["o_orderdate"],
+        "day_cents": cents,
+        "cum_cents": np.cumsum(cents),
+    })
+
+
+SQL_CUMULATIVE_REVENUE = """
+WITH d AS (
+  SELECT o_orderdate,
+         CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS day_cents
+  FROM orders GROUP BY o_orderdate
+)
+SELECT o_orderdate, day_cents,
+       CAST(SUM(day_cents) OVER (ORDER BY o_orderdate
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM d
+"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the base aggregate
+    is computed distributed (per-batch partials over a provably tiny
+    key space, _partial_group_sum), and every rollup level is DERIVED
+    from the base rows — one scan of the raw table, subtotals cost
+    O(groups). That is the only rollup shape that holds at 100 TB
+    (never one scan per grouping set). Rolled-up dimensions use the
+    'ALL' sentinel on both sides (the real domain is single chars)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    base = _partial_group_sum(ds, ["l_returnflag", "l_linestatus"],
+                              {"rev": "l_extendedprice"}, counts="n_items")
+    lvl1 = base.groupby("l_returnflag", as_index=False).agg(
+        rev=("rev", "sum"), n_items=("n_items", "sum"))
+    lvl1["l_linestatus"] = "ALL"
+    total = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                          "rev": [base["rev"].sum()],
+                          "n_items": [base["n_items"].sum()]})
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    out["rev"] = out["rev"].astype(float).round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "rev", "n_items"]] \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS rev,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_priority_by_segment(sf_dir: str):
+    """PIVOT (cross-tab): order counts per market segment spread into
+    one column per priority. Shape: per-batch partial counts per
+    (custkey, priority) BEFORE the shuffle, one bucketed hash join with
+    the customer dim (neither side broadcast), per-bucket reduce to
+    (segment, priority) partials, then a tiny driver pivot. The wide
+    layout is produced from an O(segments x priorities) aggregate —
+    never by re-scanning the fact table once per pivot column."""
+    B = _pair_buckets()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_custkey", "o_orderpriority"], as_index=False).size()
+        k = g["o_custkey"].astype("int64")
+        return pd.DataFrame({"key": k, "pri": g["o_orderpriority"],
+                             "n": g["size"].astype("int64"),
+                             "seg": "", "side": "o", "_b": k % B})
+
+    def c_prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({"key": k, "pri": "", "n": np.int64(0),
+                             "seg": df["c_mktsegment"], "side": "c", "_b": k % B})
+
+    both = orders.map_batches(o_prep, batch_format="pandas").union(
+        cust.map_batches(c_prep, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == "o", ["key", "pri", "n"]]
+        right = g.loc[g["side"] == "c", ["key", "seg"]]
+        j = left.merge(right, on="key", how="inner")
+        return j.groupby(["seg", "pri"], as_index=False)["n"].sum()
+
+    parts = both.groupby("_b").map_groups(join_bucket, batch_format="pandas") \
+                .to_pandas()
+    agg = parts.groupby(["seg", "pri"], as_index=False)["n"].sum()
+    wide = agg.pivot(index="seg", columns="pri", values="n") \
+              .fillna(0).astype("int64").rename_axis(columns=None)
+    colmap = {"1-URGENT": "n_urgent", "2-HIGH": "n_high",
+              "3-MEDIUM": "n_medium", "4-NOT SPECIFIED": "n_notspec",
+              "5-LOW": "n_low"}
+    wide = wide.rename(columns=colmap).reset_index() \
+               .rename(columns={"seg": "c_mktsegment"})
+    cols = ["c_mktsegment", "n_urgent", "n_high", "n_medium", "n_notspec",
+            "n_low"]
+    for c in cols[1:]:
+        if c not in wide:
+            wide[c] = np.int64(0)
+    return wide[cols].sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_PIVOT_PRIORITY_BY_SEGMENT = """
+SELECT c_mktsegment,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -3194,6 +3431,11 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "range_join_events": q_range_join_events,
     "dedup_clusters": q_dedup_clusters,
+    "user_event_gaps": q_user_event_gaps,
+    "ranked_orders": q_ranked_orders,
+    "cumulative_revenue": q_cumulative_revenue,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_priority_by_segment": q_pivot_priority_by_segment,
 }
 
 ORACLE_SQL = {
@@ -3240,4 +3482,9 @@ ORACLE_SQL = {
     "party_nation_counts": SQL_PARTY_NATION_COUNTS,
     "top_orders": SQL_TOP_ORDERS,
     "approx_distinct_orderkeys": SQL_APPROX_DISTINCT_ORDERKEYS,
+    "user_event_gaps": SQL_USER_EVENT_GAPS,
+    "ranked_orders": SQL_RANKED_ORDERS,
+    "cumulative_revenue": SQL_CUMULATIVE_REVENUE,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "pivot_priority_by_segment": SQL_PIVOT_PRIORITY_BY_SEGMENT,
 }

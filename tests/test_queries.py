@@ -45,6 +45,11 @@ SUBSET = [
     "value_hour_corr",
     "price_stddev_by_priority",
     "price_histogram",
+    "user_event_gaps",
+    "ranked_orders",
+    "cumulative_revenue",
+    "rollup_revenue",
+    "pivot_priority_by_segment",
 ]
 
 
@@ -354,3 +359,42 @@ def test_dedup_clusters_matches_union_find(ray_session):
     # cluster ids are the component minimum (a member of the cluster)
     assert (got.groupby("cluster_id")["vec_id"].min()
             == got["cluster_id"].unique()).all()
+
+
+def test_ranked_orders_rank_is_total_and_contiguous(ray_session):
+    """Per-customer ranks must be exactly 1..min(3, n_orders) with no
+    gaps or duplicates (a shuffle-dependent tie-break would break
+    this), and every ranked price must be >= any unranked price of the
+    same customer."""
+    out = Q.QUERIES["ranked_orders"](SF)
+    for _, g in out.groupby("o_custkey"):
+        assert list(g.sort_values("rnk")["rnk"]) == list(range(1, len(g) + 1))
+        # within the returned top-3, price is non-increasing with rank
+        p = g.sort_values("rnk")["o_totalprice"].to_numpy()
+        assert (np.diff(p) <= 1e-9).all()
+
+
+def test_cumulative_revenue_prefix_property(ray_session):
+    """cum_cents must be the exact integer prefix sum of day_cents in
+    date order, and the final value must equal the table total."""
+    out = Q.QUERIES["cumulative_revenue"](SF)
+    assert out["o_orderdate"].is_monotonic_increasing
+    assert (out["cum_cents"].to_numpy()
+            == np.cumsum(out["day_cents"].to_numpy())).all()
+    con = duckdb.connect()
+    total = con.execute(
+        f"SELECT CAST(ROUND(SUM(o_totalprice)*100) AS BIGINT) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert abs(int(out["cum_cents"].iloc[-1]) - int(total)) <= 1
+
+
+def test_rollup_levels_consistent(ray_session):
+    """Each rollup level must re-aggregate exactly from the level below
+    (single-scan derivation invariant)."""
+    out = Q.QUERIES["rollup_revenue"](SF)
+    base = out[(out.l_returnflag != "ALL") & (out.l_linestatus != "ALL")]
+    lvl1 = out[(out.l_returnflag != "ALL") & (out.l_linestatus == "ALL")]
+    total = out[(out.l_returnflag == "ALL") & (out.l_linestatus == "ALL")]
+    re1 = base.groupby("l_returnflag")["n_items"].sum()
+    assert (lvl1.set_index("l_returnflag")["n_items"] == re1).all()
+    assert int(total["n_items"].iloc[0]) == int(base["n_items"].sum())
