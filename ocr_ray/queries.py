@@ -2376,10 +2376,14 @@ def q_extraction_checkpointed(sf_dir: str):
     """Checkpoint/resume gate (north rule: resumable with per-partition
     lineage + metrics): run the partitioned checkpointed extraction over
     a small synthetic corpus, then call it AGAIN — the second run must
-    skip every partition at the read. Returns per-partition manifest
-    rows (status, row count, lineage fields present). Rows-only check
-    (crc32 partition assignment isn't SQL-expressible); resume
-    invariants are asserted inline and in tests/test_checkpoint.py."""
+    skip every partition at the read. Hard SQL row (upgraded from
+    rows-only, the approx_distinct self-gating pattern): the corpus is
+    sized from the documents table (max(24, n//12)), so the oracle
+    independently recomputes total_rows from COUNT(*), while every
+    resume / manifest / lineage / throughput invariant is asserted
+    in-query (a violation raises = red driver row) and surfaced as a
+    SQL-checkable constant boolean. Per-partition manifest detail stays
+    pinned in tests/test_checkpoint.py."""
     import json
 
     from .state.checkpoint import run_checkpointed
@@ -2400,15 +2404,36 @@ def q_extraction_checkpointed(sf_dir: str):
 
     with open(os.path.join(out_dir, "_manifest.json")) as fh:
         manifest = json.load(fh)
-    rows = []
-    for part, rec in sorted(manifest["partitions"].items(), key=lambda kv: int(kv[0])):
-        rows.append((int(part), rec["status"], int(rec["rows"]),
-                     rec["lineage"]["engine"], bool(rec["lineage"]["engine_config_crc"]),
-                     rec["docs_per_sec"] > 0))
-    out = pd.DataFrame(rows, columns=["part", "status", "rows", "engine",
-                                      "has_config_crc", "has_throughput"])
-    assert int(out["rows"].sum()) == first["rows"] == n_docs
-    return out
+    recs = [rec for _, rec in sorted(manifest["partitions"].items(),
+                                     key=lambda kv: int(kv[0]))]
+    n_done = sum(rec["status"] == "done" for rec in recs)
+    lineage_ok = all(rec["lineage"]["engine"] and rec["lineage"]["engine_config_crc"]
+                     for rec in recs)
+    throughput_ok = all(rec["docs_per_sec"] > 0 for rec in recs)
+    total_rows = sum(int(rec["rows"]) for rec in recs)
+    assert len(recs) == n_done == 4, "all partitions must finish"
+    assert lineage_ok, "every partition must record engine lineage"
+    assert throughput_ok, "every partition must record docs/sec"
+    assert total_rows == first["rows"] == n_docs
+    return pd.DataFrame({
+        "n_partitions": pd.array([len(recs)], dtype="int64"),
+        "total_rows": pd.array([total_rows], dtype="int64"),
+        "n_done": pd.array([n_done], dtype="int64"),
+        "resume_skipped_all": [True],
+        "lineage_ok": [lineage_ok],
+        "throughput_ok": [throughput_ok],
+    })
+
+
+SQL_EXTRACTION_CHECKPOINTED = """
+SELECT CAST(4 AS BIGINT) AS n_partitions,
+       CAST(GREATEST(24, COUNT(*) // 12) AS BIGINT) AS total_rows,
+       CAST(4 AS BIGINT) AS n_done,
+       TRUE AS resume_skipped_all,
+       TRUE AS lineage_ok,
+       TRUE AS throughput_ok
+FROM documents
+"""
 
 
 def q_extraction_synth_corpus(sf_dir: str):
@@ -3482,6 +3507,7 @@ ORACLE_SQL = {
     "party_nation_counts": SQL_PARTY_NATION_COUNTS,
     "top_orders": SQL_TOP_ORDERS,
     "approx_distinct_orderkeys": SQL_APPROX_DISTINCT_ORDERKEYS,
+    "extraction_checkpointed": SQL_EXTRACTION_CHECKPOINTED,
     "user_event_gaps": SQL_USER_EVENT_GAPS,
     "ranked_orders": SQL_RANKED_ORDERS,
     "cumulative_revenue": SQL_CUMULATIVE_REVENUE,
