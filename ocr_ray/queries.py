@@ -3405,6 +3405,91 @@ GROUP BY c_mktsegment
 """
 
 
+def q_props_field_stats(sf_dir: str):
+    """Semi-structured field extraction: ``events.props`` holds a JSON
+    string ('{"k": 87}'); the k field is pulled out with ONE
+    compiled-regex vectorized pass per batch (pandas ``str.extract``,
+    C regex engine — never ``json.loads`` per row in a hot path) and
+    aggregated per event_type with the usual partial-then-combine.
+    Integer sums stay exact in float64, so the mean is bit-identical
+    to the oracle's AVG. Pure map-side: no shuffle of raw rows, the
+    driver sees O(event_types) partials."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False),
+            errors="coerce")
+        return pd.DataFrame({"event_type": df["event_type"], "k": k}) \
+            .groupby("event_type", as_index=False) \
+            .agg(n=("k", "count"), sum_k=("k", "sum"), max_k=("k", "max"))
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max"))
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype("int64"),
+        "avg_k": (out["sum_k"] / out["n"]).round(4),
+        "max_k": out["max_k"].astype("int64"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PROPS_FIELD_STATS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n,
+       ROUND(AVG(k), 4) AS avg_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM e GROUP BY event_type
+"""
+
+
+def q_orders_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: Bernoulli-by-hash with a
+    per-stratum rate (1-in-5 of urgent orders, 1-in-20 of the rest)
+    using a 32-bit multiplicative Knuth hash computed identically in
+    numpy and ANSI SQL. Sampling becomes a pure stateless map_batches
+    filter — no RNG state, no shuffle, and the sample is reproducible
+    across cluster sizes, block layouts and checkpoint resumes (the
+    property a 100 TB re-runnable pipeline needs; ds.random_sample()
+    gives none of it). The key is pre-reduced mod 2^31 so the product
+    stays inside BIGINT for the SQL side at any key scale."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    M = np.uint64(2654435761)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(dtype=np.uint64)
+        h = ((k % np.uint64(2**31)) * M) % np.uint64(2**32)
+        urgent = (df["o_orderpriority"] == "1-URGENT").to_numpy()
+        rate = np.where(urgent, np.uint64(5), np.uint64(20))
+        out = df.loc[h % rate == 0,
+                     ["o_orderkey", "o_orderpriority", "o_totalprice"]].copy()
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        out["o_totalprice"] = out["o_totalprice"].astype(float).round(2)
+        return out
+
+    out = ds.map_batches(pick, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_STRATIFIED_SAMPLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderpriority,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE (((o_orderkey % 2147483648) * 2654435761) % 4294967296)
+      % (CASE WHEN o_orderpriority = '1-URGENT' THEN 5 ELSE 20 END) = 0
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -3461,6 +3546,8 @@ QUERIES = {
     "cumulative_revenue": q_cumulative_revenue,
     "rollup_revenue": q_rollup_revenue,
     "pivot_priority_by_segment": q_pivot_priority_by_segment,
+    "props_field_stats": q_props_field_stats,
+    "orders_stratified_sample": q_orders_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -3513,4 +3600,6 @@ ORACLE_SQL = {
     "cumulative_revenue": SQL_CUMULATIVE_REVENUE,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "pivot_priority_by_segment": SQL_PIVOT_PRIORITY_BY_SEGMENT,
+    "props_field_stats": SQL_PROPS_FIELD_STATS,
+    "orders_stratified_sample": SQL_ORDERS_STRATIFIED_SAMPLE,
 }

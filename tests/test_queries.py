@@ -50,6 +50,8 @@ SUBSET = [
     "cumulative_revenue",
     "rollup_revenue",
     "pivot_priority_by_segment",
+    "props_field_stats",
+    "orders_stratified_sample",
 ]
 
 
@@ -398,3 +400,22 @@ def test_rollup_levels_consistent(ray_session):
     re1 = base.groupby("l_returnflag")["n_items"].sum()
     assert (lvl1.set_index("l_returnflag")["n_items"] == re1).all()
     assert int(total["n_items"].iloc[0]) == int(base["n_items"].sum())
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    """The hash sample must hit each stratum near its nominal rate and
+    be byte-identical across runs (no RNG state anywhere)."""
+    a = Q.QUERIES["orders_stratified_sample"](SF)
+    b = Q.QUERIES["orders_stratified_sample"](SF)
+    pd.testing.assert_frame_equal(a, b)
+    import duckdb as dk
+    tot = dk.connect().execute(
+        f"SELECT o_orderpriority, COUNT(*) AS n FROM '{SF}/orders.parquet' GROUP BY 1"
+    ).df().set_index("o_orderpriority")["n"]
+    got = a.groupby("o_orderpriority").size()
+    for pri, n in tot.items():
+        rate = got.get(pri, 0) / n
+        nominal = 0.2 if pri == "1-URGENT" else 0.05
+        # binomial noise at sf0.001 strata (~300 rows) is wide; 3 sigma
+        sigma = (nominal * (1 - nominal) / n) ** 0.5
+        assert abs(rate - nominal) < max(3 * sigma, 0.03), (pri, rate)
