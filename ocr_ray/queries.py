@@ -3202,8 +3202,11 @@ def q_user_event_gaps(sf_dir: str):
             "user_id": out["user_id"].astype("int64"),
             "n_gaps": out["n_gaps"].astype("int64"),
             # integer-second gaps sum exactly in float64, so the mean is
-            # bit-identical to the oracle's AVG(BIGINT)
-            "avg_gap_sec": out["avg_gap_sec"].astype(float).round(4),
+            # bit-identical to the oracle's AVG(BIGINT) — emitted
+            # UNROUNDED: with ~2^k gaps per user the mean often lands
+            # exactly on a 4-decimal midpoint, where pandas (half-even)
+            # and SQL ROUND (half-away) disagree
+            "avg_gap_sec": out["avg_gap_sec"].astype(float),
             "max_gap_sec": out["max_gap_sec"].astype("int64"),
         })
 
@@ -3220,7 +3223,7 @@ WITH g AS (
 )
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(COUNT(*) AS BIGINT) AS n_gaps,
-       ROUND(AVG(gap), 4) AS avg_gap_sec,
+       AVG(gap) AS avg_gap_sec,
        CAST(MAX(gap) AS BIGINT) AS max_gap_sec
 FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
@@ -3431,7 +3434,10 @@ def q_props_field_stats(sf_dir: str):
     return pd.DataFrame({
         "event_type": out["event_type"],
         "n": out["n"].astype("int64"),
-        "avg_k": (out["sum_k"] / out["n"]).round(4),
+        # unrounded: exact integer sums make the mean bit-identical to
+        # SQL AVG, and rounding would reintroduce the half-even vs
+        # half-away midpoint mismatch (see q_user_event_gaps)
+        "avg_k": out["sum_k"] / out["n"],
         "max_k": out["max_k"].astype("int64"),
     }).sort_values("event_type").reset_index(drop=True)
 
@@ -3444,7 +3450,7 @@ WITH e AS (
 )
 SELECT event_type,
        CAST(COUNT(k) AS BIGINT) AS n,
-       ROUND(AVG(k), 4) AS avg_k,
+       AVG(k) AS avg_k,
        CAST(MAX(k) AS BIGINT) AS max_k
 FROM e GROUP BY event_type
 """
