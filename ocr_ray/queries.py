@@ -2416,9 +2416,9 @@ def q_extraction_checkpointed(sf_dir: str):
     assert throughput_ok, "every partition must record docs/sec"
     assert total_rows == first["rows"] == n_docs
     return pd.DataFrame({
-        "n_partitions": pd.array([len(recs)], dtype="int64"),
-        "total_rows": pd.array([total_rows], dtype="int64"),
-        "n_done": pd.array([n_done], dtype="int64"),
+        "n_partitions": [len(recs)],
+        "total_rows": [total_rows],
+        "n_done": [n_done],
         "resume_skipped_all": [True],
         "lineage_ok": [lineage_ok],
         "throughput_ok": [throughput_ok],
@@ -3431,6 +3431,10 @@ def q_props_field_stats(sf_dir: str):
                            batch_size=65536).to_pandas()
     out = parts.groupby("event_type", as_index=False).agg(
         n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max"))
+    # rows without a "k" field coerce to NaN and drop out of n/sum/max;
+    # an event_type with NO match anywhere would leave max_k=NaN, so it
+    # is excluded on both sides (HAVING COUNT(k) > 0 in the oracle)
+    out = out[out["n"] > 0]
     return pd.DataFrame({
         "event_type": out["event_type"],
         "n": out["n"].astype("int64"),
@@ -3445,7 +3449,7 @@ def q_props_field_stats(sf_dir: str):
 SQL_PROPS_FIELD_STATS = """
 WITH e AS (
   SELECT event_type,
-         CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+         TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
   FROM events
 )
 SELECT event_type,
@@ -3453,6 +3457,7 @@ SELECT event_type,
        AVG(k) AS avg_k,
        CAST(MAX(k) AS BIGINT) AS max_k
 FROM e GROUP BY event_type
+HAVING COUNT(k) > 0
 """
 
 

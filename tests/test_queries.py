@@ -419,3 +419,22 @@ def test_stratified_sample_rates_and_determinism(ray_session):
         # binomial noise at sf0.001 strata (~300 rows) is wide; 3 sigma
         sigma = (nominal * (1 - nominal) / n) ** 0.5
         assert abs(rate - nominal) < max(3 * sigma, 0.03), (pri, rate)
+
+
+def test_props_field_stats_tolerates_missing_field(ray_session, tmp_path):
+    """props rows without the extracted field must drop out of the
+    aggregates (not crash either side), and an event_type with no
+    match anywhere must be excluded on BOTH sides."""
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "b", "c", "c"],
+        "props": ['{"k": 3}', '{"x": 9}', '{"nothing": 1}',
+                  '{"k": 7}', '{"k": -2}'],
+    })
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = _norm(Q.QUERIES["props_field_stats"](sf))
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["props_field_stats"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    assert set(mine["event_type"]) == {"a", "c"}  # 'b' has no k anywhere
