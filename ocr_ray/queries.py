@@ -3501,6 +3501,98 @@ WHERE (((o_orderkey % 2147483648) * 2654435761) % 4294967296)
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF relevance scoring: top-3 terms per document by
+    tf * ln(N/df). Two bounded shuffles: (1) BY TERM — each (doc, term)
+    tf row is unique, so a term's document frequency is just its
+    bucket-local row count; df computation and score assignment happen
+    in ONE map_groups with no separate join, and each bucket prunes to
+    its per-doc local top-3 (the global top-3 is a subset of the union
+    of per-bucket top-3s) before (2) BY DOC ranks the survivors. The
+    per-bucket state is O(postings/B); the corpus count N comes from
+    parquet metadata. Scores only ORDER the rows (rounded to 9 decimals
+    on both sides so a 1-ulp ln() difference cannot flip a rank); the
+    emitted columns are the integer-exact (tf, df, rank), with ties
+    broken on term so the ranking is total."""
+    import pyarrow.dataset as pads
+    N = pads.dataset(os.path.join(sf_dir, "documents.parquet")).count_rows()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B = _pair_buckets()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks_per = [TS.TOKEN_RE.findall(t.lower()) for t in df["text"]]
+        lens = np.fromiter((len(t) for t in toks_per), dtype=np.int64,
+                           count=len(toks_per))
+        if int(lens.sum()) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="object"),
+                                 "term": pd.Series([], dtype="object"),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "_bt": pd.Series([], dtype="int64")})
+        docs = np.repeat(df["doc_id"].to_numpy(), lens)
+        terms = np.concatenate([np.asarray(t, dtype=object)
+                                for t in toks_per if t])
+        out = pd.DataFrame({"doc_id": docs, "term": terms}) \
+            .groupby(["doc_id", "term"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        out["tf"] = out["tf"].astype("int64")
+        h = pd.util.hash_pandas_object(out["term"], index=False).to_numpy()
+        return out.assign(_bt=(h % B).astype("int64"))
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dfv = g.groupby("term")["term"].transform("size").to_numpy()
+        score = np.round(g["tf"].to_numpy(dtype=float)
+                         * np.log(N / dfv.astype(float)), 9)
+        out = g.drop(columns="_bt").assign(df=dfv.astype("int64"),
+                                           score=score)
+        out = out.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True])
+        out = out.groupby("doc_id", sort=False).head(3)
+        h = pd.util.hash_pandas_object(out["doc_id"], index=False).to_numpy()
+        return out.assign(_bd=(h % B).astype("int64"))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="_bd").sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True])
+        rnk = g.groupby("doc_id", sort=False).cumcount() + 1
+        g = g.assign(rnk=rnk)[rnk <= 3]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": g["tf"].astype("int64"),
+            "df": g["df"].astype("int64"),
+            "rnk": g["rnk"].astype("int64"),
+        })
+
+    out = ds.map_batches(tf_rows, batch_format="pandas", batch_size=4096) \
+            .groupby("_bt").map_groups(score_bucket, batch_format="pandas") \
+            .groupby("_bd").map_groups(rank_bucket, batch_format="pandas") \
+            .to_pandas()
+    return out.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents) * 1.0
+                                     / df.df), 9) DESC,
+                    tf.term) AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -3559,6 +3651,7 @@ QUERIES = {
     "pivot_priority_by_segment": q_pivot_priority_by_segment,
     "props_field_stats": q_props_field_stats,
     "orders_stratified_sample": q_orders_stratified_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLE_SQL = {
@@ -3613,4 +3706,5 @@ ORACLE_SQL = {
     "pivot_priority_by_segment": SQL_PIVOT_PRIORITY_BY_SEGMENT,
     "props_field_stats": SQL_PROPS_FIELD_STATS,
     "orders_stratified_sample": SQL_ORDERS_STRATIFIED_SAMPLE,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
 }

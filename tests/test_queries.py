@@ -52,6 +52,7 @@ SUBSET = [
     "pivot_priority_by_segment",
     "props_field_stats",
     "orders_stratified_sample",
+    "tfidf_top_terms",
 ]
 
 
