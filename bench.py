@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "knn_bruteforce",
     "embedding_similar_pairs",
+    "ranked_orders",
+    "tfidf_top_terms",
 ]
 
 
