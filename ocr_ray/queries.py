@@ -3570,6 +3570,86 @@ def q_tfidf_top_terms(sf_dir: str):
     return out.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
 
 
+def q_profile_orders(sf_dir: str):
+    """Dataset profiling: per-column row count, null count, EXACT
+    distinct count, min and max over the orders numerics — the schema
+    summary every ingestion pipeline runs before training. One scan:
+    each batch emits O(cols) partial stat rows plus its per-column
+    unique values (hash-bucketed by (col, value) so the exact distinct
+    count shuffles deduplicated values, never raw rows — same shape as
+    approx_distinct's exact gate); count/null/min/max fold on the
+    driver at O(cols x batches). At 100 TB the HLL sketch
+    (approx_distinct_orderkeys) is the cheaper distinct path; this is
+    the exact-profile variant."""
+    COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+    ds = _read(sf_dir, "orders", COLS)
+    B = _pair_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in COLS:
+            v = df[c]
+            rows.append((c, len(v), int(v.isna().sum()),
+                         float(v.min()), float(v.max())))
+        return pd.DataFrame(rows, columns=["col", "n", "n_null", "mn", "mx"])
+
+    def uniques(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in COLS:
+            # float64 repr is injective, so distinct-of-repr ==
+            # distinct-of-value (the strings never cross to the oracle)
+            u = pd.Series(df[c].dropna().unique()).astype(str)
+            frames.append(pd.DataFrame({"col": c, "val": u}))
+        out = pd.concat(frames, ignore_index=True)
+        h = pd.util.hash_pandas_object(out["col"] + "\x1f" + out["val"],
+                                       index=False).to_numpy()
+        return out.assign(_b=(h % B).astype("int64"))
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("col", as_index=False)["val"].nunique() \
+                .rename(columns={"val": "nd"})
+
+    stats = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    agg = stats.groupby("col", as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"))
+    nd = ds.map_batches(uniques, batch_format="pandas", batch_size=65536) \
+           .groupby("_b").map_groups(bucket_distinct, batch_format="pandas") \
+           .to_pandas().groupby("col", as_index=False)["nd"].sum()
+    out = agg.merge(nd, on="col")
+    return pd.DataFrame({
+        "col": out["col"],
+        "n": out["n"].astype("int64"),
+        "n_null": out["n_null"].astype("int64"),
+        "n_distinct": out["nd"].astype("int64"),
+        "mn": out["mn"].astype(float),
+        "mx": out["mx"].astype(float),
+    }).sort_values("col").reset_index(drop=True)
+
+
+SQL_PROFILE_ORDERS = """
+SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS DOUBLE) AS mn,
+       CAST(MAX(o_custkey) AS DOUBLE) AS mx
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders
+"""
+
+
 SQL_TFIDF_TOP_TERMS = """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -3652,6 +3732,7 @@ QUERIES = {
     "props_field_stats": q_props_field_stats,
     "orders_stratified_sample": q_orders_stratified_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "profile_orders": q_profile_orders,
 }
 
 ORACLE_SQL = {
@@ -3707,4 +3788,5 @@ ORACLE_SQL = {
     "props_field_stats": SQL_PROPS_FIELD_STATS,
     "orders_stratified_sample": SQL_ORDERS_STRATIFIED_SAMPLE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "profile_orders": SQL_PROFILE_ORDERS,
 }

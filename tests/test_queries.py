@@ -53,6 +53,7 @@ SUBSET = [
     "props_field_stats",
     "orders_stratified_sample",
     "tfidf_top_terms",
+    "profile_orders",
 ]
 
 
