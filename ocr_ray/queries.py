@@ -3673,6 +3673,303 @@ FROM scored WHERE rnk <= 3
 """
 
 
+# ------------------------------------------------- advanced relational
+
+def q_event_funnel(sf_dir: str):
+    """Sequential-pattern (funnel) aggregate over the event stream:
+    "did the user ever VIEW before a later PURCHASE?". The naive plan is
+    an EXISTS self-join (O(views x purchases) pairs per user); this one
+    uses the identity exists(view.ts < purchase.ts) <=> min(view ts) <
+    max(purchase ts), so the whole funnel is a per-batch partial
+    (user, min_view, max_purchase) aggregate + one bucketed combine
+    whose per-bucket reducer collapses straight to counts — raw events
+    never shuffle, the driver receives O(buckets) rows, and no pairwise
+    join is ever formed. The event-type predicate is pushed into the
+    parquet scan."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"],
+               filter=pc.field("event_type").isin(["view", "purchase"]))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.loc[df["event_type"] == "view"].groupby(
+            "user_id", as_index=False).agg(min_view=("ts", "min"))
+        p = df.loc[df["event_type"] == "purchase"].groupby(
+            "user_id", as_index=False).agg(max_purchase=("ts", "max"))
+        return v.merge(p, on="user_id", how="outer")
+
+    def to_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # NaT comparisons are False, so converted needs no extra mask
+        conv = g["min_view"] < g["max_purchase"]
+        return pd.DataFrame({
+            "n_viewers": [int(g["min_view"].notna().sum())],
+            "n_purchasers": [int(g["max_purchase"].notna().sum())],
+            "n_converted": [int(conv.sum())],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    per_bucket = _bucketed_combine(
+        parts, ["user_id"], {"min_view": "min", "max_purchase": "max"},
+        prune=to_counts)
+    out = per_bucket.sum().to_frame().T
+    out["conversion_rate"] = round(
+        float(out.loc[0, "n_converted"]) / float(out.loc[0, "n_viewers"]), 4)
+    for c in ["n_viewers", "n_purchasers", "n_converted"]:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_EVENT_FUNNEL = """
+WITH agg AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS min_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS max_purchase
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY user_id
+)
+SELECT CAST(COUNT(min_view) AS BIGINT) AS n_viewers,
+       CAST(COUNT(max_purchase) AS BIGINT) AS n_purchasers,
+       CAST(COUNT(CASE WHEN min_view < max_purchase THEN 1 END) AS BIGINT)
+         AS n_converted,
+       ROUND(COUNT(CASE WHEN min_view < max_purchase THEN 1 END) * 1.0
+             / COUNT(min_view), 4) AS conversion_rate
+FROM agg
+"""
+
+
+def q_nation_spend_outliers(sf_dir: str):
+    """Join-back-to-group-aggregate pattern: customers whose lifetime
+    spend exceeds 2x their NATION's average customer spend. Plan:
+    (1) per-custkey spend = per-batch partials + bucketed combine,
+    joined against the customer dim (custkey -> nationkey) INSIDE the
+    same custkey-bucketed shuffle (tagged union, one exchange);
+    (2) the per-customer dataset is materialized once (it is ~#customers
+    rows — orders compressed by custkey — and is consumed twice);
+    (3) nation averages are a per-batch partial + driver combine over
+    25 nations, broadcast back via ray.put;
+    (4) outlier filter + per-nation counts are another single partial
+    pass. Driver state: O(nations). Both spend and the threshold are
+    rounded to cents on BOTH sides so summation order cannot flip a
+    borderline comparison."""
+    B = _pair_buckets()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        partial = (pa.table({"key": t["o_custkey"], "spend": t["o_totalprice"]})
+                   .group_by("key").aggregate([("spend", "sum")]))
+        key = partial["key"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "spend": partial["spend_sum"],
+            "nationkey": pa.nulls(partial.num_rows, pa.int64()),
+        })
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "spend": pa.nulls(t.num_rows, pa.float64()),
+            "nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["nationkey"].notna(), ["key", "nationkey"]]
+        spend = g.loc[g["nationkey"].isna()].groupby("key", as_index=False)[
+            "spend"].sum()
+        out = spend.merge(dim, on="key")  # inner: customers with orders
+        out["spend"] = out["spend"].round(2)
+        return out[["key", "nationkey", "spend"]]
+
+    percust = (
+        orders.map_batches(o_prep, batch_format="pyarrow")
+        .union(cust.map_batches(c_prep, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    def nav_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("nationkey", as_index=False).agg(
+            s=("spend", "sum"), n=("spend", "size"))
+
+    nav = percust.map_batches(nav_partial, batch_format="pandas").to_pandas() \
+        .groupby("nationkey", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+    nav["avg_spend"] = (nav["s"] / nav["n"]).round(2)
+    thresholds = ray.put(dict(zip(nav["nationkey"].astype("int64"),
+                                  2.0 * nav["avg_spend"])))
+
+    def outlier_partial(df: pd.DataFrame) -> pd.DataFrame:
+        th = df["nationkey"].map(ray.get(thresholds))
+        hit = df.loc[df["spend"] > th]
+        return hit.groupby("nationkey", as_index=False).agg(
+            n_outliers=("key", "size"), max_spend=("spend", "max"))
+
+    hits = percust.map_batches(outlier_partial, batch_format="pandas").to_pandas()
+    hits = hits.groupby("nationkey", as_index=False).agg(
+        n_outliers=("n_outliers", "sum"), max_spend=("max_spend", "max"))
+    names = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = hits.merge(names, left_on="nationkey", right_on="n_nationkey")
+    out = out.merge(nav[["nationkey", "avg_spend"]], on="nationkey")
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    return out[["n_name", "n_outliers", "max_spend", "avg_spend"]] \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+SQL_NATION_SPEND_OUTLIERS = """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c_nationkey, spend
+  FROM spend JOIN customer ON c_custkey = o_custkey
+), nav AS (
+  SELECT c_nationkey, ROUND(AVG(spend), 2) AS avg_spend
+  FROM j GROUP BY c_nationkey
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       MAX(spend) AS max_spend, MIN(avg_spend) AS avg_spend
+FROM j
+JOIN nav USING (c_nationkey)
+JOIN nation ON n_nationkey = c_nationkey
+WHERE spend > 2 * avg_spend
+GROUP BY n_name
+"""
+
+
+def q_lost_customers(sf_dir: str):
+    """Set-difference (EXCEPT) + join-back: customers who ordered in
+    1996 but not in 1997, counted per market segment. Both order scans
+    push their date window into the parquet read; each side emits
+    per-batch DISTINCT custkeys (combiner), the difference and the
+    segment lookup happen in ONE custkey-bucketed shuffle (three-way
+    tagged union: side A keys, side B keys, customer dim), and each
+    bucket collapses to per-segment partial counts — the driver only
+    ever sees O(buckets x segments) rows."""
+    B = _pair_buckets()
+
+    def side(year: int, tag: str):
+        lo = pd.Timestamp(f"{year}-01-01")
+        hi = pd.Timestamp(f"{year + 1}-01-01")
+        ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"],
+                   filter=(pc.field("o_orderdate") >= lo)
+                          & (pc.field("o_orderdate") < hi))
+
+        def prep(t: pa.Table) -> pa.Table:
+            key = t["o_custkey"].combine_chunks().unique()
+            return pa.table({
+                "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+                "key": key,
+                "side": pa.array([tag] * len(key)),
+                "seg": pa.nulls(len(key), pa.string()),
+            })
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "side": pa.array(["dim"] * t.num_rows),
+            "seg": t["c_mktsegment"],
+        })
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = set(g.loc[g["side"] == "a", "key"])
+        b = set(g.loc[g["side"] == "b", "key"])
+        lost = a - b
+        dim = g.loc[g["side"] == "dim"]
+        hit = dim.loc[dim["key"].isin(lost)]
+        return hit.groupby("seg", as_index=False).agg(n_lost=("key", "size"))
+
+    parts = (
+        side(1996, "a").union(side(1997, "b"))
+        .union(cust.map_batches(c_prep, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(diff_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("seg", as_index=False).agg(n_lost=("n_lost", "sum"))
+    out["n_lost"] = out["n_lost"].astype("int64")
+    return out.rename(columns={"seg": "c_mktsegment"}) \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_LOST_CUSTOMERS = """
+WITH lost AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_lost
+FROM lost JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_nation_top_suppliers(sf_dir: str):
+    """Ordered collect (array_agg/string_agg equivalent): per nation,
+    the comma-joined names of its top-3 suppliers by account balance.
+    Per-batch local top-3 per nation (the global top-3 is a subset of
+    the union of local top-3s), bucketed combine keyed by nationkey
+    re-prunes, and only O(nations x 3) rows reach the driver, where the
+    ordered string join and the 25-row nation-name lookup happen."""
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_name", "s_acctbal"])
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["s_acctbal", "s_name"], ascending=[False, True])
+                  .groupby("s_nationkey", as_index=False).head(3))
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns="_b")
+                 .sort_values(["s_acctbal", "s_name"], ascending=[False, True])
+                 .groupby("s_nationkey", as_index=False).head(3))
+
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=(df["s_nationkey"].to_numpy() % B).astype("int64"))
+
+    top = (
+        sup.map_batches(local_top, batch_format="pandas", batch_size=65536)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
+    top = top.sort_values(["s_acctbal", "s_name"], ascending=[False, True])
+    agg = top.groupby("s_nationkey", as_index=False).agg(
+        top_suppliers=("s_name", ",".join), best_acctbal=("s_acctbal", "max"))
+    agg["best_acctbal"] = agg["best_acctbal"].round(2)
+    names = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(names, left_on="s_nationkey", right_on="n_nationkey")
+    return out[["n_name", "top_suppliers", "best_acctbal"]] \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+SQL_NATION_TOP_SUPPLIERS = """
+WITH ranked AS (
+  SELECT s_nationkey, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_name) AS rn
+  FROM supplier
+)
+SELECT n_name,
+       string_agg(s_name, ',' ORDER BY rn) AS top_suppliers,
+       ROUND(MAX(s_acctbal), 2) AS best_acctbal
+FROM ranked JOIN nation ON n_nationkey = s_nationkey
+WHERE rn <= 3
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -3733,6 +4030,10 @@ QUERIES = {
     "orders_stratified_sample": q_orders_stratified_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "profile_orders": q_profile_orders,
+    "event_funnel": q_event_funnel,
+    "nation_spend_outliers": q_nation_spend_outliers,
+    "lost_customers": q_lost_customers,
+    "nation_top_suppliers": q_nation_top_suppliers,
 }
 
 ORACLE_SQL = {
@@ -3789,4 +4090,8 @@ ORACLE_SQL = {
     "orders_stratified_sample": SQL_ORDERS_STRATIFIED_SAMPLE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "profile_orders": SQL_PROFILE_ORDERS,
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "nation_spend_outliers": SQL_NATION_SPEND_OUTLIERS,
+    "lost_customers": SQL_LOST_CUSTOMERS,
+    "nation_top_suppliers": SQL_NATION_TOP_SUPPLIERS,
 }

@@ -54,6 +54,10 @@ SUBSET = [
     "orders_stratified_sample",
     "tfidf_top_terms",
     "profile_orders",
+    "event_funnel",
+    "nation_spend_outliers",
+    "lost_customers",
+    "nation_top_suppliers",
 ]
 
 
