@@ -58,6 +58,8 @@ SUBSET = [
     "nation_spend_outliers",
     "lost_customers",
     "nation_top_suppliers",
+    "group_percentiles",
+    "pagerank",
 ]
 
 
