@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "embedding_similar_pairs",
     "ranked_orders",
     "tfidf_top_terms",
+    "group_percentiles",
+    "pagerank",
 ]
 
 

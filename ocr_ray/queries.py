@@ -4080,6 +4080,121 @@ FROM ranked JOIN qs ON rn = CAST(CEIL(q * n) AS BIGINT)
 """
 
 
+def q_price_quartile_stats(sf_dir: str):
+    """Quantile-bucketed aggregation (NTILE-by-value shape): compute the
+    EXACT global price quartile boundaries (q1/q2/q3 of o_totalprice,
+    rank = ceil(q*n), same histogram-narrowing machinery as
+    group_percentiles — O(passes) scans, O(quantiles) driver state),
+    broadcast the three boundary VALUES, then one more pass assigns each
+    order its quartile and partially aggregates count/revenue per
+    bucket. Value-based bucketing (v <= boundary) rather than
+    row-number NTILE so ties land deterministically on both sides —
+    boundaries are actual data values, never interpolations, so the
+    bucket predicate is bit-exact in SQL too."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    BINS = 512
+    QS = [0.25, 0.5, 0.75]
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"]
+        return pd.DataFrame({"n": [len(v)], "lo": [v.min()], "hi": [v.max()]})
+
+    parts = ds.map_batches(stats, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    n_all = int(parts["n"].sum())
+    state: dict[float, list] = {}
+    for q in QS:
+        state[q] = [float(parts["lo"].min()),
+                    float(np.nextafter(parts["hi"].max(), np.inf)),
+                    int(np.ceil(q * n_all)), False]
+
+    for _ in range(6):
+        open_qs = {q: (s[0], s[1]) for q, s in state.items() if not s[3]}
+        if not open_qs:
+            break
+        bounds_ref = ray.put(open_qs)
+
+        def hist(df: pd.DataFrame) -> pd.DataFrame:
+            b = ray.get(bounds_ref)
+            v_all = df["o_totalprice"].to_numpy()
+            rows = []
+            for q, (lo, hi) in b.items():
+                v = v_all[(v_all >= lo) & (v_all < hi)]
+                h, _ = np.histogram(v, bins=np.linspace(lo, hi, BINS + 1))
+                rows.append((q, h.astype(np.int64).tobytes()))
+            return pd.DataFrame(rows, columns=["q", "h"])
+
+        hp = ds.map_batches(hist, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+        for q in open_qs:
+            total = np.zeros(BINS, dtype=np.int64)
+            for buf in hp.loc[hp["q"] == q, "h"]:
+                total += np.frombuffer(buf, dtype=np.int64)
+            lo, hi, rank, _ = state[q]
+            edges = np.linspace(lo, hi, BINS + 1)
+            cum = np.cumsum(total)
+            bin_i = int(np.searchsorted(cum, rank))
+            rank -= int(cum[bin_i - 1]) if bin_i else 0
+            state[q] = [float(edges[bin_i]), float(edges[bin_i + 1]), rank,
+                        bool(total[bin_i] <= 100_000)]
+
+    ranges_ref = ray.put({q: (s[0], s[1]) for q, s in state.items()})
+
+    def in_range(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ranges_ref)
+        v_all = df["o_totalprice"].to_numpy()
+        rows = []
+        for q, (lo, hi) in b.items():
+            rows.append(pd.DataFrame(
+                {"q": q, "value": v_all[(v_all >= lo) & (v_all < hi)]}))
+        return pd.concat(rows, ignore_index=True)
+
+    vals = ds.map_batches(in_range, batch_format="pandas").to_pandas()
+    bounds = []
+    for q in QS:
+        v = np.sort(vals.loc[vals["q"] == q, "value"].to_numpy())
+        bounds.append(float(v[state[q][2] - 1]))
+    b1, b2, b3 = bounds  # actual data values -> exact comparisons
+
+    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy()
+        quart = np.select([v <= b1, v <= b2, v <= b3], [1, 2, 3], default=4)
+        return pd.DataFrame({"quartile": quart, "v": v}).groupby(
+            "quartile", as_index=False).agg(n=("v", "size"), rev=("v", "sum"))
+
+    agg = ds.map_batches(bucket_agg, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+    out = agg.groupby("quartile", as_index=False).agg(
+        n=("n", "sum"), rev=("rev", "sum"))
+    out["rev"] = out["rev"].round(2)
+    out["n"] = out["n"].astype("int64")
+    out["quartile"] = out["quartile"].astype("int64")
+    return out.sort_values("quartile").reset_index(drop=True)
+
+
+SQL_PRICE_QUARTILE_STATS = """
+WITH ranked AS (
+  SELECT o_totalprice AS v,
+         row_number() OVER (ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+), b AS (
+  SELECT MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS b1,
+         MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN v END) AS b2,
+         MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS b3
+  FROM ranked
+)
+SELECT CASE WHEN o_totalprice <= b1 THEN 1
+            WHEN o_totalprice <= b2 THEN 2
+            WHEN o_totalprice <= b3 THEN 3
+            ELSE 4 END AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS rev
+FROM orders, b
+GROUP BY 1
+"""
+
+
 def _pagerank_sql(k: int) -> str:
     """Generate the iterative-CTE oracle for k power iterations (the
     SQL mirror of q_pagerank's loop — one CTE per iteration)."""
@@ -4350,6 +4465,7 @@ QUERIES = {
     "nation_top_suppliers": q_nation_top_suppliers,
     "group_percentiles": q_group_percentiles,
     "pagerank": q_pagerank,
+    "price_quartile_stats": q_price_quartile_stats,
 }
 
 ORACLE_SQL = {
@@ -4412,4 +4528,5 @@ ORACLE_SQL = {
     "nation_top_suppliers": SQL_NATION_TOP_SUPPLIERS,
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "pagerank": SQL_PAGERANK,
+    "price_quartile_stats": SQL_PRICE_QUARTILE_STATS,
 }

@@ -60,6 +60,7 @@ SUBSET = [
     "nation_top_suppliers",
     "group_percentiles",
     "pagerank",
+    "price_quartile_stats",
 ]
 
 
