@@ -35,6 +35,12 @@ from .functions import textstats as TS
 # merge
 
 
+def _cpus() -> int:
+    """Cluster CPU count (32 when Ray isn't up yet) — the single source
+    of truth for every cluster-proportional width in this module."""
+    return int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
+
+
 def _pair_buckets() -> int:
     """Shuffle width for bucketed combines / joins / sessionization:
     proportional to the cluster (next power of two >= 2x cluster CPUs,
@@ -42,8 +48,7 @@ def _pair_buckets() -> int:
     64, so per-bucket map_groups memory stays ~corpus/(2*CPUs) as the
     cluster grows instead of corpus/64. Power of two so mask bucketing
     (``key & (B-1)``) and modulo bucketing agree."""
-    cpus = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
-    return max(64, 1 << int(np.ceil(np.log2(max(1, 2 * cpus)))))
+    return max(64, 1 << int(np.ceil(np.log2(max(1, 2 * _cpus())))))
 
 # --------------------------------------------------------------- helpers
 
@@ -3710,8 +3715,10 @@ def q_event_funnel(sf_dir: str):
         parts, ["user_id"], {"min_view": "min", "max_purchase": "max"},
         prune=to_counts)
     out = per_bucket.sum().to_frame().T
-    out["conversion_rate"] = round(
-        float(out.loc[0, "n_converted"]) / float(out.loc[0, "n_viewers"]), 4)
+    nv = float(out.loc[0, "n_viewers"])
+    # zero viewers -> NULL rate, matching SQL's NULL division semantics
+    out["conversion_rate"] = (
+        round(float(out.loc[0, "n_converted"]) / nv, 4) if nv else np.nan)
     for c in ["n_viewers", "n_purchasers", "n_converted"]:
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
@@ -3745,21 +3752,29 @@ def q_nation_spend_outliers(sf_dir: str):
     (3) nation averages are a per-batch partial + driver combine over
     25 nations, broadcast back via ray.put;
     (4) outlier filter + per-nation counts are another single partial
-    pass. Driver state: O(nations). Both spend and the threshold are
-    rounded to cents on BOTH sides so summation order cannot flip a
-    borderline comparison."""
+    pass. Driver state: O(nations). Prices are converted to INTEGER
+    CENTS at the read (each o_totalprice is an exact cent quantity), so
+    spend sums are exact int64 and the outlier predicate is the
+    integer cross-multiplication spend_cents * n_nation >
+    2 * total_cents_nation — no float rounding anywhere near a
+    comparison, so summation order can never flip a borderline row
+    (pandas' half-to-even vs SQL ROUND's half-away-from-zero disagree
+    on exact half-cents, which matters the moment a rounded value feeds
+    a predicate instead of just the output hash)."""
     B = _pair_buckets()
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     def o_prep(t: pa.Table) -> pa.Table:
-        partial = (pa.table({"key": t["o_custkey"], "spend": t["o_totalprice"]})
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        partial = (pa.table({"key": t["o_custkey"], "spend": cents})
                    .group_by("key").aggregate([("spend", "sum")]))
         key = partial["key"]
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
             "key": key,
-            "spend": partial["spend_sum"],
+            "spend": pc.cast(partial["spend_sum"], pa.float64()),
             "nationkey": pa.nulls(partial.num_rows, pa.int64()),
         })
 
@@ -3777,7 +3792,9 @@ def q_nation_spend_outliers(sf_dir: str):
         spend = g.loc[g["nationkey"].isna()].groupby("key", as_index=False)[
             "spend"].sum()
         out = spend.merge(dim, on="key")  # inner: customers with orders
-        out["spend"] = out["spend"].round(2)
+        # integer cents riding a float64 column are exact below 2^53
+        out["spend"] = out["spend"].astype("int64")
+        out["nationkey"] = out["nationkey"].astype("int64")
         return out[["key", "nationkey", "spend"]]
 
     percust = (
@@ -3794,13 +3811,13 @@ def q_nation_spend_outliers(sf_dir: str):
 
     nav = percust.map_batches(nav_partial, batch_format="pandas").to_pandas() \
         .groupby("nationkey", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
-    nav["avg_spend"] = (nav["s"] / nav["n"]).round(2)
-    thresholds = ray.put(dict(zip(nav["nationkey"].astype("int64"),
-                                  2.0 * nav["avg_spend"])))
+    # predicate as integer cross-multiplication: spend * n > 2 * total
+    nav_tbl = nav[["nationkey", "s", "n"]].astype("int64")
+    thresholds = ray.put(nav_tbl)
 
     def outlier_partial(df: pd.DataFrame) -> pd.DataFrame:
-        th = df["nationkey"].map(ray.get(thresholds))
-        hit = df.loc[df["spend"] > th]
+        m = df.merge(ray.get(thresholds), on="nationkey")  # vectorized lookup
+        hit = m.loc[m["spend"] * m["n"] > 2 * m["s"]]
         return hit.groupby("nationkey", as_index=False).agg(
             n_outliers=("key", "size"), max_spend=("spend", "max"))
 
@@ -3809,29 +3826,34 @@ def q_nation_spend_outliers(sf_dir: str):
         n_outliers=("n_outliers", "sum"), max_spend=("max_spend", "max"))
     names = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     out = hits.merge(names, left_on="nationkey", right_on="n_nationkey")
-    out = out.merge(nav[["nationkey", "avg_spend"]], on="nationkey")
+    nav["avg_spend_cents"] = (nav["s"] // nav["n"]).astype("int64")
+    out = out.merge(nav[["nationkey", "avg_spend_cents"]], on="nationkey")
     out["n_outliers"] = out["n_outliers"].astype("int64")
-    return out[["n_name", "n_outliers", "max_spend", "avg_spend"]] \
+    # exact integer cents -> deterministic double on both sides
+    out["max_spend"] = out["max_spend"].astype("int64") / 100.0
+    return out[["n_name", "n_outliers", "max_spend", "avg_spend_cents"]] \
         .sort_values("n_name").reset_index(drop=True)
 
 
 SQL_NATION_SPEND_OUTLIERS = """
 WITH spend AS (
-  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_cents
   FROM orders GROUP BY o_custkey
 ), j AS (
-  SELECT c_nationkey, spend
+  SELECT c_nationkey, spend_cents
   FROM spend JOIN customer ON c_custkey = o_custkey
 ), nav AS (
-  SELECT c_nationkey, ROUND(AVG(spend), 2) AS avg_spend
+  SELECT c_nationkey, SUM(spend_cents) AS s, COUNT(*) AS n
   FROM j GROUP BY c_nationkey
 )
 SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_outliers,
-       MAX(spend) AS max_spend, MIN(avg_spend) AS avg_spend
+       MAX(spend_cents) / 100.0 AS max_spend,
+       CAST(MIN(s // n) AS BIGINT) AS avg_spend_cents
 FROM j
 JOIN nav USING (c_nationkey)
 JOIN nation ON n_nationkey = c_nationkey
-WHERE spend > 2 * avg_spend
+WHERE spend_cents * n > 2 * s
 GROUP BY n_name
 """
 
@@ -3877,9 +3899,9 @@ def q_lost_customers(sf_dir: str):
         })
 
     def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        a = set(g.loc[g["side"] == "a", "key"])
-        b = set(g.loc[g["side"] == "b", "key"])
-        lost = a - b
+        a = g.loc[g["side"] == "a", "key"].to_numpy(np.int64)
+        b = g.loc[g["side"] == "b", "key"].to_numpy(np.int64)
+        lost = np.setdiff1d(a, b)  # vectorized: this is the reduce hot path
         dim = g.loc[g["side"] == "dim"]
         hit = dim.loc[dim["key"].isin(lost)]
         return hit.groupby("seg", as_index=False).agg(n_lost=("key", "size"))
@@ -4006,40 +4028,51 @@ def q_group_percentiles(sf_dir: str):
         open_keys = {k: (s[0], s[1]) for k, s in state.items() if not s[3]}
         if not open_keys:
             break
-        bounds_ref = ray.put(open_keys)
+        # dedupe identical (grp, lo, hi) ranges — in pass 1 every
+        # quantile of a group shares the full range, so ONE histogram
+        # serves all of them (Qx less pass-1 CPU and shuffle volume)
+        uniq: dict[tuple, list] = {}
+        for (grp, q), (lo, hi) in open_keys.items():
+            uniq.setdefault((grp, lo, hi), []).append(q)
+        by_grp: dict[str, list] = {}
+        range_qs: dict[tuple, list] = {}
+        for uid, ((grp, lo, hi), qs) in enumerate(uniq.items()):
+            by_grp.setdefault(grp, []).append((uid, lo, hi))
+            range_qs[(grp, uid)] = qs
+        bounds_ref = ray.put(by_grp)
 
         def hist(df: pd.DataFrame) -> pd.DataFrame:
             b = ray.get(bounds_ref)
             rows = []
             for grp, sub in df.groupby("event_type"):
+                if grp not in b:
+                    continue
                 v_all = sub["value"].to_numpy()
-                for q in QS:
-                    if (grp, q) not in b:
-                        continue
-                    lo, hi = b[(grp, q)]
+                for uid, lo, hi in b[grp]:
                     v = v_all[(v_all >= lo) & (v_all < hi)]
                     h, _ = np.histogram(v, bins=np.linspace(lo, hi, BINS + 1))
-                    rows.append((grp, q, h.astype(np.int64).tobytes()))
-            return pd.DataFrame(rows, columns=["grp", "q", "h"]) if rows else \
+                    rows.append((grp, uid, h.astype(np.int64).tobytes()))
+            return pd.DataFrame(rows, columns=["grp", "uid", "h"]) if rows else \
                 pd.DataFrame({"grp": pd.Series([], dtype="object"),
-                              "q": pd.Series([], dtype="float64"),
+                              "uid": pd.Series([], dtype="int64"),
                               "h": pd.Series([], dtype="object")})
 
         hp = ds.map_batches(hist, batch_format="pandas",
                             batch_size=65536).to_pandas()
-        for (grp, q) in open_keys:
+        for (grp, uid), qs in range_qs.items():
             total = np.zeros(BINS, dtype=np.int64)
-            sel = (hp["grp"] == grp) & (hp["q"] == q)
+            sel = (hp["grp"] == grp) & (hp["uid"] == uid)
             for buf in hp.loc[sel, "h"]:
                 total += np.frombuffer(buf, dtype=np.int64)
-            lo, hi, rank, _ = state[(grp, q)]
-            edges = np.linspace(lo, hi, BINS + 1)
             cum = np.cumsum(total)
-            bin_i = int(np.searchsorted(cum, rank))
-            rank -= int(cum[bin_i - 1]) if bin_i else 0
-            done = bool(total[bin_i] <= 100_000)
-            state[(grp, q)] = [float(edges[bin_i]), float(edges[bin_i + 1]),
-                               rank, done]
+            for q in qs:  # same histogram, each quantile's own rank
+                lo, hi, rank, _ = state[(grp, q)]
+                edges = np.linspace(lo, hi, BINS + 1)
+                bin_i = int(np.searchsorted(cum, rank))
+                new_rank = rank - (int(cum[bin_i - 1]) if bin_i else 0)
+                done = bool(total[bin_i] <= 100_000)
+                state[(grp, q)] = [float(edges[bin_i]),
+                                   float(edges[bin_i + 1]), new_rank, done]
 
     ranges_ref = ray.put({k: (s[0], s[1]) for k, s in state.items()})
 
@@ -4112,31 +4145,39 @@ def q_price_quartile_stats(sf_dir: str):
         open_qs = {q: (s[0], s[1]) for q, s in state.items() if not s[3]}
         if not open_qs:
             break
-        bounds_ref = ray.put(open_qs)
+        # one histogram per unique (lo, hi) — in pass 1 all three
+        # quartiles share the full range
+        uniq: dict[tuple, list] = {}
+        for q, rng in open_qs.items():
+            uniq.setdefault(rng, []).append(q)
+        ranges = {uid: rng for uid, rng in enumerate(uniq)}
+        range_qs = {uid: uniq[rng] for uid, rng in ranges.items()}
+        bounds_ref = ray.put(ranges)
 
         def hist(df: pd.DataFrame) -> pd.DataFrame:
             b = ray.get(bounds_ref)
             v_all = df["o_totalprice"].to_numpy()
             rows = []
-            for q, (lo, hi) in b.items():
+            for uid, (lo, hi) in b.items():
                 v = v_all[(v_all >= lo) & (v_all < hi)]
                 h, _ = np.histogram(v, bins=np.linspace(lo, hi, BINS + 1))
-                rows.append((q, h.astype(np.int64).tobytes()))
-            return pd.DataFrame(rows, columns=["q", "h"])
+                rows.append((uid, h.astype(np.int64).tobytes()))
+            return pd.DataFrame(rows, columns=["uid", "h"])
 
         hp = ds.map_batches(hist, batch_format="pandas",
                             batch_size=65536).to_pandas()
-        for q in open_qs:
+        for uid, qs in range_qs.items():
             total = np.zeros(BINS, dtype=np.int64)
-            for buf in hp.loc[hp["q"] == q, "h"]:
+            for buf in hp.loc[hp["uid"] == uid, "h"]:
                 total += np.frombuffer(buf, dtype=np.int64)
-            lo, hi, rank, _ = state[q]
-            edges = np.linspace(lo, hi, BINS + 1)
             cum = np.cumsum(total)
-            bin_i = int(np.searchsorted(cum, rank))
-            rank -= int(cum[bin_i - 1]) if bin_i else 0
-            state[q] = [float(edges[bin_i]), float(edges[bin_i + 1]), rank,
-                        bool(total[bin_i] <= 100_000)]
+            for q in qs:
+                lo, hi, rank, _ = state[q]
+                edges = np.linspace(lo, hi, BINS + 1)
+                bin_i = int(np.searchsorted(cum, rank))
+                new_rank = rank - (int(cum[bin_i - 1]) if bin_i else 0)
+                state[q] = [float(edges[bin_i]), float(edges[bin_i + 1]),
+                            new_rank, bool(total[bin_i] <= 100_000)]
 
     ranges_ref = ray.put({q: (s[0], s[1]) for q, s in state.items()})
 
@@ -4195,14 +4236,21 @@ GROUP BY 1
 """
 
 
+# single source of truth for both the Ray loop and the generated SQL —
+# a drift between them would desynchronize the oracle silently
+_PAGERANK_ITERS = 4
+_PAGERANK_DAMPING = 0.85
+
+
 def _pagerank_sql(k: int) -> str:
     """Generate the iterative-CTE oracle for k power iterations (the
     SQL mirror of q_pagerank's loop — one CTE per iteration)."""
+    d = _PAGERANK_DAMPING
     iters = []
     for i in range(1, k + 1):
         iters.append(f"""r{i} AS (
   SELECT e.dst AS node,
-         0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.pr / dg.d) AS pr
+         {1 - d:.2f} / (SELECT n FROM nn) + {d:.2f} * SUM(r.pr / dg.d) AS pr
   FROM edges e
   JOIN r{i - 1} r ON r.node = e.src
   JOIN deg dg ON dg.node = e.src
@@ -4261,9 +4309,8 @@ def q_pagerank(sf_dir: str):
     count compounds (96 -> 288 blocks in 4 iterations measured) and
     per-iteration wall time grows ~7x."""
     B = _pair_buckets()
-    cpus = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
-    W = max(8, cpus)  # physical blocks per shuffle stage
-    D, K = 0.85, 4
+    W = max(8, _cpus())  # physical blocks per shuffle stage
+    D, K = _PAGERANK_DAMPING, _PAGERANK_ITERS
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
 
@@ -4366,15 +4413,19 @@ def q_pagerank(sf_dir: str):
         m["deg"] = m["deg"].astype("int64")
         return m[["node", "pr", "deg"]]
 
+    # the tagged forms depend only on the static graph — materialize
+    # them ONCE instead of re-running the tagging maps every iteration
+    edges_t = edges.map_batches(e_tag, batch_format="pandas").materialize()
+    deg_t = deg.map_batches(d_tag, batch_format="pandas").materialize()
+
     for _ in range(K):
         parts = (
-            edges.map_batches(e_tag, batch_format="pandas")
-            .union(ranks.map_batches(r_tag, batch_format="pandas"))
+            edges_t.union(ranks.map_batches(r_tag, batch_format="pandas"))
             .repartition(W)
             .groupby("bucket").map_groups(contrib, batch_format="pandas")
         )
         ranks = (
-            parts.union(deg.map_batches(d_tag, batch_format="pandas"))
+            parts.union(deg_t)
             .repartition(W)
             .groupby("bucket2").map_groups(update, batch_format="pandas")
             .materialize()
@@ -4396,7 +4447,7 @@ def q_pagerank(sf_dir: str):
               .head(10).reset_index(drop=True)
 
 
-SQL_PAGERANK = _pagerank_sql(4)
+SQL_PAGERANK = _pagerank_sql(_PAGERANK_ITERS)
 
 
 QUERIES = {
