@@ -3016,8 +3016,7 @@ def _media_pool() -> int:
     """Actor-pool size for multimodal stages: never reserve so many
     CPUs that stacked fixed pools starve the upstream read (a 2+2 pool
     chain on a 4-CPU cluster deadlocks the streaming executor)."""
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, cpus // 8)
+    return max(1, _cpus() // 8)
 
 
 def q_approx_distinct_orderkeys(sf_dir: str):
@@ -3716,9 +3715,13 @@ def q_event_funnel(sf_dir: str):
         prune=to_counts)
     out = per_bucket.sum().to_frame().T
     nv = float(out.loc[0, "n_viewers"])
-    # zero viewers -> NULL rate, matching SQL's NULL division semantics
+    # zero viewers -> NULL rate, matching SQL's NULL division semantics.
+    # UNROUNDED exact integer division: both sides divide the same two
+    # integers as doubles, so the bits match with no rounding-tie risk
+    # (round() is half-to-even, SQL ROUND is half-away — a dyadic ratio
+    # like 1/32 = .03125 would hash-mismatch if either side rounded).
     out["conversion_rate"] = (
-        round(float(out.loc[0, "n_converted"]) / nv, 4) if nv else np.nan)
+        float(out.loc[0, "n_converted"]) / nv if nv else np.nan)
     for c in ["n_viewers", "n_purchasers", "n_converted"]:
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
@@ -3735,8 +3738,8 @@ SELECT CAST(COUNT(min_view) AS BIGINT) AS n_viewers,
        CAST(COUNT(max_purchase) AS BIGINT) AS n_purchasers,
        CAST(COUNT(CASE WHEN min_view < max_purchase THEN 1 END) AS BIGINT)
          AS n_converted,
-       ROUND(COUNT(CASE WHEN min_view < max_purchase THEN 1 END) * 1.0
-             / COUNT(min_view), 4) AS conversion_rate
+       COUNT(CASE WHEN min_view < max_purchase THEN 1 END) * 1.0
+         / COUNT(min_view) AS conversion_rate
 FROM agg
 """
 
@@ -3766,8 +3769,12 @@ def q_nation_spend_outliers(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     def o_prep(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"],
-                                             pa.scalar(100.0))), pa.int64())
+        # half_towards_infinity == SQL ROUND's half-away-from-zero for
+        # these all-positive prices (pyarrow defaults to half-to-even,
+        # which would diverge on an exact half-cent like 4000.125)
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
         partial = (pa.table({"key": t["o_custkey"], "spend": cents})
                    .group_by("key").aggregate([("spend", "sum")]))
         key = partial["key"]
@@ -4246,11 +4253,13 @@ def _pagerank_sql(k: int) -> str:
     """Generate the iterative-CTE oracle for k power iterations (the
     SQL mirror of q_pagerank's loop — one CTE per iteration)."""
     d = _PAGERANK_DAMPING
+    # repr() keeps full double precision — ':.2f' would silently
+    # truncate a tuned damping (e.g. 0.875) and desynchronize the oracle
     iters = []
     for i in range(1, k + 1):
         iters.append(f"""r{i} AS (
   SELECT e.dst AS node,
-         {1 - d:.2f} / (SELECT n FROM nn) + {d:.2f} * SUM(r.pr / dg.d) AS pr
+         {(1 - d)!r} / (SELECT n FROM nn) + {d!r} * SUM(r.pr / dg.d) AS pr
   FROM edges e
   JOIN r{i - 1} r ON r.node = e.src
   JOIN deg dg ON dg.node = e.src
@@ -4414,9 +4423,12 @@ def q_pagerank(sf_dir: str):
         return m[["node", "pr", "deg"]]
 
     # the tagged forms depend only on the static graph — materialize
-    # them ONCE instead of re-running the tagging maps every iteration
+    # them ONCE instead of re-running the tagging maps every iteration,
+    # and release the untagged originals so the object store holds one
+    # copy of the edge set, not two, across all K iterations
     edges_t = edges.map_batches(e_tag, batch_format="pandas").materialize()
     deg_t = deg.map_batches(d_tag, batch_format="pandas").materialize()
+    del edges, deg
 
     for _ in range(K):
         parts = (
