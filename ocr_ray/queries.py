@@ -4243,6 +4243,194 @@ GROUP BY 1
 """
 
 
+def q_monthly_revenue_growth(sf_dir: str):
+    """Time-series resample + growth: monthly order revenue with
+    month-over-month growth. One pyarrow pass does the cents conversion
+    (half_towards_infinity — matches SQL ROUND for positive prices),
+    the month floor (``floor_temporal``) and a per-batch partial sum;
+    the driver combines O(months) rows and computes the LAG growth as
+    an exact-integer difference divided as doubles — the same two
+    integers divide on both sides, so the bits match with no rounding
+    anywhere."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        return (pa.table({"m": month, "c": cents})
+                .group_by("m").aggregate([("c", "sum")]))
+
+    parts = ds.map_batches(prep, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("m", as_index=False)["c_sum"].sum().sort_values("m") \
+               .reset_index(drop=True)
+    c = agg["c_sum"].to_numpy(np.int64)
+    growth = np.full(len(c), np.nan)
+    if len(c) > 1:
+        growth[1:] = (c[1:] - c[:-1]) / c[:-1].astype(np.float64)
+    return pd.DataFrame({"month": agg["m"], "revenue": c / 100.0,
+                         "growth": growth})
+
+
+SQL_MONTHLY_REVENUE_GROWTH = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+)
+SELECT month, c / 100.0 AS revenue,
+       (c - LAG(c) OVER (ORDER BY month)) * 1.0
+         / LAG(c) OVER (ORDER BY month) AS growth
+FROM m
+"""
+
+
+def q_local_supplier_revenue(sf_dir: str, _broadcast_max: int | None = None):
+    """TPC-H Q5 shape: revenue per nation from 1996 orders where the
+    SUPPLIER is in the CUSTOMER's nation — a star-schema join across
+    four tables with a correlation predicate. Plan: (1) orders (date
+    window pushed into the scan) resolve their customer's nation in one
+    custkey-bucketed shuffle; (2) lineitem resolves its supplier's
+    nation via the guarded broadcast (probe + bucketed fallback, the
+    q_large_part_items pattern — supplier is the smallest dim) and
+    partially aggregates revenue per (orderkey, s_nation) BEFORE the
+    exchange; (3) both streams meet in one orderkey-bucketed shuffle
+    where the c_nation == s_nation filter and per-nation partials
+    happen; the driver combines O(nations) rows. Two bounded bucketed
+    shuffles total (three in the fallback), nothing driver-side scales
+    with any fact table.
+
+    Revenue is computed in EXACT integer micro-dollars
+    (cents x basis-points: ext and disc are 2- and 4-decimal
+    quantities, so ext*(1-disc) sums land exactly on half-cents and
+    ROUND(...,2) ties ~10% of the time between pandas half-even and SQL
+    half-away — observed live). The output divides the same exact
+    integer by 1e6 on both sides: bit-identical, no rounding step."""
+    budget = _BROADCAST_MAX_KEYS if _broadcast_max is None else _broadcast_max
+    B = _pair_buckets()
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=(pc.field("o_orderdate") >= lo)
+                          & (pc.field("o_orderdate") < hi))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    # ---- stage 1: orderkey -> customer nation (custkey-bucketed join)
+    def o_prep(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key, "okey": t["o_orderkey"],
+            "nat": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key, "okey": pa.nulls(t.num_rows, pa.int64()),
+            "nat": pc.cast(t["c_nationkey"], pa.int64()),
+        })
+
+    def cust_join(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["nat"].notna(), ["key", "nat"]]
+        fact = g.loc[g["nat"].isna(), ["key", "okey"]]
+        m = fact.merge(dim, on="key")
+        okey = m["okey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket2": (okey & (B - 1)).astype("int32"), "okey": okey,
+            "nat": m["nat"].to_numpy(np.int64), "rev": np.nan, "side": "o"})
+
+    o_nat = (orders.map_batches(o_prep, batch_format="pyarrow")
+             .union(cust.map_batches(c_prep, batch_format="pyarrow"))
+             .groupby("bucket").map_groups(cust_join, batch_format="pandas"))
+
+    # ---- stage 2: lineitem revenue partials keyed (orderkey, s_nation)
+    def li_partial(df: pd.DataFrame, snat: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(snat, left_on="l_suppkey", right_on="s_suppkey")
+        cents = np.floor(m["l_extendedprice"].to_numpy() * 100.0 + 0.5) \
+                  .astype(np.int64)
+        bp = np.floor(m["l_discount"].to_numpy() * 10000.0 + 0.5) \
+               .astype(np.int64)
+        m["rev"] = cents * (10000 - bp)  # exact micro-dollars
+        p = m.groupby(["l_orderkey", "s_nationkey"], as_index=False)["rev"].sum()
+        okey = p["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket2": (okey & (B - 1)).astype("int32"), "okey": okey,
+            "nat": p["s_nationkey"].to_numpy(np.int64),
+            "rev": p["rev"].to_numpy(), "side": "l"})
+
+    probe = sup.limit(budget + 1).to_pandas()
+    if len(probe) <= budget:
+        snat_ref = ray.put(probe)
+        l_nat = li.map_batches(
+            lambda df: li_partial(df, ray.get(snat_ref)),
+            batch_format="pandas", batch_size=65536)
+    else:
+        # bucketed suppkey join first (third bounded shuffle)
+        def s_prep(df: pd.DataFrame) -> pd.DataFrame:
+            k = df["s_suppkey"].astype("int64")
+            return pd.DataFrame({"bucket": (k % B).astype("int32"),
+                                 "l_suppkey": k, "l_orderkey": np.int64(-1),
+                                 "l_extendedprice": np.nan,
+                                 "l_discount": df["s_nationkey"].astype("float64"),
+                                 "side": "s"})
+
+        def l_prep(df: pd.DataFrame) -> pd.DataFrame:
+            k = df["l_suppkey"].astype("int64")
+            return df.assign(bucket=(k % B).astype("int32"), side="l")
+
+        def sup_join(g: pd.DataFrame) -> pd.DataFrame:
+            dim = g.loc[g["side"] == "s", ["l_suppkey", "l_discount"]] \
+                   .rename(columns={"l_suppkey": "s_suppkey",
+                                    "l_discount": "s_nationkey"})
+            dim["s_nationkey"] = dim["s_nationkey"].astype("int64")
+            fact = g.loc[g["side"] == "l"]
+            return li_partial(fact, dim)
+
+        l_nat = (li.map_batches(l_prep, batch_format="pandas", batch_size=65536)
+                 .union(sup.map_batches(s_prep, batch_format="pandas"))
+                 .groupby("bucket").map_groups(sup_join, batch_format="pandas"))
+
+    # ---- stage 3: correlate c_nation == s_nation per orderkey
+    def correlate(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == "o", ["okey", "nat"]]
+        l = g.loc[g["side"] == "l", ["okey", "nat", "rev"]]
+        m = l.merge(o, on=["okey", "nat"])  # equal nation AND same order
+        return m.groupby("nat", as_index=False)["rev"].sum()
+
+    parts = (o_nat.union(l_nat).repartition(max(8, _cpus()))
+             .groupby("bucket2").map_groups(correlate, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("nat", as_index=False)["rev"].sum()
+    names = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(names, left_on="nat", right_on="n_nationkey")
+    # same exact integer / same power of ten on both sides -> same bits
+    out["revenue"] = out["rev"].astype("int64") / 1000000.0
+    return out[["n_name", "revenue"]].sort_values("n_name") \
+        .reset_index(drop=True)
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+         / 1000000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # single source of truth for both the Ray loop and the generated SQL —
 # a drift between them would desynchronize the oracle silently
 _PAGERANK_ITERS = 4
@@ -4529,6 +4717,8 @@ QUERIES = {
     "group_percentiles": q_group_percentiles,
     "pagerank": q_pagerank,
     "price_quartile_stats": q_price_quartile_stats,
+    "monthly_revenue_growth": q_monthly_revenue_growth,
+    "local_supplier_revenue": q_local_supplier_revenue,
 }
 
 ORACLE_SQL = {
@@ -4592,4 +4782,6 @@ ORACLE_SQL = {
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "pagerank": SQL_PAGERANK,
     "price_quartile_stats": SQL_PRICE_QUARTILE_STATS,
+    "monthly_revenue_growth": SQL_MONTHLY_REVENUE_GROWTH,
+    "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
 }

@@ -61,6 +61,8 @@ SUBSET = [
     "group_percentiles",
     "pagerank",
     "price_quartile_stats",
+    "monthly_revenue_growth",
+    "local_supplier_revenue",
 ]
 
 
