@@ -4431,6 +4431,48 @@ GROUP BY n_name
 """
 
 
+def q_label_centroids(sf_dir: str):
+    """Vector aggregate over the embedding column: per-label centroid
+    (the building block for k-means init, class prototypes, and
+    per-source drift monitoring). Each batch emits ONE (sum-vector,
+    count) partial per label — numpy float64 accumulation over the
+    stacked float32 vectors, the vector riding the shuffle as a single
+    binary blob — and the driver folds O(labels x dim) state, never
+    rows. Output long-format (label, dim, centroid) so the SQL oracle
+    can unnest and AVG the same elements."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, sub in df.groupby("label"):
+            m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+            rows.append((lab, m.sum(axis=0).tobytes(), len(sub)))
+        return pd.DataFrame(rows, columns=["label", "s", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=8192).to_pandas()
+    out_rows = []
+    for lab, sub in parts.groupby("label"):
+        s = np.sum([np.frombuffer(b, dtype=np.float64) for b in sub["s"]],
+                   axis=0)
+        c = (s / int(sub["n"].sum())).round(6)
+        out_rows.extend((int(lab), i + 1, v) for i, v in enumerate(c))
+    out = pd.DataFrame(out_rows, columns=["label", "dim", "centroid"])
+    out["dim"] = out["dim"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT label, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS BIGINT) AS dim, ROUND(AVG(v), 6) AS centroid
+FROM e GROUP BY label, dim
+"""
+
+
 # single source of truth for both the Ray loop and the generated SQL —
 # a drift between them would desynchronize the oracle silently
 _PAGERANK_ITERS = 4
@@ -4719,6 +4761,7 @@ QUERIES = {
     "price_quartile_stats": q_price_quartile_stats,
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "local_supplier_revenue": q_local_supplier_revenue,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLE_SQL = {
@@ -4784,4 +4827,5 @@ ORACLE_SQL = {
     "price_quartile_stats": SQL_PRICE_QUARTILE_STATS,
     "monthly_revenue_growth": SQL_MONTHLY_REVENUE_GROWTH,
     "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
+    "label_centroids": SQL_LABEL_CENTROIDS,
 }

@@ -63,6 +63,7 @@ SUBSET = [
     "price_quartile_stats",
     "monthly_revenue_growth",
     "local_supplier_revenue",
+    "label_centroids",
 ]
 
 
