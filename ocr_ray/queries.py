@@ -35,10 +35,16 @@ from .functions import textstats as TS
 # merge
 
 
-def _cpus() -> int:
-    """Cluster CPU count (32 when Ray isn't up yet) — the single source
-    of truth for every cluster-proportional width in this module."""
-    return int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
+def _cpus(default: int = 32) -> int:
+    """Cluster CPU count — the single source of truth for every
+    cluster-proportional width in this module. ``default`` is returned
+    when Ray isn't up (or hasn't registered CPUs yet): shuffle widths
+    want the optimistic 32, fixed actor pools want a CONSERVATIVE value
+    so a degenerate reading can't oversize a pool into the
+    stacked-fixed-pool executor deadlock."""
+    if not ray.is_initialized():
+        return default
+    return int(ray.cluster_resources().get("CPU", default))
 
 
 def _pair_buckets() -> int:
@@ -3016,7 +3022,7 @@ def _media_pool() -> int:
     """Actor-pool size for multimodal stages: never reserve so many
     CPUs that stacked fixed pools starve the upstream read (a 2+2 pool
     chain on a 4-CPU cluster deadlocks the streaming executor)."""
-    return max(1, _cpus() // 8)
+    return max(1, _cpus(default=4) // 8)
 
 
 def q_approx_distinct_orderkeys(sf_dir: str):
@@ -4340,9 +4346,13 @@ def q_local_supplier_revenue(sf_dir: str, _broadcast_max: int | None = None):
         fact = g.loc[g["nat"].isna(), ["key", "okey"]]
         m = fact.merge(dim, on="key")
         okey = m["okey"].to_numpy(np.int64)
+        # rev placeholder stays int64 (0, not NaN): a float placeholder
+        # would promote the l-side's exact integer micro-dollars to
+        # float64 through the union, losing exactness past 2^53
         return pd.DataFrame({
             "bucket2": (okey & (B - 1)).astype("int32"), "okey": okey,
-            "nat": m["nat"].to_numpy(np.int64), "rev": np.nan, "side": "o"})
+            "nat": m["nat"].to_numpy(np.int64), "rev": np.int64(0),
+            "side": "o"})
 
     o_nat = (orders.map_batches(o_prep, batch_format="pyarrow")
              .union(cust.map_batches(c_prep, batch_format="pyarrow"))
@@ -4371,6 +4381,9 @@ def q_local_supplier_revenue(sf_dir: str, _broadcast_max: int | None = None):
             batch_format="pandas", batch_size=65536)
     else:
         # bucketed suppkey join first (third bounded shuffle)
+        # both sides emit the SAME column order: Ray warns on unions
+        # whose blocks disagree on schema order, and only pandas'
+        # name-alignment keeps it working today
         def s_prep(df: pd.DataFrame) -> pd.DataFrame:
             k = df["s_suppkey"].astype("int64")
             return pd.DataFrame({"bucket": (k % B).astype("int32"),
@@ -4381,7 +4394,12 @@ def q_local_supplier_revenue(sf_dir: str, _broadcast_max: int | None = None):
 
         def l_prep(df: pd.DataFrame) -> pd.DataFrame:
             k = df["l_suppkey"].astype("int64")
-            return df.assign(bucket=(k % B).astype("int32"), side="l")
+            return pd.DataFrame({"bucket": (k % B).astype("int32"),
+                                 "l_suppkey": k,
+                                 "l_orderkey": df["l_orderkey"].astype("int64"),
+                                 "l_extendedprice": df["l_extendedprice"].to_numpy(),
+                                 "l_discount": df["l_discount"].to_numpy(),
+                                 "side": "l"})
 
         def sup_join(g: pd.DataFrame) -> pd.DataFrame:
             dim = g.loc[g["side"] == "s", ["l_suppkey", "l_discount"]] \
@@ -4439,7 +4457,15 @@ def q_label_centroids(sf_dir: str):
     stacked float32 vectors, the vector riding the shuffle as a single
     binary blob — and the driver folds O(labels x dim) state, never
     rows. Output long-format (label, dim, centroid) so the SQL oracle
-    can unnest and AVG the same elements."""
+    can unnest and AVG the same elements.
+
+    Rounding-risk note: unlike the revenue queries (whose 2/4-decimal
+    quanta make sums land EXACTLY on rounding boundaries), centroids of
+    arbitrary float32 noise hit a 0.5e-6 boundary only by measure-zero
+    coincidence — relative sum-order error ~1e-15 on ~1e-2 magnitudes
+    gives a per-element collision probability ~1e-11 over a FIXED
+    labels x dim = 640 grid (independent of corpus size), so round(6)
+    on both sides is safe here."""
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -267,6 +267,17 @@ def test_mktsegment_guard_paths_agree(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_local_supplier_guard_paths_agree(ray_session):
+    """Over-budget supplier dim must route through the suppkey-bucketed
+    join and produce exactly the broadcast path's result (including the
+    exact integer micro-dollar revenue)."""
+    from ocr_ray.queries import q_local_supplier_revenue
+
+    a = q_local_supplier_revenue(SF)
+    b = q_local_supplier_revenue(SF, _broadcast_max=1)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ngram_block_cap_bounds_uniform_length_corpus(ray_session):
     """1,500 same-length docs collapse into ONE length bucket; the cap
     must split it into ~cap-bounded sub-blocks (never a 1500^2 gram
