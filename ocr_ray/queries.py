@@ -4394,12 +4394,9 @@ def q_local_supplier_revenue(sf_dir: str, _broadcast_max: int | None = None):
 
         def l_prep(df: pd.DataFrame) -> pd.DataFrame:
             k = df["l_suppkey"].astype("int64")
-            return pd.DataFrame({"bucket": (k % B).astype("int32"),
-                                 "l_suppkey": k,
-                                 "l_orderkey": df["l_orderkey"].astype("int64"),
-                                 "l_extendedprice": df["l_extendedprice"].to_numpy(),
-                                 "l_discount": df["l_discount"].to_numpy(),
-                                 "side": "l"})
+            return df.assign(bucket=(k % B).astype("int32"), side="l")[
+                ["bucket", "l_suppkey", "l_orderkey",
+                 "l_extendedprice", "l_discount", "side"]]
 
         def sup_join(g: pd.DataFrame) -> pd.DataFrame:
             dim = g.loc[g["side"] == "s", ["l_suppkey", "l_discount"]] \
