@@ -4496,6 +4496,78 @@ FROM e GROUP BY label, dim
 """
 
 
+def q_corpus_prep(sf_dir: str):
+    """The composed training-data-prep pipeline as ONE catalog entry:
+    quality gate -> exact-dedup keeper selection -> split carving ->
+    per-split corpus accounting, reusing the exact kernels of
+    `text_quality` (tokenizer), `dedup_exact` (md5 keeper) and
+    `dataset_splits` (hash-range carving). Pass 1 is one streamed
+    map_batches that hashes, tokenizes, carves and quality-flags each
+    doc and collapses to per-(hash) partials (a doc's duplicates share
+    text, hence token count AND split — groups never straddle splits);
+    the only shuffle is the hash-bucketed combine, whose per-bucket
+    reducer immediately collapses to per-split counters, so the driver
+    receives O(buckets x splits) rows. Output: per split, docs seen /
+    docs passing quality / dedup keepers among them / total keeper
+    tokens — the numbers a corpus-carving run reports."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+        first = pd.Series([x[0] for x in h])
+        split = np.where(first.isin(["d", "e"]), "val",
+                         np.where(first == "f", "test", "train"))
+        tok = TS.token_count(df["text"])
+        tmp = pd.DataFrame({"h": h, "split": split, "tok": tok,
+                            "ok": (tok >= 30).astype(int)})
+        return tmp.groupby("h", as_index=False).agg(
+            split=("split", "first"), tok=("tok", "first"),
+            n_docs=("ok", "size"), n_ok=("ok", "sum"))
+
+    def to_split_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            n_kept=(g["n_ok"] > 0).astype(int),
+            kept_tokens=np.where(g["n_ok"] > 0, g["tok"], 0))
+        return g.groupby("split", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_quality=("n_ok", "sum"),
+            n_kept=("n_kept", "sum"), kept_tokens=("kept_tokens", "sum"))
+
+    parts = ds.map_batches(pass1, batch_format="pandas", batch_size=8192)
+    per_bucket = _bucketed_combine(
+        parts, ["h"],
+        {"split": "first", "tok": "first", "n_docs": "sum", "n_ok": "sum"},
+        prune=to_split_counts)
+    out = per_bucket.groupby("split", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_quality=("n_quality", "sum"),
+        n_kept=("n_kept", "sum"), kept_tokens=("kept_tokens", "sum"))
+    for c in ["n_docs", "n_quality", "n_kept", "kept_tokens"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
+SQL_CORPUS_PREP = """
+WITH q AS (
+  SELECT md5(text) AS h,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+         CASE WHEN substr(md5(text), 1, 1) IN ('d','e') THEN 'val'
+              WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+), per_hash AS (
+  SELECT h, MIN(split) AS split, MIN(tok) AS tok, COUNT(*) AS n_docs,
+         SUM(CASE WHEN tok >= 30 THEN 1 ELSE 0 END) AS n_ok
+  FROM q GROUP BY h
+)
+SELECT split,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_ok) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN n_ok > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN n_ok > 0 THEN tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM per_hash GROUP BY split
+"""
+
+
 # single source of truth for both the Ray loop and the generated SQL —
 # a drift between them would desynchronize the oracle silently
 _PAGERANK_ITERS = 4
@@ -4785,6 +4857,7 @@ QUERIES = {
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "local_supplier_revenue": q_local_supplier_revenue,
     "label_centroids": q_label_centroids,
+    "corpus_prep": q_corpus_prep,
 }
 
 ORACLE_SQL = {
@@ -4851,4 +4924,5 @@ ORACLE_SQL = {
     "monthly_revenue_growth": SQL_MONTHLY_REVENUE_GROWTH,
     "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "corpus_prep": SQL_CORPUS_PREP,
 }

@@ -64,6 +64,7 @@ SUBSET = [
     "monthly_revenue_growth",
     "local_supplier_revenue",
     "label_centroids",
+    "corpus_prep",
 ]
 
 
