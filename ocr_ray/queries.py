@@ -3433,6 +3433,10 @@ def q_props_field_stats(sf_dir: str):
         k = pd.to_numeric(
             df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False),
             errors="coerce")
+        # mirror the oracle's TRY_CAST(... AS BIGINT): digits past the
+        # int64 range become NULL there, so NULL them here too instead
+        # of carrying a lossy float64 into n/sum/max
+        k = k.where(k.abs() <= np.float64(2**63 - 1024))
         return pd.DataFrame({"event_type": df["event_type"], "k": k}) \
             .groupby("event_type", as_index=False) \
             .agg(n=("k", "count"), sum_k=("k", "sum"), max_k=("k", "max"))
@@ -3534,7 +3538,10 @@ def q_tfidf_top_terms(sf_dir: str):
         lens = np.fromiter((len(t) for t in toks_per), dtype=np.int64,
                            count=len(toks_per))
         if int(lens.sum()) == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="object"),
+            # dtypes must match the non-empty branch (int64 doc ids):
+            # an object-typed empty frame becomes an Arrow null column
+            # and can fail block-schema unification in the shuffle
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "term": pd.Series([], dtype="object"),
                                  "tf": pd.Series([], dtype="int64"),
                                  "_bt": pd.Series([], dtype="int64")})
@@ -3595,39 +3602,61 @@ def q_profile_orders(sf_dir: str):
     ds = _read(sf_dir, "orders", COLS)
     B = _pair_buckets()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for c in COLS:
-            v = df[c]
-            rows.append((c, len(v), int(v.isna().sum()),
-                         float(v.min()), float(v.max())))
-        return pd.DataFrame(rows, columns=["col", "n", "n_null", "mn", "mx"])
-
-    def uniques(df: pd.DataFrame) -> pd.DataFrame:
+    # TRULY one scan: a single map_batches emits BOTH kinds of partial
+    # rows (a lazy Dataset consumed by two separate passes would
+    # re-execute the read — the lazy double-execution pitfall). Stat
+    # rows ride the same shuffle, keyed to their column's home bucket.
+    def profile_batch(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for c in COLS:
+            v = df[c]
             # float64 repr is injective, so distinct-of-repr ==
             # distinct-of-value (the strings never cross to the oracle)
-            u = pd.Series(df[c].dropna().unique()).astype(str)
-            frames.append(pd.DataFrame({"col": c, "val": u}))
-        out = pd.concat(frames, ignore_index=True)
-        h = pd.util.hash_pandas_object(out["col"] + "\x1f" + out["val"],
-                                       index=False).to_numpy()
-        return out.assign(_b=(h % B).astype("int64"))
+            u = pd.Series(v.dropna().unique()).astype(str)
+            h = pd.util.hash_pandas_object(c + "\x1f" + u, index=False)
+            frames.append(pd.DataFrame({
+                "col": c, "kind": "u", "val": u,
+                "n": np.int64(0), "n_null": np.int64(0),
+                "mn": np.nan, "mx": np.nan,
+                "_b": (h.to_numpy() % B).astype("int64")}))
+            frames.append(pd.DataFrame({
+                "col": [c], "kind": ["s"], "val": [""],
+                "n": [np.int64(len(v))],
+                "n_null": [np.int64(v.isna().sum())],
+                "mn": [float(v.min())], "mx": [float(v.max())],
+                "_b": [np.int64(zlib.crc32(c.encode()) % B)]}))
+        return pd.concat(frames, ignore_index=True)
 
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("col", as_index=False)["val"].nunique() \
-                .rename(columns={"val": "nd"})
+    def bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        u = g.loc[g["kind"] == "u"]
+        if len(u):
+            nd = u.groupby("col", as_index=False)["val"].nunique() \
+                  .rename(columns={"val": "nd"})
+            outs.append(nd.assign(kind="u", n=np.int64(0),
+                                  n_null=np.int64(0), mn=np.nan, mx=np.nan))
+        s = g.loc[g["kind"] == "s"]
+        if len(s):
+            st = s.groupby("col", as_index=False).agg(
+                n=("n", "sum"), n_null=("n_null", "sum"),
+                mn=("mn", "min"), mx=("mx", "max"))
+            outs.append(st.assign(kind="s", nd=np.int64(0)))
+        cols = ["col", "kind", "nd", "n", "n_null", "mn", "mx"]
+        return pd.concat(outs, ignore_index=True)[cols]
 
-    stats = ds.map_batches(partial, batch_format="pandas",
-                           batch_size=65536).to_pandas()
-    agg = stats.groupby("col", as_index=False).agg(
+    parts = (ds.map_batches(profile_batch, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("_b").map_groups(bucket_reduce, batch_format="pandas")
+             .to_pandas())
+    agg = parts.loc[parts["kind"] == "s"].groupby("col", as_index=False).agg(
         n=("n", "sum"), n_null=("n_null", "sum"),
         mn=("mn", "min"), mx=("mx", "max"))
-    nd = ds.map_batches(uniques, batch_format="pandas", batch_size=65536) \
-           .groupby("_b").map_groups(bucket_distinct, batch_format="pandas") \
-           .to_pandas().groupby("col", as_index=False)["nd"].sum()
-    out = agg.merge(nd, on="col")
+    nd = parts.loc[parts["kind"] == "u"].groupby(
+        "col", as_index=False)["nd"].sum()
+    # LEFT merge: an all-null column has no unique rows at all but the
+    # oracle still reports it with n_distinct = 0
+    out = agg.merge(nd, on="col", how="left")
+    out["nd"] = out["nd"].fillna(0)
     return pd.DataFrame({
         "col": out["col"],
         "n": out["n"].astype("int64"),
