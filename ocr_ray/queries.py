@@ -75,6 +75,28 @@ def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     return df
 
 
+def _micro_revenue(t: pa.Table) -> pa.ChunkedArray:
+    """Line-item revenue ext*(1-disc) as EXACT integer micro-dollars
+    (cents x basis points). ext and disc are 2/4-decimal quanta, so
+    float revenue sums land exactly on half-cent rounding boundaries
+    and a ROUND(sum, 2) output ties between pandas' half-even and SQL's
+    half-away (observed live on this data) — integer arithmetic with a
+    final /1e6 on both sides is bit-identical instead. Rounding mode
+    half_towards_infinity matches SQL ROUND for these positive values;
+    per-value magnitudes (~1e9) and catalog-scale sums stay far below
+    2^53, so the values survive float64 columns and HUGEINT->DOUBLE
+    conversions exactly. SQL mirror:
+    ``SUM(CAST(ROUND(ext*100) AS BIGINT) *
+    (10000 - CAST(ROUND(disc*10000) AS BIGINT))) / 1000000.0``."""
+    cents = pc.cast(
+        pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                 round_mode="half_towards_infinity"), pa.int64())
+    bp = pc.cast(
+        pc.round(pc.multiply(t["l_discount"], pa.scalar(10000.0)),
+                 round_mode="half_towards_infinity"), pa.int64())
+    return pc.multiply(cents, pc.subtract(pa.scalar(10000, pa.int64()), bp))
+
+
 def _bucketed_combine(
     parts: ray.data.Dataset,
     keys: list[str],
@@ -170,33 +192,43 @@ def q_pricing_summary(sf_dir: str):
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1999-01-01"))))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "l_quantity": t["l_quantity"],
-            "l_extendedprice": t["l_extendedprice"],
-            "disc_price": disc_price,
+            # quantities are integral and prices 2-decimal, so integer
+            # quantities / cents / micro-dollars make every sum exact
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "cents": pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                         round_mode="half_towards_infinity"), pa.int64()),
+            "micro": _micro_revenue(t),
         })
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
     out = _partial_group_sum(
         ds, ["l_returnflag", "l_linestatus"],
-        {"sum_qty": "l_quantity", "sum_base_price": "l_extendedprice", "sum_disc_price": "disc_price"},
+        {"sum_qty": "qty", "sum_base_price": "cents", "sum_disc_price": "micro"},
         counts="n",
     )
+    # exact integers divided by exact integers / powers of ten: the
+    # same bits on both sides, no rounding step anywhere
     out["avg_qty"] = out["sum_qty"] / out["n"]
-    out = _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4})
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    out["sum_base_price"] = out["sum_base_price"].astype("int64") / 100.0
+    out["sum_disc_price"] = out["sum_disc_price"].astype("int64") / 1000000.0
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+         / 1000000.0 AS sum_disc_price,
+       SUM(l_quantity) * 1.0 / COUNT(*) AS avg_qty,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-01-01'
@@ -210,22 +242,28 @@ def q_revenue_topk(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+        # exact integer micro-dollars: the top-k ORDER is decided on
+        # exact integers, so the cut can't flip with summation order
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": _micro_revenue(t)})
 
     # distributed combine + per-bucket top-10: the driver receives at
     # most buckets*10 candidate rows, never one row per orderkey
     agg = _partial_group_sum(
         ds.map_batches(prep, batch_format="pyarrow"), ["l_orderkey"], {"revenue": "rev"},
-        distributed=True, round_cols={"revenue": 2},
+        distributed=True,
         topk=(10, ["revenue", "l_orderkey"], [False, True]),
     )
     top = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    top["revenue"] = top["revenue"].astype("int64") / 1000000.0
     return top.reset_index(drop=True)
 
 
 SQL_REVENUE_TOPK = """
-SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT l_orderkey,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+         / 1000000.0 AS revenue
 FROM lineitem GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
@@ -243,10 +281,13 @@ def q_order_priority_revenue(sf_dir: str):
 
     def li_prep(t: pa.Table) -> pa.Table:
         # combiner BEFORE the shuffle: ~4 line items share an orderkey,
-        # so partial (sum, count) per key shrinks the exchange ~4x
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # so partial (sum, count) per key shrinks the exchange ~4x.
+        # Revenue in EXACT integer micro-dollars (see _micro_revenue):
+        # ext*(1-disc) values are 4-decimal quanta whose float sums land
+        # exactly on half-cents, so a rounded-sum output would tie
+        # between pandas half-even and SQL half-away.
         partial = (
-            pa.table({"key": t["l_orderkey"], "rev": rev})
+            pa.table({"key": t["l_orderkey"], "rev": _micro_revenue(t)})
             .group_by("key")
             .aggregate([("rev", "sum"), ("rev", "count")])
         )
@@ -265,7 +306,7 @@ def q_order_priority_revenue(sf_dir: str):
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
             "key": key,
-            "rev": pa.nulls(t.num_rows, pa.float64()),
+            "rev": pa.nulls(t.num_rows, pa.int64()),
             "n": pa.nulls(t.num_rows, pa.int64()),
             "o_orderpriority": t["o_orderpriority"],
             "side": pa.array(["o"] * t.num_rows),
@@ -287,14 +328,18 @@ def q_order_priority_revenue(sf_dir: str):
     out = parts.groupby("o_orderpriority", as_index=False).agg(
         revenue=("revenue", "sum"), n_items=("n_items", "sum")
     )
-    out = _round_cols(out, {"revenue": 2})
+    # integer micro-dollars (exact in float64 below 2^53) / 1e6: the
+    # same exact integer divides on both sides — no rounding step
+    out["revenue"] = out["revenue"].astype("int64") / 1000000.0
     out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
 SQL_ORDER_PRIORITY_REVENUE = """
 SELECT o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+         / 1000000.0 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -350,7 +395,7 @@ def q_shipping_priority(sf_dir: str):
 
     def o_prep(df: pd.DataFrame) -> pd.DataFrame:
         k = df["o_orderkey"].astype("int64")
-        return pd.DataFrame({"bucket": k % B, "key": k, "rev": np.float64(0.0),
+        return pd.DataFrame({"bucket": k % B, "key": k, "rev": np.int64(0),
                              "o_orderdate": df["o_orderdate"], "side": "o"})
 
     li = _read(sf_dir, "lineitem",
@@ -359,8 +404,14 @@ def q_shipping_priority(sf_dir: str):
 
     def li_prep(df: pd.DataFrame) -> pd.DataFrame:
         kept = df[df["l_shipdate"] > cutoff]
-        rev = kept["l_extendedprice"] * (1.0 - kept["l_discount"])
-        partial = pd.DataFrame({"key": kept["l_orderkey"].astype("int64"), "rev": rev}) \
+        # exact integer micro-dollars (see _micro_revenue): the top-k
+        # order is decided on exact integers, immune to sum order
+        cents = np.floor(kept["l_extendedprice"].to_numpy() * 100.0 + 0.5) \
+                  .astype(np.int64)
+        bp = np.floor(kept["l_discount"].to_numpy() * 10000.0 + 0.5) \
+               .astype(np.int64)
+        partial = pd.DataFrame({"key": kept["l_orderkey"].astype("int64"),
+                                "rev": cents * (10000 - bp)}) \
             .groupby("key", as_index=False)["rev"].sum()
         return pd.DataFrame({"bucket": partial["key"] % B, "key": partial["key"],
                              "rev": partial["rev"],
@@ -377,19 +428,22 @@ def q_shipping_priority(sf_dir: str):
         o = g[g["side"] == "o"][["key", "o_orderdate"]]
         l = g[g["side"] == "l"].groupby("key", as_index=False)["rev"].sum()
         j = o.merge(l, on="key", how="inner")
-        j["revenue"] = j["rev"].round(2)
-        j = j.sort_values(["revenue", "key"], ascending=[False, True]).head(10)
+        j = j.sort_values(["rev", "key"], ascending=[False, True]).head(10)
         return pd.DataFrame({"l_orderkey": j["key"].astype("int64"),
-                             "revenue": j["revenue"],
+                             "revenue": j["rev"].astype("int64"),
                              "o_orderdate": j["o_orderdate"]})
 
     parts = both.groupby("bucket").map_groups(join_topk, batch_format="pandas").to_pandas()
     top = parts.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    top["revenue"] = top["revenue"].astype("int64") / 1000000.0
     return top.reset_index(drop=True)
 
 
 SQL_SHIPPING_PRIORITY = """
-SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT l_orderkey,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+         / 1000000.0 AS revenue,
        o_orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey

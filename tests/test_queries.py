@@ -432,8 +432,7 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     a = Q.QUERIES["orders_stratified_sample"](SF)
     b = Q.QUERIES["orders_stratified_sample"](SF)
     pd.testing.assert_frame_equal(a, b)
-    import duckdb as dk
-    tot = dk.connect().execute(
+    tot = duckdb.connect().execute(
         f"SELECT o_orderpriority, COUNT(*) AS n FROM '{SF}/orders.parquet' GROUP BY 1"
     ).df().set_index("o_orderpriority")["n"]
     got = a.groupby("o_orderpriority").size()
