@@ -3,8 +3,26 @@
 Each entry: name -> callable(sf_dir) returning a Dataset / DataFrame /
 pyarrow Table, with a matching ANSI-SQL oracle in ORACLE_SQL where the
 operator is SQL-expressible (the driver diffs them via DuckDB at
-sf=0.01). Column names match the SQL aliases exactly; float aggregates
-are rounded on BOTH sides so summation order can't flip the value hash.
+sf=0.01). Column names match the SQL aliases exactly.
+
+Determinism policy for float outputs (why the oracle hashes match
+bit-for-bit, not just approximately):
+- sums of DECIMAL-QUANTA columns (prices, discounts, revenues) are
+  computed in exact integers — cents, basis points, or micro-dollars
+  (``_micro_revenue``) — and emitted as the same exact integer divided
+  by the same power of ten on both sides; rounded float sums of
+  4-decimal quanta land EXACTLY on half-cent boundaries where pandas'
+  half-even and SQL ROUND's half-away disagree (observed live);
+- ratios of exact integers (averages, rates, growth) are emitted
+  UNROUNDED — the same two integers divide to the same double on both
+  sides;
+- genuinely real-valued outputs (correlations, stddevs, cosines,
+  centroids) are rounded identically on both sides; their values hit a
+  rounding boundary only by measure-zero coincidence, unlike quanta
+  sums which are constructed to;
+- values that feed a PREDICATE or an ORDER are never rounded floats —
+  integer cross-multiplication (``nation_spend_outliers``) or exact
+  integer sort keys (``revenue_topk``, ``shipping_priority``).
 
 Scale notes are in each docstring: the point is not the sf0.01 result
 but that the same plan holds at 100 TB (partial aggregation before
@@ -82,10 +100,13 @@ def _micro_revenue(t: pa.Table) -> pa.ChunkedArray:
     and a ROUND(sum, 2) output ties between pandas' half-even and SQL's
     half-away (observed live on this data) — integer arithmetic with a
     final /1e6 on both sides is bit-identical instead. Rounding mode
-    half_towards_infinity matches SQL ROUND for these positive values;
-    per-value magnitudes (~1e9) and catalog-scale sums stay far below
-    2^53, so the values survive float64 columns and HUGEINT->DOUBLE
-    conversions exactly. SQL mirror:
+    half_towards_infinity matches SQL ROUND for these positive values.
+    Sums must stay int64 END-TO-END (overflow only at 9.2e18 micro =
+    $9.2T per group) — per-group sums at sf0.1 already reach 67% of
+    2^53, so letting the column pass through float64 (e.g. by unioning
+    with a NULL placeholder) would break exactness at ~1.5x that scale;
+    final int64 -> DOUBLE outputs divide group totals < 2^53 so the
+    HUGEINT->DOUBLE conversion on the SQL side is exact too. SQL mirror:
     ``SUM(CAST(ROUND(ext*100) AS BIGINT) *
     (10000 - CAST(ROUND(disc*10000) AS BIGINT))) / 1000000.0``."""
     cents = pc.cast(
@@ -95,6 +116,17 @@ def _micro_revenue(t: pa.Table) -> pa.ChunkedArray:
         pc.round(pc.multiply(t["l_discount"], pa.scalar(10000.0)),
                  round_mode="half_towards_infinity"), pa.int64())
     return pc.multiply(cents, pc.subtract(pa.scalar(10000, pa.int64()), bp))
+
+
+def _micro_revenue_np(ext: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`_micro_revenue` for pandas-format stages.
+    np.floor(x + 0.5) is half-UP, which equals half-away-from-zero (SQL
+    ROUND / the pyarrow kernel's half_towards_infinity) only because
+    prices and discounts are non-negative — keep both implementations
+    in this one place so they can't drift."""
+    cents = np.floor(ext * 100.0 + 0.5).astype(np.int64)
+    bp = np.floor(disc * 10000.0 + 0.5).astype(np.int64)
+    return cents * (10000 - bp)
 
 
 def _bucketed_combine(
@@ -196,7 +228,10 @@ def q_pricing_summary(sf_dir: str):
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
             # quantities are integral and prices 2-decimal, so integer
-            # quantities / cents / micro-dollars make every sum exact
+            # quantities / cents / micro-dollars make every sum exact.
+            # The safe cast is a deliberate contract: a non-integral
+            # quantity raises loudly here rather than silently rounding
+            # away from what SQL SUM(l_quantity) would compute
             "qty": pc.cast(t["l_quantity"], pa.int64()),
             "cents": pc.cast(
                 pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
@@ -303,11 +338,16 @@ def q_order_priority_revenue(sf_dir: str):
 
     def o_prep(t: pa.Table) -> pa.Table:
         key = t["o_orderkey"]
+        # 0 sentinels, NOT nulls: Arrow int64-with-nulls converts to
+        # pandas float64 for the whole unioned column, which silently
+        # caps the "exact integer" guarantee at 2^53 (the side tag
+        # already distinguishes the rows)
+        zeros = pa.array(np.zeros(t.num_rows, dtype=np.int64))
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
             "key": key,
-            "rev": pa.nulls(t.num_rows, pa.int64()),
-            "n": pa.nulls(t.num_rows, pa.int64()),
+            "rev": zeros,
+            "n": zeros,
             "o_orderpriority": t["o_orderpriority"],
             "side": pa.array(["o"] * t.num_rows),
         })
@@ -406,12 +446,10 @@ def q_shipping_priority(sf_dir: str):
         kept = df[df["l_shipdate"] > cutoff]
         # exact integer micro-dollars (see _micro_revenue): the top-k
         # order is decided on exact integers, immune to sum order
-        cents = np.floor(kept["l_extendedprice"].to_numpy() * 100.0 + 0.5) \
-                  .astype(np.int64)
-        bp = np.floor(kept["l_discount"].to_numpy() * 10000.0 + 0.5) \
-               .astype(np.int64)
+        rev = _micro_revenue_np(kept["l_extendedprice"].to_numpy(),
+                                kept["l_discount"].to_numpy())
         partial = pd.DataFrame({"key": kept["l_orderkey"].astype("int64"),
-                                "rev": cents * (10000 - bp)}) \
+                                "rev": rev}) \
             .groupby("key", as_index=False)["rev"].sum()
         return pd.DataFrame({"bucket": partial["key"] % B, "key": partial["key"],
                              "rev": partial["rev"],
@@ -3487,10 +3525,12 @@ def q_props_field_stats(sf_dir: str):
         k = pd.to_numeric(
             df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False),
             errors="coerce")
-        # mirror the oracle's TRY_CAST(... AS BIGINT): digits past the
-        # int64 range become NULL there, so NULL them here too instead
-        # of carrying a lossy float64 into n/sum/max
-        k = k.where(k.abs() <= np.float64(2**63 - 1024))
+        # documented numeric envelope, enforced on BOTH sides: |k| must
+        # be float64-exact (<= 2^53). The Python path extracts through
+        # float64, so anything larger is lossy here even when it still
+        # fits BIGINT — the oracle applies the same cutoff below so the
+        # two sides NULL the same rows instead of silently diverging
+        k = k.where(k.abs() <= np.float64(2**53))
         return pd.DataFrame({"event_type": df["event_type"], "k": k}) \
             .groupby("event_type", as_index=False) \
             .agg(n=("k", "count"), sum_k=("k", "sum"), max_k=("k", "max"))
@@ -3515,10 +3555,15 @@ def q_props_field_stats(sf_dir: str):
 
 
 SQL_PROPS_FIELD_STATS = """
-WITH e AS (
+WITH raw AS (
   SELECT event_type,
-         TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+         TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k0
   FROM events
+), e AS (
+  -- same float64-exact envelope the Python side enforces (|k| <= 2^53)
+  SELECT event_type,
+         CASE WHEN ABS(k0) <= 9007199254740992 THEN k0 END AS k
+  FROM raw
 )
 SELECT event_type,
        CAST(COUNT(k) AS BIGINT) AS n,
@@ -4444,11 +4489,8 @@ def q_local_supplier_revenue(sf_dir: str, _broadcast_max: int | None = None):
     # ---- stage 2: lineitem revenue partials keyed (orderkey, s_nation)
     def li_partial(df: pd.DataFrame, snat: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(snat, left_on="l_suppkey", right_on="s_suppkey")
-        cents = np.floor(m["l_extendedprice"].to_numpy() * 100.0 + 0.5) \
-                  .astype(np.int64)
-        bp = np.floor(m["l_discount"].to_numpy() * 10000.0 + 0.5) \
-               .astype(np.int64)
-        m["rev"] = cents * (10000 - bp)  # exact micro-dollars
+        m["rev"] = _micro_revenue_np(m["l_extendedprice"].to_numpy(),
+                                     m["l_discount"].to_numpy())
         p = m.groupby(["l_orderkey", "s_nationkey"], as_index=False)["rev"].sum()
         okey = p["l_orderkey"].to_numpy(np.int64)
         return pd.DataFrame({
