@@ -4621,6 +4621,129 @@ FROM e GROUP BY label, dim
 """
 
 
+def q_event_minute_gaps(sf_dir: str):
+    """Calendar-spine gap fill: which MINUTES of 2024-01-15 saw zero
+    events — the missing-time-bucket detection every time-series
+    pipeline needs before resampling (an aggregate over observed data
+    can't see what isn't there). The fact scan is one pushed-down
+    distinct-buckets pass (O(minutes) rows per batch); the 1440-minute
+    spine lives on the DRIVER (O(spine), never shuffled) and the
+    anti-join against observed minutes is an index difference. Output:
+    per hour, the number of silent minutes and the first one."""
+    lo, hi = pd.Timestamp("2024-01-15"), pd.Timestamp("2024-01-16")
+    ds = _read(sf_dir, "events", ["ts"],
+               filter=(pc.field("ts") >= lo) & (pc.field("ts") < hi))
+
+    def minutes(t: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(t["ts"], unit="minute")
+        return pa.table({"m": m}).group_by("m").aggregate([])  # distinct
+
+    seen = ds.map_batches(minutes, batch_format="pyarrow").to_pandas()
+    seen_m = pd.to_datetime(seen["m"].unique())
+    spine = pd.date_range(lo, hi - pd.Timedelta(minutes=1), freq="min")
+    missing = spine.difference(seen_m)
+    if len(missing) == 0:
+        return pd.DataFrame({"hour": pd.Series([], dtype="datetime64[us]"),
+                             "n_gap_minutes": pd.Series([], dtype="int64"),
+                             "first_gap": pd.Series([], dtype="datetime64[us]")})
+    m = pd.DataFrame({"hour": missing.floor("h"), "first_gap": missing})
+    out = m.groupby("hour", as_index=False).agg(
+        n_gap_minutes=("first_gap", "size"), first_gap=("first_gap", "min"))
+    out["n_gap_minutes"] = out["n_gap_minutes"].astype("int64")
+    return out[["hour", "n_gap_minutes", "first_gap"]] \
+        .sort_values("hour").reset_index(drop=True)
+
+
+SQL_EVENT_MINUTE_GAPS = """
+WITH spine AS (
+  SELECT CAST(m AS TIMESTAMP) AS minute
+  FROM generate_series(TIMESTAMP '2024-01-15 00:00:00',
+                       TIMESTAMP '2024-01-15 23:59:00',
+                       INTERVAL 1 MINUTE) t(m)
+), seen AS (
+  SELECT DISTINCT date_trunc('minute', ts) AS minute
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+)
+SELECT date_trunc('hour', minute) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_gap_minutes,
+       MIN(minute) AS first_gap
+FROM spine ANTI JOIN seen USING (minute)
+GROUP BY 1
+"""
+
+
+def q_segment_revenue_share(sf_dir: str):
+    """Percent-of-total window (ratio to the grand total): each market
+    segment's share of total order revenue. One custkey-bucketed join
+    (orders partially pre-aggregated to exact integer cents per
+    custkey before the exchange), per-bucket collapse to per-segment
+    partials, O(segments) driver combine — the grand total is derived
+    from the same per-segment exact integers, so share = seg/total is
+    the SAME two integers dividing on both sides (no rounding, no
+    second scan for the denominator)."""
+    B = _pair_buckets()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"), pa.int64())
+        partial = (pa.table({"key": t["o_custkey"], "cents": cents})
+                   .group_by("key").aggregate([("cents", "sum")]))
+        key = partial["key"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "cents": partial["cents_sum"],
+            "seg": pa.nulls(partial.num_rows, pa.string()),
+        })
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "cents": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "seg": t["c_mktsegment"],
+        })
+
+    def seg_partial(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["seg"].notna(), ["key", "seg"]]
+        fact = g.loc[g["seg"].isna()].groupby("key", as_index=False)[
+            "cents"].sum()
+        j = fact.merge(dim, on="key")
+        return j.groupby("seg", as_index=False)["cents"].sum()
+
+    parts = (orders.map_batches(o_prep, batch_format="pyarrow")
+             .union(cust.map_batches(c_prep, batch_format="pyarrow"))
+             .groupby("bucket").map_groups(seg_partial, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("seg", as_index=False)["cents"].sum()
+    out["cents"] = out["cents"].astype("int64")
+    total = int(out["cents"].sum())
+    out["revenue"] = out["cents"] / 100.0
+    out["share"] = out["cents"] / np.float64(total)
+    return out.rename(columns={"seg": "c_mktsegment"})[
+        ["c_mktsegment", "revenue", "share"]] \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_SEGMENT_REVENUE_SHARE = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       cents / 100.0 AS revenue,
+       cents * 1.0 / (SELECT SUM(cents) FROM seg) AS share
+FROM seg
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """The composed training-data-prep pipeline as ONE catalog entry:
     quality gate -> exact-dedup keeper selection -> split carving ->
@@ -4983,6 +5106,8 @@ QUERIES = {
     "local_supplier_revenue": q_local_supplier_revenue,
     "label_centroids": q_label_centroids,
     "corpus_prep": q_corpus_prep,
+    "event_minute_gaps": q_event_minute_gaps,
+    "segment_revenue_share": q_segment_revenue_share,
 }
 
 ORACLE_SQL = {
@@ -5050,4 +5175,6 @@ ORACLE_SQL = {
     "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "corpus_prep": SQL_CORPUS_PREP,
+    "event_minute_gaps": SQL_EVENT_MINUTE_GAPS,
+    "segment_revenue_share": SQL_SEGMENT_REVENUE_SHARE,
 }

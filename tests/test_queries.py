@@ -65,6 +65,8 @@ SUBSET = [
     "local_supplier_revenue",
     "label_centroids",
     "corpus_prep",
+    "event_minute_gaps",
+    "segment_revenue_share",
 ]
 
 
