@@ -261,6 +261,32 @@ def run_checkpointed(
             )
         num_partitions = min(num_partitions, len(files))
     manifest.check_scheme(partition_by, num_partitions, fp)
+    # purge stale partitions BEFORE planning: records written against a
+    # DIFFERENT input fingerprint are dead weight for resume (every
+    # partition recomputes) — but their part=K directories would be read
+    # by any dataset consumer of output_dir ALONGSIDE the new data, and
+    # indices K >= num_partitions are never revisited by the todo loop
+    # at all (a resume with fewer partitions would silently mix old and
+    # new rows). Delete dir + manifest entry for both classes, and sweep
+    # orphan part=K dirs (K >= num_partitions) left by a crash before
+    # mark_done under an older scheme.
+    stale = [k for k, v in manifest.data["partitions"].items()
+             if v.get("fingerprint") != fp or int(k) >= num_partitions]
+    for k in stale:
+        shutil.rmtree(os.path.join(output_dir, f"part={int(k)}"),
+                      ignore_errors=True)
+        manifest.data["partitions"].pop(k)
+    for name in os.listdir(output_dir):
+        if name.startswith("part="):
+            try:
+                idx = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if idx >= num_partitions:
+                shutil.rmtree(os.path.join(output_dir, name),
+                              ignore_errors=True)
+    if stale:
+        manifest.save()
     done = manifest.done_partitions(fp)
     todo = [p for p in range(num_partitions) if p not in done]
     if max_partitions_this_run is not None:

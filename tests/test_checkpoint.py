@@ -221,3 +221,36 @@ def test_stale_fingerprint_does_not_veto_scheme(ray_session, tmp_path):
     # same-input resume under a different scheme still refuses
     with pytest.raises(ValueError, match="partition_by"):
         run_checkpointed(corpus2, out, num_partitions=2 * P, partition_by="hash")
+
+
+def test_stale_partitions_purged_on_input_change(ray_session, tmp_path):
+    """After an input change, a resume with FEWER partitions than the
+    old scheme must not leave the old part=K (K >= P_new) directories
+    on disk: a dataset reader of output_dir would silently mix old and
+    new rows. Stale dirs + manifest entries are deleted at plan time."""
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, N_DOCS, seed=37, n_files=P)
+    out = str(tmp_path / "out")
+    run_checkpointed(corpus, out, num_partitions=P, partition_by="hash")
+    assert set(os.listdir(out)) >= {f"part={p}" for p in range(P)}
+    # input changes -> new fingerprint; resume with HALF the partitions
+    corpus2 = str(tmp_path / "in2")
+    write_corpus(corpus2, N_DOCS + 2, seed=38, n_files=2)
+    s = run_checkpointed(corpus2, out, num_partitions=P // 2,
+                         partition_by="hash")
+    assert s["rows"] == N_DOCS + 2
+    on_disk = sorted(n for n in os.listdir(out) if n.startswith("part="))
+    assert on_disk == [f"part={p}" for p in range(P // 2)], on_disk
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert sorted(manifest["partitions"]) == [str(p) for p in range(P // 2)]
+    # the directory now reads as EXACTLY the new corpus — no mixing
+    assert len(_read_all(out)) == N_DOCS + 2
+    # orphan dirs (crash before mark_done under an older scheme) are
+    # swept too: plant one and resume — nothing to do, dir still removed
+    orphan = os.path.join(out, f"part={P + 3}")
+    os.makedirs(orphan, exist_ok=True)
+    s2 = run_checkpointed(corpus2, out, num_partitions=P // 2,
+                          partition_by="hash")
+    assert s2["processed_partitions"] == []
+    assert not os.path.isdir(orphan)
