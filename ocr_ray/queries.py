@@ -744,24 +744,77 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 """
 
 
-def q_top_orders_per_segment(sf_dir: str):
-    """Per-group top-k (top-3 orders by price per market segment):
-    segment attached via the broadcast customer dim, then each batch
-    keeps only its LOCAL top-3 per segment before the tiny final combine
-    — the grouped-top-k analogue of revenue_topk's pruning."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+def q_top_orders_per_segment(sf_dir: str, _broadcast_max: int | None = None):
+    """Per-group top-k (top-3 orders by price per market segment), with
+    the SAME broadcast-budget guard as q_mktsegment_stats: the customer
+    dim is probed with ``limit(budget+1)``; within budget it is ray.put
+    ONCE and each batch keeps only its LOCAL top-3 per segment before
+    the tiny final combine (the grouped-top-k analogue of revenue_topk's
+    pruning). Past the budget the query falls back to a bucketed hash
+    join: orders are pre-pruned per batch to the local top-3 PER CUSTKEY
+    (a correct superset — a segment's top-3 orders contain at most 3
+    orders of any one custkey), both sides shuffle by ``custkey % B``,
+    each bucket attaches segments and keeps its top-3 per segment, and
+    the driver combines O(B x segments x 3) rows. Nothing driver-side
+    scales with the dim."""
+    budget = _BROADCAST_MAX_KEYS if _broadcast_max is None else _broadcast_max
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        df = df.assign(c_mktsegment=df["o_custkey"].map(lookup))
-        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-        return df.groupby("c_mktsegment", as_index=False).head(3)[
-            ["c_mktsegment", "o_orderkey", "o_totalprice"]
-        ]
+    probe = cust_ds.limit(budget + 1).to_pandas()
+    if len(probe) <= budget:
+        lookup_ref = ray.put(dict(zip(probe["c_custkey"], probe["c_mktsegment"])))
 
-    parts = orders.map_batches(local_topk, batch_format="pandas", batch_size=65536).to_pandas()
+        def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(lookup_ref)
+            df = df.assign(c_mktsegment=df["o_custkey"].map(lookup))
+            df = df.sort_values(["o_totalprice", "o_orderkey"],
+                                ascending=[False, True])
+            return df.groupby("c_mktsegment", as_index=False).head(3)[
+                ["c_mktsegment", "o_orderkey", "o_totalprice"]
+            ]
+
+        parts = orders.map_batches(local_topk, batch_format="pandas",
+                                   batch_size=65536).to_pandas()
+    else:
+        B = _pair_buckets()
+
+        def c_prep(df: pd.DataFrame) -> pd.DataFrame:
+            k = df["c_custkey"].astype("int64")
+            return pd.DataFrame({"bucket": k % B, "key": k,
+                                 "seg": df["c_mktsegment"],
+                                 "o_orderkey": np.int64(-1),
+                                 "o_totalprice": 0.0, "side": "c"})
+
+        def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["o_totalprice", "o_orderkey"],
+                                ascending=[False, True])
+            df = df.groupby("o_custkey", as_index=False).head(3)
+            k = df["o_custkey"].astype("int64")
+            return pd.DataFrame({"bucket": k % B, "key": k, "seg": "",
+                                 "o_orderkey": df["o_orderkey"].astype("int64"),
+                                 "o_totalprice": df["o_totalprice"],
+                                 "side": "o"})
+
+        def join_topk(g: pd.DataFrame) -> pd.DataFrame:
+            seg = dict(zip(g.loc[g["side"] == "c", "key"],
+                           g.loc[g["side"] == "c", "seg"]))
+            o = g[g["side"] == "o"]
+            out = pd.DataFrame({
+                "c_mktsegment": o["key"].map(seg),
+                "o_orderkey": o["o_orderkey"],
+                "o_totalprice": o["o_totalprice"],
+            }).sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True])
+            return out.groupby("c_mktsegment", as_index=False).head(3)
+
+        parts = cust_ds.map_batches(c_prep, batch_format="pandas",
+                                    batch_size=65536) \
+            .union(orders.map_batches(o_prep, batch_format="pandas",
+                                      batch_size=65536)) \
+            .groupby("bucket").map_groups(join_topk, batch_format="pandas") \
+            .to_pandas()
+
     parts = parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
     top = parts.groupby("c_mktsegment", as_index=False).head(3).copy()
     top["rank"] = top.groupby("c_mktsegment").cumcount() + 1
@@ -1850,12 +1903,27 @@ FROM r WHERE rank <= 5
 """
 
 
+_EXACT_PAIR_CACHE: dict[str, ray.data.Dataset] = {}
+
+
 def _exact_pair_ds(sf_dir: str):
     """Exact embedding near-dup pair Dataset (cosine >= 0.32): block
     matmul against the broadcast normalized matrix, one (a < b, cos)
     row per qualifying pair, emitted where the data lives. Shared by
     q_embedding_similar_pairs (the pair listing) and q_dedup_clusters
-    (the edge source for connected components)."""
+    (the edge source for connected components) — MEMOIZED per sf_dir
+    (the _BF_EXACT_CACHE pattern) as a materialized Dataset, so a full
+    catalog run pays the O(n^2/B) all-pairs kernel once, not twice.
+    Cache entries hold object-store refs owned by the CURRENT Ray
+    session; all catalog consumers (driver, bench, tests) run one
+    session per process, matching the cache lifetime."""
+    key = os.path.realpath(sf_dir)
+    if key not in _EXACT_PAIR_CACHE:
+        _EXACT_PAIR_CACHE[key] = _exact_pair_ds_build(sf_dir).materialize()
+    return _EXACT_PAIR_CACHE[key]
+
+
+def _exact_pair_ds_build(sf_dir: str):
     ids_all, mat_all = _emb_matrix(sf_dir)
     normed = mat_all / np.linalg.norm(mat_all, axis=1, keepdims=True)
     ref = ray.put((ids_all, normed))
@@ -3531,25 +3599,58 @@ def q_props_field_stats(sf_dir: str):
         # fits BIGINT — the oracle applies the same cutoff below so the
         # two sides NULL the same rows instead of silently diverging
         k = k.where(k.abs() <= np.float64(2**53))
-        return pd.DataFrame({"event_type": df["event_type"], "k": k}) \
-            .groupby("event_type", as_index=False) \
-            .agg(n=("k", "count"), sum_k=("k", "sum"), max_k=("k", "max"))
+        valid = k.notna()
+        # sums accumulate in int64 (NaN rows masked to 0 and counted
+        # separately), not float64: a float64 running sum can exceed
+        # 2^53 and pick up order-dependent rounding even when every
+        # VALUE is within the envelope, while the oracle's AVG over
+        # BIGINT sums exactly. int64 itself wraps at 2^63, so the batch
+        # is guarded too (sum of |k| bounded with 2x margin) — a wrap
+        # raises instead of silently diverging
+        if valid.any() and float(k.abs().sum()) >= float(2**62):
+            raise AssertionError(
+                "props_field_stats: batch |k| mass >= 2^62 — int64 partial "
+                "sums could wrap; shrink batch_size or switch the query to "
+                "hi/lo split accumulation"
+            )
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "n_k": valid.astype("int64"),
+            "sum_k": k.fillna(0).astype("int64"),
+            "max_k": k,
+        }).groupby("event_type", as_index=False) \
+            .agg(n=("n_k", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max"))
 
     parts = ds.map_batches(partial, batch_format="pandas",
                            batch_size=65536).to_pandas()
+    # driver combine over O(event_types x batches) partials: Python-int
+    # (arbitrary-precision) sums, so partial int64 sums can never wrap
+    # silently in the fold
     out = parts.groupby("event_type", as_index=False).agg(
-        n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max"))
+        n=("n", "sum"),
+        sum_k=("sum_k", lambda s: sum(int(v) for v in s)),
+        max_k=("max_k", "max"))
     # rows without a "k" field coerce to NaN and drop out of n/sum/max;
     # an event_type with NO match anywhere would leave max_k=NaN, so it
     # is excluded on both sides (HAVING COUNT(k) > 0 in the oracle)
     out = out[out["n"] > 0]
+    # total-sum envelope (the _micro_revenue discipline): the mean is
+    # emitted through float64, so the TOTAL must be float64-exact too —
+    # past this, emit (sum_k, n) columns instead of avg_k on both sides
+    bad = out[[abs(int(v)) > 2**53 for v in out["sum_k"]]]
+    if len(bad):
+        raise AssertionError(
+            f"props_field_stats: per-group sum_k exceeds the 2^53 float64 "
+            f"envelope for {list(bad['event_type'])} — avg_k can no longer "
+            "be emitted bit-exactly; switch the query to (sum_k, n) output"
+        )
     return pd.DataFrame({
         "event_type": out["event_type"],
         "n": out["n"].astype("int64"),
         # unrounded: exact integer sums make the mean bit-identical to
         # SQL AVG, and rounding would reintroduce the half-even vs
         # half-away midpoint mismatch (see q_user_event_gaps)
-        "avg_k": out["sum_k"] / out["n"],
+        "avg_k": out["sum_k"].astype("float64") / out["n"].astype("int64"),
         "max_k": out["max_k"].astype("int64"),
     }).sort_values("event_type").reset_index(drop=True)
 

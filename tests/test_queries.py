@@ -281,6 +281,17 @@ def test_local_supplier_guard_paths_agree(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_top_orders_per_segment_guard_paths_agree(ray_session):
+    """Over-budget customer dim must route the grouped top-k through
+    the custkey-bucketed join (with per-batch per-custkey pruning) and
+    produce exactly the broadcast path's result."""
+    from ocr_ray.queries import q_top_orders_per_segment
+
+    a = q_top_orders_per_segment(SF)
+    b = q_top_orders_per_segment(SF, _broadcast_max=1)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_ngram_block_cap_bounds_uniform_length_corpus(ray_session):
     """1,500 same-length docs collapse into ONE length bucket; the cap
     must split it into ~cap-bounded sub-blocks (never a 1500^2 gram
