@@ -180,12 +180,16 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def simhash64_batch(texts: list[str]) -> np.ndarray:
-    """64-bit SimHash per document, vectorized over a whole batch:
-    tokens of all docs hashed in ONE C-level pass (pandas siphash with
-    its fixed default key — deterministic across processes), then the
-    per-bit +-1 accumulation is 64 weighted bincounts over the token ->
-    doc index map. No per-token Python in the hot path."""
-    import pandas as pd
+    """64-bit SimHash per document, vectorized over a whole batch: the
+    token hash is the first 8 bytes (big-endian) of md5 — chosen so an
+    ANSI-SQL oracle can recompute the EXACT same signatures
+    (``CAST(concat('0x', substr(md5(tok),1,16)) AS UBIGINT)`` in
+    DuckDB), making the SimHash near-dup output a hard SQL-checkable
+    row rather than a rows-only one. md5 runs once per UNIQUE token in
+    the batch (np.unique + inverse map), then the per-bit +-1
+    accumulation is 64 weighted bincounts over the token -> doc index
+    map. No per-token Python in the per-occurrence hot path."""
+    import hashlib
 
     toks: list[str] = []
     counts: list[int] = []
@@ -196,9 +200,13 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     n = len(texts)
     if not toks:
         return np.zeros(n, dtype=np.uint64)
-    h = pd.util.hash_pandas_object(
-        pd.Series(toks, dtype=object), index=False
-    ).to_numpy().astype(np.uint64)
+    uniq, inv = np.unique(np.array(toks, dtype=object), return_inverse=True)
+    uh = np.array(
+        [int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big")
+         for u in uniq],
+        dtype=np.uint64,
+    )
+    h = uh[inv]
     doc_idx = np.repeat(np.arange(n), counts)
     acc = np.empty((n, 64), dtype=np.float64)
     for b in range(64):

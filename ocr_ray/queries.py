@@ -1765,7 +1765,11 @@ def q_dedup_simhash(sf_dir: str):
     chunks (a pair within distance 6 shares at least one of 4 exact
     16-bit blocks... pigeonhole over 4 blocks holds for <=3 differing
     blocks; distance<=6 can touch at most 3 blocks only if spread —
-    conservative recall blocking, standard practice)."""
+    conservative recall blocking, standard practice). HARD SQL row:
+    the token hash is md5-derived (functions/hashing.py) precisely so
+    the oracle recomputes the identical signatures, block collisions
+    AND hamming distances in pure SQL — the sketch, the LSH blocking
+    and the distance filter are all value-checked, not just gated."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     B = _pair_buckets()
 
@@ -1802,6 +1806,44 @@ def q_dedup_simhash(sf_dir: str):
     out = ds.map_batches(sigs, batch_format="pandas") \
             .groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
     return out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# exact SQL mirror of q_dedup_simhash: same md5-derived token hashes,
+# same +-1 bit voting, same 4x16-bit block candidate join, same
+# bit_count(xor) <= 6 filter — every value is recomputed independently
+SQL_DEDUP_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok),1,16)) AS UBIGINT) AS h
+  FROM (SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+  FROM toks CROSS JOIN (SELECT UNNEST(range(64)) AS b)
+  GROUP BY doc_id, b
+),
+sims AS (
+  SELECT d.doc_id,
+         COALESCE(SUM(CASE WHEN s.acc > 0 THEN (1::UBIGINT << s.b)
+                           ELSE 0::UBIGINT END), 0::UBIGINT) AS sim
+  FROM documents d LEFT JOIN bits s ON d.doc_id = s.doc_id
+  GROUP BY d.doc_id
+),
+blocks AS (
+  SELECT doc_id, sim, blk, ((sim >> (16*blk)) & 65535) AS bk
+  FROM sims CROSS JOIN (SELECT UNNEST(range(4)) AS blk)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sim AS sa, y.sim AS sb
+  FROM blocks x JOIN blocks y
+    ON x.blk = y.blk AND x.bk = y.bk AND x.doc_id < y.doc_id
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+"""
 
 
 # --------------------------------------------------------------- embeddings
@@ -2867,8 +2909,13 @@ def _ngram_block_pairs(g: pd.DataFrame) -> pd.DataFrame:
     for i, s in enumerate(gram_sets):
         for ng in s:
             m[i, vocab[ng]] = 1.0
-    inter = m @ m.T
-    sizes = m.sum(axis=1)
+    # intersections are exact integer counts in float32 (< 2^24 grams);
+    # the DIVISION happens in float64 so jaccard is the correctly
+    # rounded ratio of two ints — bit-identical to SQL i/u, emitted
+    # UNROUNDED per the module determinism policy (rounding a ratio
+    # that feeds a >= comparison invites half-even/half-away ties)
+    inter = (m @ m.T).astype(np.float64)
+    sizes = m.sum(axis=1, dtype=np.float64)
     union = sizes[:, None] + sizes[None, :] - inter
     with np.errstate(invalid="ignore"):
         jac = np.where(union > 0, inter / union, 0.0)
@@ -2881,7 +2928,7 @@ def _ngram_block_pairs(g: pd.DataFrame) -> pd.DataFrame:
     a2 = np.where(swap, b, a)
     b2 = np.where(swap, a, b)
     return pd.DataFrame({"a": a2.astype("int64"), "b": b2.astype("int64"),
-                         "jaccard": np.round(jac[ai, bi], 4)})
+                         "jaccard": jac[ai, bi]})
 
 
 def q_dedup_ngram(sf_dir: str):
@@ -2896,8 +2943,12 @@ def q_dedup_ngram(sf_dir: str):
     the cap, bounding the gram matrix at cap^2 regardless of corpus
     shape. Pairs split across sub-blocks are missed BY DESIGN (recall
     trade documented here): this is the exact-verification variant;
-    MinHash-LSH (dedup_minhash) is the 100TB path. Rows-only check;
-    recall vs minhash's strong pairs asserted in unit tests."""
+    MinHash-LSH (dedup_minhash) is the 100TB path. HARD SQL row: the
+    oracle recomputes the gram sets, the |block diff| <= 1 blocking AND
+    the unrounded int-ratio jaccard values in pure SQL — exact whenever
+    no block exceeds _NGRAM_BLOCK_CAP (true at the driver's oracle sf;
+    past the cap the sub-split recall trade applies). Recall vs
+    minhash's strong pairs additionally asserted in unit tests."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
 
     def add_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -2925,6 +2976,38 @@ def q_dedup_ngram(sf_dir: str):
     # same-bucket pairs meet twice (block b and b+1): dedupe
     out = out.drop_duplicates(["a", "b"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# exact SQL mirror of q_dedup_ngram: same [a-z0-9]+ token stream, same
+# word-3-gram sets (sub-3-token docs yield the whole stream as one
+# gram), same |block diff| <= 1 length blocking, same unrounded i/u
+# jaccard — exact when no block exceeds _NGRAM_BLOCK_CAP
+SQL_DEDUP_NGRAM = r"""
+WITH toks AS (
+  SELECT doc_id, n_chars // 32 AS block,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, block,
+         CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         END AS gs
+  FROM toks
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs)) AS i,
+         len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS u
+  FROM grams x JOIN grams y
+    ON x.doc_id < y.doc_id AND abs(x.block - y.block) <= 1
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+FROM cand WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.3
+"""
 
 
 def _ivf_train(sf_dir: str, nlist: int = 8, iters: int = 5) -> np.ndarray:
@@ -5233,6 +5316,7 @@ ORACLE_SQL = {
     "dataset_splits": SQL_DATASET_SPLITS,
     "rare_token_postings": SQL_RARE_TOKEN_POSTINGS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "knn_lsh": SQL_KNN_LSH,
@@ -5254,6 +5338,7 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "party_nation_counts": SQL_PARTY_NATION_COUNTS,
     "top_orders": SQL_TOP_ORDERS,
+    "dedup_ngram": SQL_DEDUP_NGRAM,
     "approx_distinct_orderkeys": SQL_APPROX_DISTINCT_ORDERKEYS,
     "extraction_checkpointed": SQL_EXTRACTION_CHECKPOINTED,
     "user_event_gaps": SQL_USER_EVENT_GAPS,
