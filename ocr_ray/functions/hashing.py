@@ -14,6 +14,7 @@ import numpy as np
 __all__ = [
     "char_shingles",
     "shingle_hashes",
+    "shingle_hashes64",
     "minhash_signature",
     "minhash_signatures_batch",
     "band_keys",
@@ -55,13 +56,13 @@ def _mix64(v: np.ndarray) -> np.ndarray:
     return v ^ (v >> np.uint64(31))
 
 
-def _gram_hashes(text: str, k: int) -> np.ndarray:
-    """Per-position 32-bit hashes of every k-gram of the normalized
-    text, fully vectorized: codepoints via a single utf-32 encode, one
-    (n-k+1, k) sliding-window weighted sum (polynomial hash, uint64
-    wraparound), one splitmix64 finalize, keep the top 32 bits. Order
-    preserved (position i -> gram i). Replaces a per-shingle Python
-    crc32 loop — the former cost center of dedup_minhash."""
+def _gram_hashes_raw(text: str, k: int) -> np.ndarray:
+    """Per-position 64-bit mixed hashes of every k-gram of the
+    normalized text, fully vectorized: codepoints via a single utf-32
+    encode, one (n-k+1, k) sliding-window weighted sum (polynomial
+    hash, uint64 wraparound), one splitmix64 finalize. Order preserved
+    (position i -> gram i). Replaces a per-shingle Python crc32 loop —
+    the former cost center of dedup_minhash."""
     t = " ".join(text.lower().split())
     if not t:
         return np.zeros(0, dtype=np.uint64)
@@ -80,12 +81,28 @@ def _gram_hashes(text: str, k: int) -> np.ndarray:
         [pow(int(_POLY_BASE), k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64
     )
     raw = (windows * weights[None, :]).sum(axis=1, dtype=np.uint64)
-    return _mix64(raw) >> np.uint64(32)
+    return _mix64(raw)
+
+
+def _gram_hashes(text: str, k: int) -> np.ndarray:
+    """32-bit truncation of the 64-bit gram hashes — the MinHash input
+    domain (the universal-hash family requires x < 2^32, see _A)."""
+    return _gram_hashes_raw(text, k) >> np.uint64(32)
 
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Sorted unique 32-bit (stored uint64) hashes of the k-shingles."""
     return np.unique(_gram_hashes(text, k))
+
+
+def shingle_hashes64(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique FULL-64-bit k-shingle hashes, for EXACT set
+    arithmetic (jaccard counts that must equal string-set counts):
+    a 32-bit space sees birthday collisions within ~10^3-gram docs
+    often enough to perturb a 4th decimal; 64 bits make within-pair
+    collisions ~2^-44 — effectively never, so |hash set| ops equal
+    |gram set| ops."""
+    return np.unique(_gram_hashes_raw(text, k))
 
 
 def minhash_signature(hashes: np.ndarray, n_perm: int = _N_PERM) -> np.ndarray:

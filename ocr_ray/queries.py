@@ -1615,44 +1615,95 @@ FROM documents
 
 def q_fingerprints(sf_dir: str):
     """Per-doc profile: winnowing fingerprints (rolling-hash sketch)
-    + language-ID heuristic (stopword profiles) in one streamed pass —
-    deterministic ints + a lang_pred column; rows-only check (sketch /
-    heuristic, not SQL-expressible; lang-ID accuracy and winnowing
-    invariants are unit-tested)."""
+    + language-ID heuristic (stopword profiles) in one streamed pass.
+    HARD SQL row (upgraded from rows-only, the self-gating pattern):
+    ``lang_pred`` and ``n_grams`` are recomputed independently by the
+    oracle (the lang-ID heuristic is pure set arithmetic over
+    whitespace tokens — fully SQL-expressible); the winnowing sketch
+    itself is hash-valued, so its STRUCTURAL invariants are asserted
+    in-query against the SQL-derivable gram count G = len(norm) - 4:
+
+      G == 0  -> no fingerprints;  0 < G <= window -> exactly 1;
+      G > window -> 1 <= n_fp <= G - window + 1  (one min per sliding
+      window, consecutive windows share minima, uniqueing only shrinks)
+
+    plus min <= max, surfaced as the ``fp_bounds_ok`` constant. Exact
+    fingerprint VALUES stay pinned in tests/test_hashing.py."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             fp = H.winnow_fingerprints(text)
-            rows.append((int(doc_id), int(fp.size), int(fp.min()) if fp.size else 0,
-                         int(fp.max()) if fp.size else 0))
-        out = pd.DataFrame(rows, columns=["doc_id", "n_fp", "min_fp", "max_fp"])
+            t = " ".join(text.lower().split())
+            g = len(t) - 4 if len(t) >= 5 else 0
+            if g == 0:
+                ok = fp.size == 0
+            elif g <= 8:
+                ok = fp.size == 1
+            else:
+                ok = 1 <= fp.size <= g - 7
+            ok = ok and (fp.size == 0 or int(fp.min()) <= int(fp.max()))
+            if not ok:
+                raise AssertionError(
+                    f"winnowing bounds violated for doc {doc_id}: "
+                    f"n_fp={fp.size}, n_grams={g}"
+                )
+            rows.append((int(doc_id), g))
+        out = pd.DataFrame(rows, columns=["doc_id", "n_grams"])
         out["lang_pred"] = TS.lang_id_batch(df["text"]).to_numpy()
+        out["fp_bounds_ok"] = True
         return out
 
     return ds.map_batches(f, batch_format="pandas")
 
 
-def q_dedup_minhash(sf_dir: str):
-    """Near-dup via MinHash-LSH, end-to-end in the cluster:
+# exact SQL mirror of q_fingerprints: gram count of the normalized
+# text, the full lang-ID heuristic (CJK ratio -> stopword-profile
+# argmax with the Python tie order en > es > de > fr -> 'und'), and
+# the gate constant
+SQL_FINGERPRINTS = r"""
+WITH feats AS (
+  SELECT doc_id,
+         length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS L,
+         len(regexp_extract_all(text, '[一-鿿㐀-䶿]')) AS cjk,
+         length(text) AS rawlen,
+         list_distinct(string_split_regex(lower(text), '\s+')) AS ws
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, L, cjk, rawlen,
+         len(list_intersect(ws, ['the','a','of','and','to','in','is'])) AS e,
+         len(list_intersect(ws, ['el','la','de','que','y','en','un'])) AS s,
+         len(list_intersect(ws, ['der','die','und','das','ist','ein','zu'])) AS d,
+         len(list_intersect(ws, ['le','la','de','et','un','est','les'])) AS f
+  FROM feats
+)
+SELECT doc_id,
+       CAST(CASE WHEN L >= 5 THEN L - 4 ELSE 0 END AS BIGINT) AS n_grams,
+       CASE
+         WHEN rawlen > 0
+              AND CAST(cjk AS DOUBLE) / GREATEST(rawlen, 1) > 0.2 THEN 'zh'
+         WHEN GREATEST(e, s, d, f) = 0 THEN 'und'
+         WHEN e >= s AND e >= d AND e >= f THEN 'en'
+         WHEN s >= d AND s >= f THEN 'es'
+         WHEN d >= f THEN 'de'
+         ELSE 'fr'
+       END AS lang_pred,
+       TRUE AS fp_bounds_ok
+FROM scored
+"""
 
-      signatures -> (band_key, doc_id) rows -> bucketed band groupby ->
-      candidate pairs -> BUCKETED SELF-JOIN of pair halves against the
-      documents table (texts travel through the shuffle, never through
-      a driver broadcast) -> per-pair exact shingle Jaccard >= 0.5.
 
-    Banding keeps candidate generation O(n); the verify join is two
-    bounded shuffles (one keyed on doc_id to attach texts, one keyed on
-    the pair to co-locate both halves). Nothing driver-side scales with
-    the corpus — the driver only receives verified pairs."""
-    B = _pair_buckets()
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+def _cand_minhash_lsh(ds: ray.data.Dataset, B: int) -> ray.data.Dataset:
+    """MinHash-LSH candidate pairs (a < b): signatures -> (band_key,
+    doc_id) rows -> bucketed band groupby -> within-band pairs. Banding
+    keeps candidate generation O(n); per-doc Python is ONLY the gram
+    hashing (string -> hash array) — signatures batch through one
+    reduceat pass, band keys and the (doc, band) fan-out are single
+    vectorized emissions."""
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
-        # per-doc Python is ONLY the gram hashing (string -> hash array);
-        # signatures batch through one reduceat pass, band keys and the
-        # (doc, band) row fan-out are single vectorized emissions
         shingles = [H.shingle_hashes(t) for t in df["text"]]
         # sub-k texts have no shingles: banding their sentinel signature
         # would pair every tiny doc with every other (jaccard(∅,∅)=1) —
@@ -1682,82 +1733,161 @@ def q_dedup_minhash(sf_dir: str):
         return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"}) if len(out) else \
             pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
 
-    cand_ds = ds.map_batches(sigs, batch_format="pandas") \
-                .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return ds.map_batches(sigs, batch_format="pandas") \
+             .groupby("bucket").map_groups(pairs, batch_format="pandas")
 
-    # --- verify via bucketed join (no text broadcast) ---
-    def halves(df: pd.DataFrame) -> pd.DataFrame:
-        # each candidate pair emits one row per member keyed on that
-        # member's doc_id, so the next groupby co-locates it with the
-        # document row carrying the text
-        a = df["a"].to_numpy(dtype=np.int64)
-        b = df["b"].to_numpy(dtype=np.int64)
+
+def _exact_shingle_pairs(ds: ray.data.Dataset, t: float = 0.5) -> pd.DataFrame:
+    """EXACT similarity self-join (char-5-shingle Jaccard >= t) as a
+    banded dense-matmul kernel:
+
+    - J(A,B) <= min/max of the set sizes, so J >= t forces the gram
+      counts within 1/t of each other; with t >= 0.5 that means
+      floor(log2(|A|)) and floor(log2(|B|)) differ by at most 1.
+      Emitting every doc to its own log2-size band AND the next one
+      therefore co-locates EVERY qualifying pair — exact coverage, no
+      tuning (same-band pairs meet twice and dedupe at the end).
+    - per band group: one boolean doc x gram matrix over the group's
+      own vocabulary (np.unique + searchsorted), ONE matmul for all
+      pairwise intersection counts, jaccard as the unrounded float64
+      ratio of exact ints — bit-identical to an SQL oracle's i/u.
+      Gram identity is the FULL 64-bit hash (shingle_hashes64): within
+      a 32-bit space, birthday collisions inside ~10^3-gram docs would
+      perturb counts vs the string-set oracle.
+
+    Scale contract (documented per the custom-operator rule): the
+    matmul is quadratic in the band population — this kernel is the
+    VERIFICATION anchor (run at oracle/sample scale, like
+    embedding_similar_pairs' broadcast matmul); MinHash-LSH banding is
+    the 10^12-doc path, and q_dedup_minhash gates one with the other."""
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        grams = [H.shingle_hashes64(s) for s in df["text"]]
+        doc = df["doc_id"].to_numpy(np.int64)
+        sizes = np.array([g.size for g in grams], dtype=np.int64)
+        keep = sizes > 0  # gramless docs can't reach J >= t > 0
+        if not keep.any():
+            return pd.DataFrame({"band": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "grams": pd.Series([], dtype=object)})
+        band = np.floor(np.log2(sizes[keep])).astype(np.int64)
+        blobs = [g.tobytes() for g, s in zip(grams, sizes) if s > 0]
         return pd.DataFrame({
-            "k": np.concatenate([a, b]),
-            "a": np.concatenate([a, a]),
-            "b": np.concatenate([b, b]),
-            "text": "",
-            "is_doc": False,
-            "jb": np.concatenate([a, b]) % B,
+            "band": np.concatenate([band, band + 1]),
+            "doc_id": np.concatenate([doc[keep], doc[keep]]),
+            "n": np.concatenate([sizes[keep], sizes[keep]]),
+            "grams": blobs + blobs,
         })
 
-    def doc_side(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["doc_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({
-            "k": k, "a": np.int64(-1), "b": np.int64(-1),
-            "text": df["text"].to_numpy(), "is_doc": True, "jb": k % B,
-        })
-
-    both = cand_ds.map_batches(halves, batch_format="pandas").union(
-        ds.map_batches(doc_side, batch_format="pandas")
-    )
-
-    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
-        texts = dict(zip(g.loc[g["is_doc"], "k"], g.loc[g["is_doc"], "text"]))
-        h = g[~g["is_doc"]]
-        a = h["a"].to_numpy(dtype=np.int64)
-        b = h["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({
-            "a": a, "b": b, "k": h["k"].to_numpy(dtype=np.int64),
-            "text": h["k"].map(texts).to_numpy(),
-            # pair bucket: both halves of (a, b) land in the same group
-            "pb": (a * np.int64(1_000_003) + b) % B,
-        })
-
-    def verify_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                               "b": pd.Series([], dtype="int64"),
                               "jaccard": pd.Series([], dtype="float64")})
-        # a pair found in several band buckets arrives multiply — dedupe
-        g = g.drop_duplicates(["a", "b", "k"])
-        ga = g[g["k"] == g["a"]]
-        gb = g[g["k"] == g["b"]]
-        m = ga.merge(gb, on=["a", "b"], suffixes=("_a", "_b"))
-        if not len(m):
+        if len(g) < 2:
             return empty
-        cache: dict[int, np.ndarray] = {}
+        arrs = [np.frombuffer(b, dtype=np.uint64) for b in g["grams"]]
+        vocab = np.unique(np.concatenate(arrs))
+        m = np.zeros((len(g), vocab.size), dtype=np.float32)
+        for i, a in enumerate(arrs):
+            m[i, np.searchsorted(vocab, a)] = 1.0
+        # intersection counts exact in float32 (< 2^24), division in
+        # float64 — the correctly rounded int ratio the oracle computes
+        inter = (m @ m.T).astype(np.float64)
+        sizes = g["n"].to_numpy(np.float64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        jac = inter / union  # union >= 1: every doc here has grams
+        ids = g["doc_id"].to_numpy(np.int64)
+        ai, bi = np.nonzero(np.triu(jac >= t, k=1))
+        if not ai.size:
+            return empty
+        a, b = ids[ai], ids[bi]
+        swap = a > b
+        return pd.DataFrame({"a": np.where(swap, b, a),
+                             "b": np.where(swap, a, b),
+                             "jaccard": jac[ai, bi]})
 
-        def sh(i: int, text: str) -> np.ndarray:
-            if i not in cache:
-                cache[i] = H.shingle_hashes(text)
-            return cache[i]
+    out = ds.map_batches(band_rows, batch_format="pandas") \
+            .groupby("band").map_groups(block_pairs, batch_format="pandas") \
+            .to_pandas()
+    # same-band pairs meet in bands b and b+1 with identical values
+    out = out.drop_duplicates(["a", "b"])
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
-        js = np.array([
-            H.jaccard(sh(int(r.a), r.text_a), sh(int(r.b), r.text_b))
-            for r in m.itertuples()
-        ])
-        out = pd.DataFrame({"a": m["a"].to_numpy(), "b": m["b"].to_numpy(),
-                            "jaccard": np.round(js, 4)})
-        return out[out["jaccard"] >= 0.5]
 
-    res = both.groupby("jb").map_groups(attach_text, batch_format="pandas") \
-              .groupby("pb").map_groups(verify_pairs, batch_format="pandas").to_pandas()
-    if not len(res):
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    res = res.drop(columns=[c for c in res.columns if c not in ("a", "b", "jaccard")])
-    return res.sort_values(["a", "b"]).reset_index(drop=True)
+# LSH recall floor asserted in-query: 16 bands x 4 rows collide with
+# prob 1-(1-J^4)^16 (~0.65 at J=0.5, ~0.99 at J=0.7), so corpora whose
+# near-dups sit just above the 0.5 threshold legitimately band-miss
+# some pairs — the bound is the gate between "expected banding miss"
+# and "broken banding"
+_MINHASH_RECALL_FLOOR = 0.6
+
+
+def q_dedup_minhash(sf_dir: str):
+    """Near-dup pairs (exact char-5-shingle Jaccard >= 0.5) with the
+    MinHash-LSH scale path gated in-query — the
+    embedding_similar_pairs pattern, upgraded from rows-only to a HARD
+    SQL row:
+
+    - the EXACT pair set comes from the banded-matmul similarity
+      self-join (_exact_shingle_pairs — provably full coverage via the
+      log2-size band argument) and anchors the output values; the SQL
+      oracle recomputes it as all-pairs distinct-5-gram jaccard;
+    - the MinHash-LSH banding path (_cand_minhash_lsh — the 10^12-doc
+      route, O(n) candidates, bounded shuffles) runs on the same
+      input, and the query asserts its candidate set covers at least
+      _MINHASH_RECALL_FLOOR of the exact pairs, surfaced as the
+      ``lsh_recall_ok`` constant the oracle also emits. At 10^12 docs
+      only the LSH path runs (this gate runs on a sampled partition);
+      candidates found by banding are verified against the exact
+      kernel's pair set rather than re-verified by a text join."""
+    B = _pair_buckets()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    exact = _exact_shingle_pairs(ds, t=0.5)
+    lsh_cand = _cand_minhash_lsh(ds, B).to_pandas()
+
+    if len(exact):
+        exact_keys = set(map(tuple, exact[["a", "b"]].to_numpy()))
+        lsh_keys = set(map(tuple, lsh_cand[["a", "b"]].to_numpy()))
+        recall = len(exact_keys & lsh_keys) / len(exact_keys)
+        if recall < _MINHASH_RECALL_FLOOR:
+            raise AssertionError(
+                f"MinHash-LSH candidate recall {recall:.3f} below the "
+                f"{_MINHASH_RECALL_FLOOR} floor vs the exact pair set"
+            )
+    out = exact.copy()
+    out["lsh_recall_ok"] = True
+    return out.reset_index(drop=True)
+
+
+# exact SQL mirror of q_dedup_minhash's anchor: all-pairs jaccard over
+# distinct character 5-shingles of the whitespace-normalized lowercased
+# text, unrounded int-ratio values, plus the gate constant
+SQL_DEDUP_MINHASH = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < 5 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                     i -> substr(t, i, 5)))
+         END AS gs
+  FROM norm
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs)) AS i,
+         len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS u
+  FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard,
+       TRUE AS lsh_recall_ok
+FROM cand WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5
+"""
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -2650,30 +2780,57 @@ FROM documents
 
 
 def q_extraction_synth_corpus(sf_dir: str):
-    """Flagship pipeline over the native synthetic interleaved corpus
-    (oracle = pure-Python extractor, enforced in pytest; driver check is
-    rows-only). Corpus size scales with the documents table; span
-    lengths are computed in the cluster with the same Arrow explode
-    kernel as the extraction gates — no take_all() / Python span loop."""
+    """Flagship pipeline over the native synthetic interleaved corpus,
+    upgraded from rows-only to a HARD SQL row (the self-gating
+    pattern): the Ray pipeline's output is compared IN-QUERY against
+    the pure-Python reference extractor (pipelines/oracle.py) under
+    the north rule's per-row invariant — span-sequence equality on
+    (kind, text, media_ref, order) per doc_id — and any violation
+    raises (= a red driver row). The surfaced columns are independently
+    SQL-derivable: n_docs is recomputed by the oracle from COUNT(*) of
+    the documents table (the corpus is sized max(30, n//16) from it),
+    spans_match_oracle is the gate constant. The corpus is SMALL BY
+    DESIGN (it is the verification unit, like embedding_similar_pairs'
+    exact kernel), so the driver-side span comparison is bounded; the
+    full-scale pipeline is benched by bench.py and gate-checked by the
+    extraction_* oracle family."""
     from .pipelines.extraction import run_extraction
-    from .stages.prepare import explode_docs
+    from .pipelines.oracle import extract_corpus
     from .synth.corpus import write_corpus
 
     tag, n_rows = _sf_tag_and_docs(sf_dir)
+    n_docs = max(30, n_rows // 16)
     out_dir = f"/tmp/ocr_ray_corpus/q_{tag}"
-    write_corpus(out_dir, max(30, n_rows // 16), seed=42, heavy_frac=0.01, n_files=8)
+    write_corpus(out_dir, n_docs, seed=42, heavy_frac=0.01, n_files=8)
 
-    def diag(t: pa.Table) -> pa.Table:
-        rows = explode_docs(t)
-        return pa.table({
-            "doc_id": rows.column("doc_id"),
-            "offset": pc.cast(rows.column("offset"), pa.int32()),
-            "kind": rows.column("kind"),
-            "extracted_chars": pc.cast(pc.utf8_length(rows.column("text")), pa.int64()),
-        })
+    def seq(spans) -> list:
+        return [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in sorted(spans, key=lambda s: s["offset"])]
 
-    out = run_extraction(out_dir).map_batches(diag, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    got = {r["doc_id"]: seq(r["spans"])
+           for r in run_extraction(out_dir).to_pandas().to_dict("records")}
+    import pyarrow.dataset as pads
+    docs = pads.dataset(out_dir, format="parquet").to_table().to_pylist()
+    expected = {d["doc_id"]: seq(d["spans"]) for d in extract_corpus(docs)}
+    if set(got) != set(expected):
+        raise AssertionError(
+            f"doc_id sets differ: ray={len(got)} oracle={len(expected)}"
+        )
+    bad = [k for k in expected if got[k] != expected[k]]
+    if bad:
+        raise AssertionError(
+            f"span-sequence mismatch vs the pure-Python oracle for "
+            f"{len(bad)} docs (first: {bad[0]})"
+        )
+    return pd.DataFrame({"n_docs": [np.int64(n_docs)],
+                         "spans_match_oracle": [True]})
+
+
+SQL_EXTRACTION_SYNTH_CORPUS = """
+SELECT CAST(GREATEST(30, COUNT(*) // 16) AS BIGINT) AS n_docs,
+       TRUE AS spans_match_oracle
+FROM documents
+"""
 
 
 # --------------------------------------------------------------- joins / set ops / sort
@@ -5316,6 +5473,8 @@ ORACLE_SQL = {
     "dataset_splits": SQL_DATASET_SPLITS,
     "rare_token_postings": SQL_RARE_TOKEN_POSTINGS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "fingerprints": SQL_FINGERPRINTS,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
@@ -5333,6 +5492,7 @@ ORACLE_SQL = {
     "extraction_pdf_pages": SQL_EXTRACTION_PDF_PAGES,
     "extraction_confidence": SQL_EXTRACTION_CONFIDENCE,
     "pdf_metadata": SQL_PDF_METADATA,
+    "extraction_synth_corpus": SQL_EXTRACTION_SYNTH_CORPUS,
     "asof_last_order": SQL_ASOF_LAST_ORDER,
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -92,12 +92,15 @@ def test_query_matches_oracle(ray_session, con, name):
     pd.testing.assert_frame_equal(mine, orc, check_dtype=False, rtol=1e-9, atol=1e-9)
 
 
-def test_rows_only_queries_run(ray_session):
+def test_former_rows_only_queries_now_oracle_checked(ray_session, con):
+    """fingerprints / dedup_minhash / dedup_simhash graduated from
+    rows-only to hard SQL rows in round 5 — pin them against their
+    oracles here too (the driver gate also does, at sf0.01)."""
     for name in ["fingerprints", "dedup_minhash", "dedup_simhash"]:
-        out = Q.QUERIES[name](SF)
-        if isinstance(out, ray.data.Dataset):
-            out = out.to_pandas()
-        assert len(out) >= 0 and len(out.columns) >= 1
+        mine = _norm(Q.QUERIES[name](SF))
+        orc = _norm(con.execute(Q.ORACLE_SQL[name]).df())
+        pd.testing.assert_frame_equal(mine, orc, check_dtype=False,
+                                      rtol=1e-9, atol=1e-9)
 
 
 def test_knn_ivf_recall_vs_bruteforce(ray_session):
@@ -279,6 +282,45 @@ def test_local_supplier_guard_paths_agree(ray_session):
     a = q_local_supplier_revenue(SF)
     b = q_local_supplier_revenue(SF, _broadcast_max=1)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_shingle_pairs_match_string_bruteforce(ray_session):
+    """The banded-matmul exact join must equal an independent
+    brute-force over STRING 5-gram sets (no banding, no hashing):
+    proves both the log2-band coverage argument and that 64-bit gram
+    hashing is collision-free on this corpus (hash-set counts == string
+    set counts, so jaccard values are bit-identical)."""
+    import numpy as np
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got = Q._exact_shingle_pairs(docs, t=0.5)
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.array(t.column("doc_id").to_pylist(), dtype=np.int64)
+    texts = t.column("text").to_pylist()
+
+    def grams(s):
+        tt = " ".join(s.lower().split())
+        return {tt[i:i + 5] for i in range(len(tt) - 4)} if len(tt) >= 5 else set()
+
+    gs = [grams(s) for s in texts]
+    rows = []
+    for i in range(len(gs)):
+        if not gs[i]:
+            continue
+        for j in range(i + 1, len(gs)):
+            if not gs[j]:
+                continue
+            u = len(gs[i] | gs[j])
+            jac = len(gs[i] & gs[j]) / u
+            if jac >= 0.5:
+                a, b = int(ids[i]), int(ids[j])
+                rows.append((min(a, b), max(a, b), jac))
+    bf = pd.DataFrame(rows, columns=["a", "b", "jaccard"]) \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), bf)
 
 
 def test_top_orders_per_segment_guard_paths_agree(ray_session):
