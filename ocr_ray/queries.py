@@ -5339,15 +5339,25 @@ def q_pagerank(sf_dir: str):
     # the tagged forms depend only on the static graph — materialize
     # them ONCE instead of re-running the tagging maps every iteration,
     # and release the untagged originals so the object store holds one
-    # copy of the edge set, not two, across all K iterations
-    edges_t = edges.map_batches(e_tag, batch_format="pandas").materialize()
-    deg_t = deg.map_batches(d_tag, batch_format="pandas").materialize()
+    # copy of the edge set, not two, across all K iterations. The edge
+    # side is also COALESCED TO W HERE, outside the loop: the old
+    # per-iteration `union(...).repartition(W)` rewrote the (dominant)
+    # edge blocks K times just to keep block counts flat — coalescing
+    # the static side once and leaving the small rank side at its
+    # natural W blocks gives the same flat 2W-block shuffle input with
+    # one less all-to-all-shaped step per iteration
+    edges_t = edges.map_batches(e_tag, batch_format="pandas") \
+                   .repartition(W).materialize()
+    deg_t = deg.map_batches(d_tag, batch_format="pandas") \
+               .repartition(W).materialize()
     del edges, deg
 
     for _ in range(K):
+        # ranks is W blocks (update's sort input is repartitioned to W
+        # below), so the union is a stable 2W blocks every iteration —
+        # block counts cannot compound
         parts = (
             edges_t.union(ranks.map_batches(r_tag, batch_format="pandas"))
-            .repartition(W)
             .groupby("bucket").map_groups(contrib, batch_format="pandas")
         )
         ranks = (
