@@ -90,6 +90,18 @@ def build_extraction(
         zero_copy_batch=True,
     )
     pool = _pool_size(cfg)
+    if use_salt:
+        # pathological-doc REBALANCE (round-5 finding): Ray fuses the
+        # read -> prepare -> OCR chain into one operator, so task
+        # granularity is the INPUT block — a single 24k-page document
+        # explodes inside ONE actor task and serializes the whole job
+        # (measured 320 s vs ~60 s of aggregate pool work at 8k docs).
+        # When skew mode is on (same auto probe as the salted stitch),
+        # pay one barrier here to spread the exploded unit rows evenly
+        # across ~4 blocks per actor; the common bounded-skew case keeps
+        # the fully fused streaming path. At 10^12 docs the barrier is
+        # bounded per checkpoint partition, not global.
+        units = units.repartition(4 * pool)
     extracted = units.map_batches(
         OcrPageExtractor,
         fn_constructor_kwargs={"engine_name": engine_name},

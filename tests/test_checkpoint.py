@@ -223,6 +223,28 @@ def test_stale_fingerprint_does_not_veto_scheme(ray_session, tmp_path):
         run_checkpointed(corpus2, out, num_partitions=2 * P, partition_by="hash")
 
 
+def test_cli_argv_partial_then_resume(ray_session, tmp_path):
+    """The `ray job submit` surface (ocr_ray.run.main) driven through
+    its real argv path: a --max-partitions partial run, then the same
+    command again — the resume must skip the committed partitions and
+    the final directory must equal a one-shot run's content."""
+    from ocr_ray.run import main
+
+    corpus = str(tmp_path / "in")
+    write_corpus(corpus, N_DOCS, seed=41, n_files=P)
+    out = str(tmp_path / "out")
+    argv = ["--input", corpus, "--output", out, "--partitions", str(P)]
+    s1 = main(argv + ["--max-partitions", "2"])
+    assert len(s1["processed_partitions"]) == 2
+    s2 = main(argv)
+    assert sorted(s2["skipped_partitions"]) == sorted(s1["processed_partitions"])
+    assert sorted(s1["processed_partitions"] + s2["processed_partitions"]) \
+        == list(range(P))
+    oneshot = str(tmp_path / "oneshot")
+    main(["--input", corpus, "--output", oneshot, "--partitions", str(P)])
+    assert _read_all(out) == _read_all(oneshot)
+
+
 def test_stale_partitions_purged_on_input_change(ray_session, tmp_path):
     """After an input change, a resume with FEWER partitions than the
     old scheme must not leave the old part=K (K >= P_new) directories
