@@ -99,8 +99,13 @@ def build_extraction(
         # When skew mode is on (same auto probe as the salted stitch),
         # pay one barrier here to spread the exploded unit rows evenly
         # across ~4 blocks per actor; the common bounded-skew case keeps
-        # the fully fused streaming path. At 10^12 docs the barrier is
-        # bounded per checkpoint partition, not global.
+        # the fully fused streaming path. The barrier is global to the
+        # dataset this call was given: unit rows are refs + inline text
+        # (pixels decode downstream in the actor pool), so the shuffled
+        # bytes are a small multiple of the input corpus — and a
+        # checkpointed run can bound it further by resuming in waves
+        # (run_checkpointed(max_partitions_this_run=...)), which scopes
+        # the barrier to one wave's partitions per process.
         units = units.repartition(4 * pool)
     extracted = units.map_batches(
         OcrPageExtractor,

