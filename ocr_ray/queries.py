@@ -5534,9 +5534,11 @@ QUERIES = {
 # (Equality with str.split() is asserted in tests/test_queries.py.)
 _PYWS = (r"[\t\n\x0B\f\r\x1C-\x1F \x85\x{00A0}\x{1680}"
          r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+")
+_PYWS_NEG = _PYWS.replace("[", "[^", 1)  # Python \S+ equivalent
 for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
            "SQL_EXTRACTION_HTML_STRIP"):
     globals()[_n] = globals()[_n].replace(r"'\s+'", f"'{_PYWS}'")
+SQL_TEXT_QUALITY = SQL_TEXT_QUALITY.replace(r"'\S+'", f"'{_PYWS_NEG}'")
 del _n
 
 ORACLE_SQL = {

@@ -375,6 +375,10 @@ def test_pyws_class_matches_python_split():
             "SELECT trim(regexp_replace(?, ?, ' ', 'g'))",
             [t, Q._PYWS]).fetchone()[0]
         assert collapsed == " ".join(t.split()), repr(t)
+        n_words = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))",
+            [t, Q._PYWS_NEG]).fetchone()[0]
+        assert n_words == len(t.split()), repr(t)
 
 
 def test_memo_key_fingerprints_input(tmp_path):
