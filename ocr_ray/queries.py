@@ -1787,30 +1787,11 @@ def _exact_shingle_pairs(ds: ray.data.Dataset, t: float = 0.5) -> pd.DataFrame:
             "grams": blobs + blobs,
         })
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                              "b": pd.Series([], dtype="int64"),
-                              "jaccard": pd.Series([], dtype="float64")})
-        if len(g) < 2:
-            return empty
-        arrs = [np.frombuffer(b, dtype=np.uint64) for b in g["grams"]]
-        vocab = np.unique(np.concatenate(arrs))
-        if len(g) * vocab.size * 4 > _SHINGLE_MATMUL_BYTES:
-            # one-shot sub-split (the q_dedup_ngram _NGRAM_BLOCK_CAP
-            # pattern, byte-based because vocab — unbounded on real
-            # corpora, though saturated on the synthetic one — is the
-            # memory axis here): a multiplicative doc_id mix spreads any
-            # id pattern near-uniformly; pairs split across sub-blocks
-            # are missed BY DESIGN past the cap (the anchor kernel's
-            # documented sample-scale contract; never trips at the
-            # oracle sfs, where exactness is asserted)
-            nsub = -(-(len(g) * vocab.size * 4) // _SHINGLE_MATMUL_BYTES)
-            mixed = (g["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
-                     * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-            sub_key = mixed % np.uint64(nsub)
-            out = [sub for s in range(nsub)
-                   if len(sub := block_pairs(g[sub_key == s]))]
-            return pd.concat(out, ignore_index=True) if out else empty
+    _EMPTY = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                           "b": pd.Series([], dtype="int64"),
+                           "jaccard": pd.Series([], dtype="float64")})
+
+    def exact(g: pd.DataFrame, arrs: list, vocab: np.ndarray) -> pd.DataFrame:
         m = np.zeros((len(g), vocab.size), dtype=np.float32)
         for i, a in enumerate(arrs):
             m[i, np.searchsorted(vocab, a)] = 1.0
@@ -1823,12 +1804,54 @@ def _exact_shingle_pairs(ds: ray.data.Dataset, t: float = 0.5) -> pd.DataFrame:
         ids = g["doc_id"].to_numpy(np.int64)
         ai, bi = np.nonzero(np.triu(jac >= t, k=1))
         if not ai.size:
-            return empty
+            return _EMPTY
         a, b = ids[ai], ids[bi]
         swap = a > b
         return pd.DataFrame({"a": np.where(swap, b, a),
                              "b": np.where(swap, a, b),
                              "jaccard": jac[ai, bi]})
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _EMPTY
+        arrs = [np.frombuffer(b, dtype=np.uint64) for b in g["grams"]]
+        vocab = np.unique(np.concatenate(arrs))
+        # budget BOTH allocations: the doc x gram incidence matrix
+        # (rows*vocab*4) AND the doc x doc inter/union/jac results
+        # (~rows^2*32 peak) — a band of many short docs blows the pair
+        # term long before the matrix term
+        mat_bytes = len(g) * vocab.size * 4
+        pair_bytes = len(g) * len(g) * 32
+        if max(mat_bytes, pair_bytes) <= _SHINGLE_MATMUL_BYTES:
+            return exact(g, arrs, vocab)
+        # ONE-SHOT sub-split, never recursive (re-splitting with the
+        # same doc_id hash yields an IDENTICAL frame whenever the new
+        # nsub divides the parent's -> infinite recursion) — the
+        # q_dedup_ngram _NGRAM_BLOCK_CAP pattern, byte-based because
+        # vocab (unbounded on real corpora, saturated on the synthetic
+        # one) is a memory axis here. nsub covers the matrix term
+        # linearly and the quadratic pair term by sqrt; hash skew can
+        # exceed the budget only by a small constant factor. Pairs
+        # split across sub-blocks are missed BY DESIGN past the cap
+        # (the anchor kernel's documented sample-scale contract; never
+        # trips at the oracle sfs, where exactness is asserted).
+        nsub = max(
+            -(-mat_bytes // _SHINGLE_MATMUL_BYTES),
+            int(np.ceil(np.sqrt(pair_bytes / _SHINGLE_MATMUL_BYTES))),
+        )
+        mixed = (g["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        sub_key = mixed % np.uint64(nsub)
+        out = []
+        for s in range(nsub):
+            mask = sub_key == s
+            if int(mask.sum()) < 2:
+                continue
+            sarrs = [a for a, k in zip(arrs, mask) if k]
+            sub = exact(g[mask], sarrs, np.unique(np.concatenate(sarrs)))
+            if len(sub):
+                out.append(sub)
+        return pd.concat(out, ignore_index=True) if out else _EMPTY
 
     out = ds.map_batches(band_rows, batch_format="pandas") \
             .groupby("band").map_groups(block_pairs, batch_format="pandas") \
@@ -2109,17 +2132,18 @@ FROM r WHERE rank <= 5
 """
 
 
-_EXACT_PAIR_CACHE: dict[tuple, ray.data.Dataset] = {}
+_EXACT_PAIR_CACHE: dict[str, tuple] = {}
 
 
 def _memo_key(sf_dir: str, table: str, with_session: bool = False) -> tuple:
-    """Memoization key for per-sf_dir caches: realpath + a cheap stat
+    """Memoization fingerprint for per-sf_dir caches: a cheap stat
     fingerprint (name, size, mtime_ns per file) so a rewritten input at
     the same path misses instead of serving stale results. With
-    ``with_session`` the current Ray session id joins the key — caches
+    ``with_session`` the current Ray NODE id joins the key — caches
     holding object-store refs (materialized Datasets) die with the
-    session, so a shutdown/init cycle must rebuild, not return dead
-    refs."""
+    local cluster, and the node id is freshly random per cluster
+    instance (the JOB id is not: it restarts at 01000000 after every
+    shutdown/init cycle, verified empirically)."""
     root = os.path.realpath(sf_dir)
     path = root if root.endswith(".parquet") else os.path.join(
         root, f"{table}.parquet")
@@ -2136,9 +2160,24 @@ def _memo_key(sf_dir: str, table: str, with_session: bool = False) -> tuple:
         stats = ()
     key = (root, stats)
     if with_session:
-        key += (ray.get_runtime_context().get_job_id()
+        key += (ray.get_runtime_context().get_node_id()
                 if ray.is_initialized() else None,)
     return key
+
+
+def _memo_get(cache: dict, sf_dir: str, table: str, build,
+              with_session: bool = False):
+    """Fingerprint-checked memoization keyed by RESOLVED root: at most
+    one live entry per input directory, so a long-lived driver that
+    rewrites its input (or re-inits Ray) evicts the stale entry instead
+    of growing the dict — and, for Dataset caches, instead of pinning
+    dead-session blocks in the object store."""
+    root = os.path.realpath(sf_dir)
+    key = _memo_key(sf_dir, table, with_session=with_session)
+    hit = cache.get(root)
+    if hit is None or hit[0] != key:
+        cache[root] = (key, build())
+    return cache[root][1]
 
 
 def _exact_pair_ds(sf_dir: str):
@@ -2149,13 +2188,12 @@ def _exact_pair_ds(sf_dir: str):
     (the edge source for connected components) — MEMOIZED per sf_dir
     (the _BF_EXACT_CACHE pattern) as a materialized Dataset, so a full
     catalog run pays the O(n^2/B) all-pairs kernel once, not twice.
-    The key carries an input-stat fingerprint and the Ray job id, so a
+    The key carries an input-stat fingerprint and the Ray node id, so a
     rewritten input or a new Ray session rebuilds instead of serving
     stale rows / dead object refs."""
-    key = _memo_key(sf_dir, "embeddings", with_session=True)
-    if key not in _EXACT_PAIR_CACHE:
-        _EXACT_PAIR_CACHE[key] = _exact_pair_ds_build(sf_dir).materialize()
-    return _EXACT_PAIR_CACHE[key]
+    return _memo_get(_EXACT_PAIR_CACHE, sf_dir, "embeddings",
+                     lambda: _exact_pair_ds_build(sf_dir).materialize(),
+                     with_session=True)
 
 
 def _exact_pair_ds_build(sf_dir: str):
@@ -2390,7 +2428,7 @@ def _lsh_similar_pairs(ds: ray.data.Dataset, threshold: float, tables: int = 6,
     return res.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-_BF_EXACT_CACHE: dict[tuple, pd.DataFrame] = {}
+_BF_EXACT_CACHE: dict[str, tuple] = {}
 
 
 def _ann_recall_gate(sf_dir: str, ann: pd.DataFrame, bound: float,
@@ -2409,10 +2447,8 @@ def _ann_recall_gate(sf_dir: str, ann: pd.DataFrame, bound: float,
     otherwise rerun the full-corpus brute-force scan for each. The key
     carries an input-stat fingerprint (no session id needed — the
     cached value is a plain DataFrame, not object-store refs)."""
-    key = _memo_key(sf_dir, "embeddings")
-    if key not in _BF_EXACT_CACHE:
-        _BF_EXACT_CACHE[key] = q_knn_bruteforce(sf_dir)
-    exact = _BF_EXACT_CACHE[key].copy()
+    exact = _memo_get(_BF_EXACT_CACHE, sf_dir, "embeddings",
+                      lambda: q_knn_bruteforce(sf_dir)).copy()
     ex = exact.groupby("qid")["vec_id"].apply(set)
     an = ann.groupby("qid")["vec_id"].apply(set)
     recalls = [len(ex[q] & an.get(q, set())) / len(ex[q]) for q in ex.index]
@@ -2496,7 +2532,7 @@ FROM r WHERE rank <= 5
 
 # --------------------------------------------------------------- extraction
 
-_EXTRACTION_CACHE: dict[str, str] = {}
+_EXTRACTION_CACHE: dict[str, tuple] = {}
 
 
 def _sf_tag_and_docs(sf_dir: str) -> tuple[str, int]:
@@ -2576,7 +2612,7 @@ def _extraction_diag(sf_dir: str) -> ray.data.Dataset:
     aggregate over that table; the driver never materializes the full
     extraction output (span text/media payloads never leave the
     cluster)."""
-    if sf_dir not in _EXTRACTION_CACHE:
+    def _build() -> str:
         import shutil
 
         from .pipelines.extraction import build_extraction
@@ -2611,16 +2647,20 @@ def _extraction_diag(sf_dir: str) -> ray.data.Dataset:
         build_extraction(interleaved).map_batches(
             explode_diag, batch_format="pyarrow"
         ).write_parquet(out_dir)
-        _EXTRACTION_CACHE[sf_dir] = out_dir
-    else:
-        # refresh mtime on every cache read so a long-running driver's
-        # scratch stays inside _prune_dead_scratch's grace window even
-        # when a sibling process can't probe this pid
-        try:
-            os.utime(_EXTRACTION_CACHE[sf_dir])
-        except OSError:
-            pass
-    return ray.data.read_parquet(_EXTRACTION_CACHE[sf_dir])
+        return out_dir
+
+    # fingerprinted like the other per-sf_dir caches: a rewritten
+    # documents.parquet at the same path rebuilds the diagnostic table
+    # instead of false-greening the extraction gates from stale spans
+    out_dir = _memo_get(_EXTRACTION_CACHE, sf_dir, "documents", _build)
+    # refresh mtime on every read so a long-running driver's scratch
+    # stays inside _prune_dead_scratch's grace window even when a
+    # sibling process can't probe this pid
+    try:
+        os.utime(out_dir)
+    except OSError:
+        pass
+    return ray.data.read_parquet(out_dir)
 
 
 def _diag_gate(sf_dir: str, kind: str, col: str, out_col: str) -> pd.DataFrame:
@@ -5537,7 +5577,11 @@ _PYWS = (r"[\t\n\x0B\f\r\x1C-\x1F \x85\x{00A0}\x{1680}"
 _PYWS_NEG = _PYWS.replace("[", "[^", 1)  # Python \S+ equivalent
 for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
            "SQL_EXTRACTION_HTML_STRIP"):
+    # import-time assert: a reformatted literal would make the replace
+    # a silent no-op and revert that oracle to RE2's narrower \s
+    assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
     globals()[_n] = globals()[_n].replace(r"'\s+'", f"'{_PYWS}'")
+assert r"'\S+'" in SQL_TEXT_QUALITY, "SQL_TEXT_QUALITY lost its '\\S+' anchor"
 SQL_TEXT_QUALITY = SQL_TEXT_QUALITY.replace(r"'\S+'", f"'{_PYWS_NEG}'")
 del _n
 

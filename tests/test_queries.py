@@ -356,6 +356,30 @@ def test_shingle_matmul_byte_cap_subsplits(ray_session, monkeypatch):
     assert (merged["jaccard_c"] == merged["jaccard_e"]).all()
 
 
+def test_shingle_subsplit_one_shot_on_degenerate_hash(ray_session, monkeypatch):
+    """The pathological sub-split shape: every doc's multiplicative-mix
+    hash is EVEN and the budget forces nsub=2, so one hash bucket holds
+    the whole band. A recursive splitter loops forever here (same
+    frame, same nsub); the one-shot splitter must run the exact kernel
+    on the oversized bucket and return the duplicate pairs."""
+    import numpy as np
+
+    M = np.uint64(0x9E3779B97F4A7C15)
+    ids = [i for i in range(1, 10_000)
+           if int((np.uint64(i) * M) >> np.uint64(33)) % 2 == 0][:4]
+    assert len(ids) == 4
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    docs = ray.data.from_items([{"doc_id": i, "text": text} for i in ids])
+    import ocr_ray.functions.hashing as H
+
+    vocab = np.unique(H.shingle_hashes64(text)).size
+    mat_bytes = 4 * vocab * 4  # 4 identical docs share the vocab
+    monkeypatch.setattr(Q, "_SHINGLE_MATMUL_BYTES", int(mat_bytes / 1.5))
+    out = Q._exact_shingle_pairs(docs, t=0.5)
+    assert len(out) == 6  # all 4C2 identical-text pairs, jaccard 1.0
+    assert (out["jaccard"] == 1.0).all()
+
+
 def test_pyws_class_matches_python_split():
     """The _PYWS RE2 class substituted into the whitespace-tokenizing
     SQL mirrors must split exactly like Python str.split() (the Ray
