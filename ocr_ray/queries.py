@@ -1816,39 +1816,41 @@ def _exact_shingle_pairs(ds: ray.data.Dataset, t: float = 0.5) -> pd.DataFrame:
             return _EMPTY
         arrs = [np.frombuffer(b, dtype=np.uint64) for b in g["grams"]]
         vocab = np.unique(np.concatenate(arrs))
-        # budget BOTH allocations: the doc x gram incidence matrix
-        # (rows*vocab*4) AND the doc x doc inter/union/jac results
-        # (~rows^2*32 peak) — a band of many short docs blows the pair
-        # term long before the matrix term
+        # budget BOTH live allocations — the doc x gram incidence matrix
+        # (rows*vocab*4) and the doc x doc inter/union/jac results
+        # (~rows^2*32 peak) coexist through the matmul, so the gate is
+        # on their SUM; a band of many short docs blows the pair term
+        # long before the matrix term
         mat_bytes = len(g) * vocab.size * 4
         pair_bytes = len(g) * len(g) * 32
-        if max(mat_bytes, pair_bytes) <= _SHINGLE_MATMUL_BYTES:
+        if mat_bytes + pair_bytes <= _SHINGLE_MATMUL_BYTES:
             return exact(g, arrs, vocab)
-        # ONE-SHOT sub-split, never recursive (re-splitting with the
-        # same doc_id hash yields an IDENTICAL frame whenever the new
-        # nsub divides the parent's -> infinite recursion) — the
-        # q_dedup_ngram _NGRAM_BLOCK_CAP pattern, byte-based because
-        # vocab (unbounded on real corpora, saturated on the synthetic
-        # one) is a memory axis here. nsub covers the matrix term
-        # linearly and the quadratic pair term by sqrt; hash skew can
-        # exceed the budget only by a small constant factor. Pairs
-        # split across sub-blocks are missed BY DESIGN past the cap
-        # (the anchor kernel's documented sample-scale contract; never
-        # trips at the oracle sfs, where exactness is asserted).
+        # ONE-SHOT sub-split, never recursive (re-splitting can yield
+        # an identical frame -> infinite recursion) — the q_dedup_ngram
+        # _NGRAM_BLOCK_CAP pattern, byte-based because vocab (unbounded
+        # on real corpora, saturated on the synthetic one) is a memory
+        # axis here. POSITIONAL split of the doc_id-sorted band (not a
+        # hash split: structured id sets can collide into one hash
+        # bucket, un-bounding it) — every bucket is exactly
+        # <= ceil(rows/nsub), so with nsub sized against HALF the
+        # budget per term, each sub-task's mat+pair stays under the
+        # cap. Pairs split across sub-blocks are missed BY DESIGN past
+        # the cap (the anchor kernel's documented sample-scale
+        # contract; never trips at the oracle sfs, where exactness is
+        # asserted).
+        half = _SHINGLE_MATMUL_BYTES // 2
         nsub = max(
-            -(-mat_bytes // _SHINGLE_MATMUL_BYTES),
-            int(np.ceil(np.sqrt(pair_bytes / _SHINGLE_MATMUL_BYTES))),
+            -(-mat_bytes // half),
+            int(np.ceil(np.sqrt(pair_bytes / half))),
         )
-        mixed = (g["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        sub_key = mixed % np.uint64(nsub)
+        order = np.argsort(g["doc_id"].to_numpy(np.int64), kind="stable")
         out = []
-        for s in range(nsub):
-            mask = sub_key == s
-            if int(mask.sum()) < 2:
+        for idx in np.array_split(order, nsub):
+            if idx.size < 2:
                 continue
-            sarrs = [a for a, k in zip(arrs, mask) if k]
-            sub = exact(g[mask], sarrs, np.unique(np.concatenate(sarrs)))
+            sarrs = [arrs[i] for i in idx]
+            sub = exact(g.iloc[idx], sarrs,
+                        np.unique(np.concatenate(sarrs)))
             if len(sub):
                 out.append(sub)
         return pd.concat(out, ignore_index=True) if out else _EMPTY
@@ -1860,9 +1862,7 @@ def _exact_shingle_pairs(ds: ray.data.Dataset, t: float = 0.5) -> pd.DataFrame:
         # a gramless corpus (every text < 5 normalized chars) produces
         # zero band rows and a SCHEMA-LESS empty frame from map_groups —
         # drop_duplicates(["a","b"]) would KeyError on it
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+        return _EMPTY.copy()
     # same-band pairs meet in bands b and b+1 with identical values
     out = out.drop_duplicates(["a", "b"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -2139,11 +2139,13 @@ def _memo_key(sf_dir: str, table: str, with_session: bool = False) -> tuple:
     """Memoization fingerprint for per-sf_dir caches: a cheap stat
     fingerprint (name, size, mtime_ns per file) so a rewritten input at
     the same path misses instead of serving stale results. With
-    ``with_session`` the current Ray NODE id joins the key — caches
-    holding object-store refs (materialized Datasets) die with the
-    local cluster, and the node id is freshly random per cluster
-    instance (the JOB id is not: it restarts at 01000000 after every
-    shutdown/init cycle, verified empirically)."""
+    ``with_session`` the current Ray (node id, job id) pair joins the
+    key — caches holding object-store refs (materialized Datasets) die
+    with their owning job. NEITHER id alone suffices: the job id
+    restarts at 01000000 after every local shutdown/init cycle
+    (verified empirically), and the node id is stable across
+    re-connects to one long-lived external cluster while the old job's
+    refs are already dead; the pair covers both."""
     root = os.path.realpath(sf_dir)
     path = root if root.endswith(".parquet") else os.path.join(
         root, f"{table}.parquet")
@@ -2160,8 +2162,11 @@ def _memo_key(sf_dir: str, table: str, with_session: bool = False) -> tuple:
         stats = ()
     key = (root, stats)
     if with_session:
-        key += (ray.get_runtime_context().get_node_id()
-                if ray.is_initialized() else None,)
+        if ray.is_initialized():
+            ctx = ray.get_runtime_context()
+            key += (ctx.get_node_id(), ctx.get_job_id())
+        else:
+            key += (None, None)
     return key
 
 

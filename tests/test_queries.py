@@ -356,17 +356,19 @@ def test_shingle_matmul_byte_cap_subsplits(ray_session, monkeypatch):
     assert (merged["jaccard_c"] == merged["jaccard_e"]).all()
 
 
-def test_shingle_subsplit_one_shot_on_degenerate_hash(ray_session, monkeypatch):
-    """The pathological sub-split shape: every doc's multiplicative-mix
-    hash is EVEN and the budget forces nsub=2, so one hash bucket holds
-    the whole band. A recursive splitter loops forever here (same
-    frame, same nsub); the one-shot splitter must run the exact kernel
-    on the oversized bucket and return the duplicate pairs."""
+def test_shingle_subsplit_one_shot_bounded_buckets(ray_session, monkeypatch):
+    """The pathological sub-split shape that made a recursive hash
+    splitter loop forever (and left one hash bucket holding the whole
+    band): ids chosen so every multiplicative-mix hash shares a residue
+    class. The one-shot POSITIONAL splitter must bound every bucket at
+    ceil(rows/nsub) regardless of id structure and still find the
+    within-bucket duplicate pairs."""
     import numpy as np
 
-    M = np.uint64(0x9E3779B97F4A7C15)
+    M = 0x9E3779B97F4A7C15
+    mask64 = (1 << 64) - 1
     ids = [i for i in range(1, 10_000)
-           if int((np.uint64(i) * M) >> np.uint64(33)) % 2 == 0][:4]
+           if (((i * M) & mask64) >> 33) % 2 == 0][:4]
     assert len(ids) == 4
     text = "the quick brown fox jumps over the lazy dog " * 8
     docs = ray.data.from_items([{"doc_id": i, "text": text} for i in ids])
@@ -374,9 +376,21 @@ def test_shingle_subsplit_one_shot_on_degenerate_hash(ray_session, monkeypatch):
 
     vocab = np.unique(H.shingle_hashes64(text)).size
     mat_bytes = 4 * vocab * 4  # 4 identical docs share the vocab
-    monkeypatch.setattr(Q, "_SHINGLE_MATMUL_BYTES", int(mat_bytes / 1.5))
+    # budget = the matrix term alone: the summed gate (mat + pair)
+    # still trips, and nsub lands at 2 -> two buckets of 2
+    budget = mat_bytes
+    monkeypatch.setattr(Q, "_SHINGLE_MATMUL_BYTES", budget)
     out = Q._exact_shingle_pairs(docs, t=0.5)
-    assert len(out) == 6  # all 4C2 identical-text pairs, jaccard 1.0
+    # positional buckets of ceil(4/nsub): every within-bucket pair of
+    # the identical docs qualifies at jaccard 1.0; cross-bucket pairs
+    # are missed BY DESIGN past the cap (so strictly fewer than 4C2=6)
+    half = budget // 2
+    nsub = max(-(-mat_bytes // half),
+               int(np.ceil(np.sqrt(4 * 4 * 32 / half))))
+    sizes = [c.size for c in np.array_split(np.arange(4), nsub)]
+    expected = sum(s * (s - 1) // 2 for s in sizes)
+    assert 1 <= expected < 6
+    assert len(out) == expected
     assert (out["jaccard"] == 1.0).all()
 
 
@@ -420,8 +434,11 @@ def test_memo_key_fingerprints_input(tmp_path):
     os.utime(f, ns=(1, 1))
     k2 = Q._memo_key(str(tmp_path), "embeddings")
     assert k1 != k2
+    # (node id, job id) pair — neither alone distinguishes both a local
+    # re-init (job id repeats) and an external-cluster reconnect (node
+    # id repeats)
     assert len(Q._memo_key(str(tmp_path), "embeddings", with_session=True)) \
-        == len(k2) + 1
+        == len(k2) + 2
 
 
 def test_top_orders_per_segment_guard_paths_agree(ray_session):
