@@ -1695,6 +1695,113 @@ FROM scored
 """
 
 
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition quality filter (Rae et al. 2021, table
+    A1 — public paper): per-doc duplicate-token and duplicate-bigram
+    statistics plus an integer-arithmetic ``keep`` rule:
+
+      keep = n_tokens >= 5
+             AND top_token_n * 8  <= n_tokens     (<= 12.5% one token)
+             AND (n_bigrams = 0 OR
+                  top_bigram_n * 16 <= n_bigrams) (<= 6.25% one bigram)
+
+    All outputs are exact integers / booleans so the DuckDB mirror is a
+    hard value oracle. One streamed map_batches, no shuffle; the kernel
+    is pandas explode + groupby-shift (no per-row Python loop). At
+    100 TB this is a pure map stage — the filter column rides along and
+    a downstream ``filter`` prunes before any expensive op."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ids = df["doc_id"].astype("int64")
+        toks = df["text"].str.lower().str.split()
+        n_tok = toks.str.len().fillna(0).astype("int64")
+        e = toks.explode().dropna()  # index = batch row, repeated
+        tc = e.groupby([e.index, e]).size()
+        top_tok = tc.groupby(level=0).max()
+        n_dist = tc.groupby(level=0).size()
+        nxt = e.groupby(level=0).shift(-1)
+        bg = (e + " " + nxt).dropna()
+        bc = bg.groupby([bg.index, bg]).size()
+        top_bg = bc.groupby(level=0).max()
+        n_bg = bg.groupby(level=0).size()
+        idx = df.index
+        out = pd.DataFrame({
+            "doc_id": ids,
+            "n_tokens": n_tok,
+            "n_distinct_tokens":
+                n_dist.reindex(idx).fillna(0).astype("int64"),
+            "top_token_n": top_tok.reindex(idx).fillna(0).astype("int64"),
+            "n_bigrams": n_bg.reindex(idx).fillna(0).astype("int64"),
+            "top_bigram_n": top_bg.reindex(idx).fillna(0).astype("int64"),
+        })
+        out["keep"] = (
+            (out["n_tokens"] >= 5)
+            & (out["top_token_n"] * 8 <= out["n_tokens"])
+            & ((out["n_bigrams"] == 0)
+               | (out["top_bigram_n"] * 16 <= out["n_bigrams"]))
+        )
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# exact SQL mirror: same whitespace tokenization (the '\s+' literal is
+# widened to the Python-str.split() class by the _PYWS block below),
+# bigrams via list comprehension over the token array, same integer
+# keep rule
+SQL_REPETITION_FILTER = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS toks
+  FROM norm
+),
+tokc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+toka AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct_tokens,
+         max(c) AS top_token_n
+  FROM tokc GROUP BY doc_id
+),
+bigc AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i + 1]
+                       for i in generate_series(1, len(toks) - 1)]) AS bg
+        FROM t WHERE len(toks) >= 2)
+  GROUP BY doc_id, bg
+),
+biga AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n
+  FROM bigc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+       CAST(COALESCE(a.top_token_n, 0) AS BIGINT) AS top_token_n,
+       CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       (COALESCE(a.n_tokens, 0) >= 5
+        AND COALESCE(a.top_token_n, 0) * 8 <= COALESCE(a.n_tokens, 0)
+        AND (COALESCE(b.n_bigrams, 0) = 0
+             OR COALESCE(b.top_bigram_n, 0) * 16
+                <= COALESCE(b.n_bigrams, 0))) AS keep
+FROM documents d
+LEFT JOIN toka a USING (doc_id)
+LEFT JOIN biga b USING (doc_id)
+"""
+
+
 def _cand_minhash_lsh(ds: ray.data.Dataset, B: int) -> ray.data.Dataset:
     """MinHash-LSH candidate pairs (a < b): signatures -> (band_key,
     doc_id) rows -> bucketed band groupby -> within-band pairs. Banding
@@ -5569,6 +5676,7 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "event_minute_gaps": q_event_minute_gaps,
     "segment_revenue_share": q_segment_revenue_share,
+    "repetition_filter": q_repetition_filter,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -5581,7 +5689,7 @@ _PYWS = (r"[\t\n\x0B\f\r\x1C-\x1F \x85\x{00A0}\x{1680}"
          r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+")
 _PYWS_NEG = _PYWS.replace("[", "[^", 1)  # Python \S+ equivalent
 for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
-           "SQL_EXTRACTION_HTML_STRIP"):
+           "SQL_EXTRACTION_HTML_STRIP", "SQL_REPETITION_FILTER"):
     # import-time assert: a reformatted literal would make the replace
     # a silent no-op and revert that oracle to RE2's narrower \s
     assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
@@ -5662,4 +5770,5 @@ ORACLE_SQL = {
     "corpus_prep": SQL_CORPUS_PREP,
     "event_minute_gaps": SQL_EVENT_MINUTE_GAPS,
     "segment_revenue_share": SQL_SEGMENT_REVENUE_SHARE,
+    "repetition_filter": SQL_REPETITION_FILTER,
 }

@@ -634,3 +634,34 @@ def test_props_field_stats_tolerates_missing_field(ray_session, tmp_path):
     orc = _norm(con2.execute(Q.ORACLE_SQL["props_field_stats"]).df())
     pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
     assert set(mine["event_type"]) == {"a", "c"}  # 'b' has no k anywhere
+
+
+def test_repetition_filter_edges_match_oracle(ray_session, tmp_path):
+    """Gopher-style repetition filter: edge cases (empty / whitespace-only
+    / short / all-one-token / alternating-bigram / clean) must agree with
+    the SQL mirror exactly, and the keep rule must fire as designed."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "",                                   # empty -> all zeros
+            " \t\n  ",                            # whitespace-only
+            "one two three four",                 # 4 < 5 tokens -> drop
+            "x x x x x x x x x x",                # one token repeated
+            "a b a b a b a b a b a b",            # one bigram dominates
+            " ".join(f"w{i}" for i in range(20)),  # clean -> keep
+        ],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = _norm(Q.QUERIES["repetition_filter"](sf))
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["repetition_filter"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    by_id = mine.set_index("doc_id")
+    assert by_id.loc[1, "n_tokens"] == 0 and not by_id.loc[1, "keep"]
+    assert by_id.loc[2, "n_tokens"] == 0 and not by_id.loc[2, "keep"]
+    assert not by_id.loc[3, "keep"]          # min-length rule
+    assert by_id.loc[4, "top_token_n"] == 10 and not by_id.loc[4, "keep"]
+    assert by_id.loc[5, "top_bigram_n"] == 6 and not by_id.loc[5, "keep"]
+    assert by_id.loc[6, "keep"] and by_id.loc[6, "n_distinct_tokens"] == 20
