@@ -39,6 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -1799,6 +1800,306 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN toka a USING (doc_id)
 LEFT JOIN biga b USING (doc_id)
+"""
+
+
+_EVAL_MOD = 97  # deterministic "benchmark" membership: doc_id % 97 == 0
+
+
+def _trigram_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Distinct lowercased whitespace-token 3-grams per document as
+    (doc_id, gram) rows. Pandas explode + per-doc shift — no per-row
+    Python loop. ``df`` must carry a fresh RangeIndex (callers reset).
+    Real decontamination uses 13-grams (GPT-3 appendix C, public); 3
+    here because the synthetic docs are only ~50 tokens."""
+    toks = df["text"].str.lower().str.split()
+    e = toks.explode().dropna()
+    g = e.groupby(level=0)
+    tri = (e + " " + g.shift(-1) + " " + g.shift(-2)).dropna()
+    if tri.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "gram": pd.Series([], dtype="object")})
+    ids = df["doc_id"].astype("int64")
+    out = pd.DataFrame({"doc_id": ids.reindex(tri.index).to_numpy(),
+                        "gram": tri.to_numpy()})
+    return out.drop_duplicates()
+
+
+def q_decontamination(sf_dir: str, _broadcast_max: int | None = None):
+    """Benchmark decontamination: flag every training document sharing
+    a token 3-gram with the eval set (docs with doc_id % 97 == 0 stand
+    in for the benchmark suite). The eval side is SMALL BY NATURE —
+    benchmark suites are MBs against a 100 TB corpus — so the scale
+    path is: distinct eval grams collected once, ``ray.put`` once, and
+    the whole corpus streams through one stateless map_batches doing a
+    vectorized set probe (the same shape the public GPT-3/Llama decon
+    procedures describe). The broadcast is still GUARDED like every
+    other small side in this catalog (limit(budget+1) probe); past the
+    budget it falls back to two bounded shuffles: distinct (doc, gram)
+    rows and eval grams hash-bucketed by gram, per-bucket hit counts,
+    then a per-doc combine bucketed by doc_id. Nothing driver-side
+    scales with the corpus on either path."""
+    budget = _BROADCAST_MAX_KEYS if _broadcast_max is None else _broadcast_max
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cols = ["doc_id", "is_eval", "n_grams", "n_hits", "contaminated"]
+
+    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % _EVAL_MOD == 0].reset_index(drop=True)
+        return _trigram_frame(df)[["gram"]].drop_duplicates()
+
+    evg = ds.map_batches(eval_grams, batch_format="pandas", batch_size=65536)
+    probe = evg.limit(budget + 1).to_pandas()
+    if len(probe) <= budget:
+        ev_ref = ray.put(frozenset(probe["gram"]))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            ev = ray.get(ev_ref)
+            gf = _trigram_frame(df)
+            per = pd.DataFrame({
+                "doc_id": gf["doc_id"],
+                "hit": gf["gram"].isin(ev),
+            }).groupby("doc_id").agg(n_grams=("hit", "size"),
+                                     n_hits=("hit", "sum"))
+            out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+            out = out.merge(per, left_on="doc_id", right_index=True,
+                            how="left").fillna(0)
+            out["n_grams"] = out["n_grams"].astype("int64")
+            out["n_hits"] = out["n_hits"].astype("int64")
+            out["is_eval"] = out["doc_id"] % _EVAL_MOD == 0
+            out["contaminated"] = (~out["is_eval"]) & (out["n_hits"] > 0)
+            return out[cols]
+
+        return ds.map_batches(score, batch_format="pandas", batch_size=65536)
+
+    # fallback: the "eval set" stopped being small — bucketed hash join
+    B = _pair_buckets()
+
+    def _bucketed(gf: pd.DataFrame, side: str, doc: bool) -> pd.DataFrame:
+        h = pd.util.hash_array(gf["gram"].to_numpy(dtype=object)) % B
+        return pd.DataFrame({
+            "bucket": h.astype("int64"),
+            "gram": gf["gram"].astype(object),
+            "doc_id": (gf["doc_id"].astype("int64") if doc
+                       else np.full(len(gf), -1, dtype=np.int64)),
+            "side": side,
+        })
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _bucketed(_trigram_frame(df.reset_index(drop=True)), "c", True)
+
+    def e_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _bucketed(eval_grams(df), "e", False)
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        ev = set(g.loc[g["side"] == "e", "gram"])
+        c = g[g["side"] == "c"]
+        out = pd.DataFrame({
+            "doc_id": c["doc_id"].astype("int64"),
+            "hit": c["gram"].isin(ev),
+        }).groupby("doc_id", as_index=False).agg(n_grams=("hit", "size"),
+                                                 n_hits=("hit", "sum"))
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["n_hits"] = out["n_hits"].astype("int64")
+        out["b2"] = out["doc_id"] % B
+        return out
+
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_grams": z, "n_hits": z,
+                             "b2": ids % B})
+
+    parts = ds.map_batches(c_rows, batch_format="pandas", batch_size=65536) \
+        .union(ds.map_batches(e_rows, batch_format="pandas", batch_size=65536)) \
+        .groupby("bucket").map_groups(hits, batch_format="pandas")
+    base = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(zeros, batch_format="pandas", batch_size=65536)
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_hits=("n_hits", "sum"))
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["n_hits"] = out["n_hits"].astype("int64")
+        out["is_eval"] = out["doc_id"] % _EVAL_MOD == 0
+        out["contaminated"] = (~out["is_eval"]) & (out["n_hits"] > 0)
+        return out[cols]
+
+    return parts.union(base).groupby("b2").map_groups(
+        comb, batch_format="pandas")
+
+
+# exact SQL mirror: same lowercase + Python-whitespace tokenization
+# (the '\s+' literal is widened by the _PYWS block below), 3-grams via
+# inclusive list slicing, DISTINCT per doc on both sides, hit = string
+# equality against the distinct eval-gram set
+SQL_DECONTAMINATION = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS toks
+  FROM norm
+),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+2], ' ')
+                   for i in generate_series(1, len(toks) - 2)]) AS gram
+    FROM t WHERE len(toks) >= 3)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+h AS (
+  SELECT g.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hits
+  FROM g LEFT JOIN ev USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       d.doc_id % 97 = 0 AS is_eval,
+       CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (d.doc_id % 97 <> 0 AND COALESCE(h.n_hits, 0) > 0) AS contaminated
+FROM documents d LEFT JOIN h USING (doc_id)
+"""
+
+
+_SHARD_TOKENS = 2000  # target tokens per output shard
+
+
+def _parquet_col_max(path: str, col: str) -> int:
+    """Max of an integer column from parquet row-group statistics —
+    metadata only, no data pages read."""
+    md = pq.ParquetFile(path).metadata
+    j = next(i for i in range(md.num_columns)
+             if md.row_group(0).column(i).path_in_schema == col)
+    return max(md.row_group(rg).column(j).statistics.max
+               for rg in range(md.num_row_groups))
+
+
+def q_shard_packing(sf_dir: str):
+    """Token-balanced output sharding: assign every document to a
+    training shard so shards hold ~_SHARD_TOKENS tokens each, in
+    doc_id order — i.e. ``shard = floor(prefix_sum_before(n_tokens) /
+    target)``, a GLOBAL ordered prefix sum, the op a shard writer needs
+    so no output file is 100x another (the resume granularity promise).
+    Distributed two-pass shape: docs map to contiguous doc_id ranges
+    (cluster-proportional bucket count); pass 1 computes per-range
+    token subtotals (one tiny row per range), the driver folds the
+    O(ranges) exclusive offsets — at 10^12 docs the fold itself would
+    be two-level, same arithmetic — and pass 2 shuffles ONCE by range,
+    sorting + cumsum only inside each range with its offset added. The
+    narrow (doc_id, n_tokens, range) projection is materialized so the
+    text is tokenized exactly once. All-integer outputs -> hard oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    W = _pair_buckets()
+    max_id = _parquet_col_max(os.path.join(sf_dir, "documents.parquet"),
+                              "doc_id")
+    R = max(1, -(-(int(max_id) + 1) // (4 * W)))  # ceil div
+
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ids = df["doc_id"].astype("int64")
+        n = df["text"].str.split().str.len().fillna(0).astype("int64")
+        return pd.DataFrame({"doc_id": ids, "n_tokens": n,
+                             "bucket": ids // R})
+
+    tok = ds.map_batches(tok_rows, batch_format="pandas",
+                         batch_size=65536).materialize()
+    sums = _partial_group_sum(tok, ["bucket"], {"tot": "n_tokens"})
+    sums = sums.sort_values("bucket").reset_index(drop=True)
+    cum = np.cumsum(sums["tot"].to_numpy(dtype=np.int64))
+    offs = dict(zip(sums["bucket"].astype(int),
+                    np.concatenate(([0], cum[:-1])).astype(np.int64)))
+    offs_ref = ray.put(offs)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        off = ray.get(offs_ref)[int(g["bucket"].iloc[0])]
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        before = off + np.cumsum(n) - n
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "n_tokens": g["n_tokens"].astype("int64"),
+                             "shard": (before // _SHARD_TOKENS)})
+
+    return tok.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+# exact SQL mirror: same whitespace token count (the '\s+' literal is
+# widened by the _PYWS block below), SQL window prefix sum, same
+# integer floor division
+SQL_SHARD_PACKING = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN length(nt) = 0 THEN 0
+              ELSE len(string_split(nt, ' ')) END AS n_tokens
+  FROM norm
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 2000 AS BIGINT) AS shard
+FROM t
+"""
+
+
+def q_lang_temperature_sample(sf_dir: str):
+    """Temperature-style resampling toward language balance: per-lang
+    integer rates ``rate = ceil(count_lang / min_count)`` computed from
+    one tiny partial-count aggregate (key space = languages), broadcast
+    once, then the corpus streams through a stateless hash-Bernoulli
+    filter (same Knuth multiplicative hash as orders_stratified_sample,
+    identical in numpy and ANSI SQL) keeping ~1-in-rate of each
+    language — head languages downsampled toward the smallest, the
+    standard multilingual rebalance (Conneau & Lample's temperature
+    sampling, public). No RNG state, reproducible across cluster sizes
+    / resumes; nothing driver-side scales with the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = ds.map_batches(cnt, batch_format="pandas", batch_size=65536) \
+        .to_pandas().groupby("lang", as_index=False)["n"].sum()
+    mn = int(counts["n"].min())
+    rates = {l: (int(n) + mn - 1) // mn
+             for l, n in zip(counts["lang"], counts["n"])}
+    rates_ref = ray.put(rates)
+    M = np.uint64(2654435761)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rates_ref)
+        k = df["doc_id"].to_numpy(dtype=np.uint64)
+        h = ((k % np.uint64(2**31)) * M) % np.uint64(2**32)
+        rate = df["lang"].map(r).to_numpy(dtype=np.uint64)
+        keep = h % rate == 0
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "lang": df["lang"],
+                            "rate": rate.astype(np.int64)})
+        return out[keep]
+
+    return ds.map_batches(pick, batch_format="pandas", batch_size=65536)
+
+
+# exact SQL mirror: integer ceil-division rates from the same grouped
+# counts, same 32-bit multiplicative hash (products stay inside BIGINT
+# because the key is pre-reduced mod 2^31)
+SQL_LANG_TEMPERATURE_SAMPLE = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS mn FROM c),
+r AS (SELECT lang, CAST((n + mn - 1) // mn AS BIGINT) AS rate FROM c, m)
+SELECT d.doc_id, d.lang, r.rate
+FROM documents d JOIN r USING (lang)
+WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) % r.rate = 0
 """
 
 
@@ -5677,6 +5978,9 @@ QUERIES = {
     "event_minute_gaps": q_event_minute_gaps,
     "segment_revenue_share": q_segment_revenue_share,
     "repetition_filter": q_repetition_filter,
+    "decontamination": q_decontamination,
+    "shard_packing": q_shard_packing,
+    "lang_temperature_sample": q_lang_temperature_sample,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -5689,7 +5993,8 @@ _PYWS = (r"[\t\n\x0B\f\r\x1C-\x1F \x85\x{00A0}\x{1680}"
          r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+")
 _PYWS_NEG = _PYWS.replace("[", "[^", 1)  # Python \S+ equivalent
 for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
-           "SQL_EXTRACTION_HTML_STRIP", "SQL_REPETITION_FILTER"):
+           "SQL_EXTRACTION_HTML_STRIP", "SQL_REPETITION_FILTER",
+           "SQL_DECONTAMINATION", "SQL_SHARD_PACKING"):
     # import-time assert: a reformatted literal would make the replace
     # a silent no-op and revert that oracle to RE2's narrower \s
     assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
@@ -5771,4 +6076,7 @@ ORACLE_SQL = {
     "event_minute_gaps": SQL_EVENT_MINUTE_GAPS,
     "segment_revenue_share": SQL_SEGMENT_REVENUE_SHARE,
     "repetition_filter": SQL_REPETITION_FILTER,
+    "decontamination": SQL_DECONTAMINATION,
+    "shard_packing": SQL_SHARD_PACKING,
+    "lang_temperature_sample": SQL_LANG_TEMPERATURE_SAMPLE,
 }

@@ -665,3 +665,91 @@ def test_repetition_filter_edges_match_oracle(ray_session, tmp_path):
     assert by_id.loc[4, "top_token_n"] == 10 and not by_id.loc[4, "keep"]
     assert by_id.loc[5, "top_bigram_n"] == 6 and not by_id.loc[5, "keep"]
     assert by_id.loc[6, "keep"] and by_id.loc[6, "n_distinct_tokens"] == 20
+
+
+def test_decontamination_guard_paths_agree(ray_session):
+    """Forcing the bucketed-join fallback (budget=0) must produce
+    exactly the broadcast path's per-doc gram/hit counts and flags."""
+    from ocr_ray.queries import q_decontamination
+
+    a = _norm(q_decontamination(SF))
+    b = _norm(q_decontamination(SF, _broadcast_max=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_decontamination_edges_match_oracle(ray_session, tmp_path):
+    """Edge cases: empty / short (<3 tokens) docs have zero grams; an
+    eval doc (doc_id % 97 == 0) is never 'contaminated' itself; a doc
+    sharing a 3-gram with the eval doc is flagged; a disjoint doc is
+    not. Both paths must agree with the SQL mirror exactly."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 97],
+        "text": [
+            "alpha beta gamma delta",        # eval doc (0 % 97 == 0)
+            "the quick brown fox",           # disjoint -> clean
+            "x alpha beta gamma y",          # shares 'alpha beta gamma'
+            "two tokens",                    # <3 tokens -> zero grams
+            "beta gamma delta unrelated",    # eval doc too (97 % 97 == 0)
+        ],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = _norm(Q.QUERIES["decontamination"](sf))
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["decontamination"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    by_id = mine.set_index("doc_id")
+    assert bool(by_id.loc[0, "is_eval"]) and not bool(by_id.loc[0, "contaminated"])
+    assert by_id.loc[1, "n_hits"] == 0 and not bool(by_id.loc[1, "contaminated"])
+    assert by_id.loc[2, "n_hits"] == 1 and bool(by_id.loc[2, "contaminated"])
+    assert by_id.loc[3, "n_grams"] == 0 and by_id.loc[3, "n_hits"] == 0
+    assert bool(by_id.loc[97, "is_eval"])
+
+
+def test_shard_packing_matches_local_prefix_sum(ray_session):
+    """The distributed two-pass prefix sum must equal a single-process
+    pandas recompute, shards must be non-decreasing in doc_id order,
+    and every shard's token total must respect the floor-division
+    bound: total < target + that shard's last doc's tokens."""
+    from ocr_ray.queries import _SHARD_TOKENS, q_shard_packing
+
+    mine = q_shard_packing(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).sort_values("doc_id")
+    n = docs["text"].str.split().str.len().fillna(0).astype("int64")
+    before = n.cumsum() - n
+    want = pd.DataFrame({"doc_id": docs["doc_id"].astype("int64"),
+                         "n_tokens": n.to_numpy(),
+                         "shard": (before // _SHARD_TOKENS).to_numpy()}) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False)
+    assert (mine["shard"].diff().fillna(0) >= 0).all()
+    per = mine.groupby("shard")["n_tokens"].agg(["sum", "last"])
+    assert (per["sum"] < _SHARD_TOKENS + per["last"]).all()
+
+
+def test_lang_temperature_sample_rule(ray_session):
+    """Every kept doc must satisfy the hash rule for its language's
+    ceil-division rate, and the kept set must equal a local recompute
+    (determinism across cluster layouts is the point of the design)."""
+    from ocr_ray.queries import q_lang_temperature_sample
+
+    mine = q_lang_temperature_sample(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    cnt = docs.groupby("lang").size()
+    mn = int(cnt.min())
+    rates = ((cnt + mn - 1) // mn).astype("int64")
+    k = docs["doc_id"].to_numpy(dtype=np.uint64)
+    h = ((k % np.uint64(2**31)) * np.uint64(2654435761)) % np.uint64(2**32)
+    rate = docs["lang"].map(rates).to_numpy(dtype=np.uint64)
+    want = docs[h % rate == 0].copy()
+    want["rate"] = docs["lang"].map(rates)[h % rate == 0]
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        mine, want[["doc_id", "lang", "rate"]], check_dtype=False)
+    # the head language is actually downsampled (rate > 1) on this data
+    assert rates.max() > 1
