@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "group_percentiles",
     "pagerank",
+    "decontamination",
+    "shard_packing",
 ]
 
 
