@@ -2103,6 +2103,296 @@ WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) % r.rate = 0
 """
 
 
+def _token_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Lowercased whitespace-token OCCURRENCE rows per document as
+    (doc_id, token) — one row per token instance, unlike
+    :func:`_trigram_frame` which dedups. Pandas explode, no per-row
+    Python loop. ``df`` must carry a fresh RangeIndex (callers reset)."""
+    e = df["text"].str.lower().str.split().explode().dropna()
+    if e.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "token": pd.Series([], dtype="object")})
+    ids = df["doc_id"].astype("int64")
+    return pd.DataFrame({"doc_id": ids.reindex(e.index).to_numpy(),
+                         "token": e.to_numpy()})
+
+
+def q_corpus_familiarity(sf_dir: str, _broadcast_max: int | None = None):
+    """Unigram-LM familiarity scoring, the integer-exact core of a
+    KenLM-style quality filter (CCNet, public): per document the sum
+    over its token occurrences of that token's GLOBAL corpus count —
+    high = boilerplate-like, low = rare-vocabulary text — plus token /
+    distinct-token counts. Two-pass shape: pass 1 builds the unigram
+    table as per-batch partial counts; when the vocabulary fits the
+    broadcast budget (limit(budget+1) probe, the catalog-standard
+    guard) it is ``ray.put`` once and the corpus streams through one
+    stateless vectorized dict-map scan. Past the budget — web-scale
+    vocabularies ARE corpus-sized — it falls back to two bounded
+    shuffles: token-occurrence rows hash-bucketed by token (counts and
+    scores inside each bucket; a token lives in exactly one bucket so
+    bucket-local counts ARE global), then a per-doc combine bucketed
+    by doc_id. Docs with zero tokens emit no row (SQL inner join)."""
+    budget = _BROADCAST_MAX_KEYS if _broadcast_max is None else _broadcast_max
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cols = ["doc_id", "n_tokens", "n_distinct", "familiarity"]
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = _token_frame(df.reset_index(drop=True))
+        g = t.groupby("token", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial_counts, batch_format="pandas",
+                           batch_size=65536)
+    # probe the PARTIAL rows (>= distinct vocab, so conservative): if
+    # they all fit, the probe already holds the whole unigram table
+    probe = parts.limit(budget + 1).to_pandas()
+    if len(probe) <= budget:
+        cnt_ref = ray.put(probe.groupby("token")["n"].sum())
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cnt_ref)
+            t = _token_frame(df.reset_index(drop=True))
+            if t.empty:
+                return pd.DataFrame({k: pd.Series([], dtype="int64")
+                                     for k in cols})
+            t["c"] = t["token"].map(c).astype("int64")
+            out = t.groupby("doc_id", as_index=False).agg(
+                n_tokens=("token", "size"),
+                n_distinct=("token", "nunique"),
+                familiarity=("c", "sum"))
+            for k in cols:
+                out[k] = out[k].astype("int64")
+            return out[cols]
+
+        return ds.map_batches(score, batch_format="pandas", batch_size=65536)
+
+    # fallback: vocabulary ~ corpus — bucketed count-and-score
+    B = _pair_buckets()
+
+    def occ_rows(df: pd.DataFrame) -> pd.DataFrame:
+        t = _token_frame(df.reset_index(drop=True))
+        h = pd.util.hash_array(t["token"].to_numpy(dtype=object)) % B
+        t["bucket"] = h.astype("int64")
+        return t
+
+    def bucket_score(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("token")["token"].transform("size")
+        out = pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                            "token": g["token"],
+                            "c": c.to_numpy(dtype=np.int64)})
+        r = out.groupby("doc_id", as_index=False).agg(
+            n_tokens=("c", "size"), n_distinct=("token", "nunique"),
+            familiarity=("c", "sum"))
+        for k in cols:
+            r[k] = r[k].astype("int64")
+        r["b2"] = r["doc_id"] % B
+        return r
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("n_tokens", "sum"), n_distinct=("n_distinct", "sum"),
+            familiarity=("familiarity", "sum"))
+        for k in cols:
+            out[k] = out[k].astype("int64")
+        return out[cols]
+
+    return ds.map_batches(occ_rows, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_score, batch_format="pandas") \
+        .groupby("b2").map_groups(comb, batch_format="pandas")
+
+
+# exact SQL mirror: same lowercase + Python-whitespace tokenization
+# (the '\s+' literal is widened by the _PYWS block below), global
+# unigram counts joined back per occurrence, all-integer aggregates
+SQL_CORPUS_FAMILIARITY = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS w
+  FROM norm WHERE length(nt) > 0
+),
+gc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_distinct,
+       CAST(SUM(gc.c) AS BIGINT) AS familiarity
+FROM tok t JOIN gc USING (w)
+GROUP BY t.doc_id
+"""
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth profile: per document (in doc_id
+    order) how many NEW tokens it introduces — global first occurrence
+    lands here — and the running vocabulary size, the curve a corpus
+    curator reads to decide when more data stops adding vocabulary.
+    Shape: per-batch partial (token, min doc_id) rows -> ONE bounded
+    shuffle bucketed by token hash (bucket-local min IS the global min)
+    emitting a (first_doc, n_new) histogram partial per bucket; the
+    driver folds only that histogram (<= vocabulary rows, NOT corpus
+    rows; at 10^12 docs the running sum would become the same
+    range-bucket two-pass prefix sum shard_packing uses) and broadcasts
+    the sorted cumulative curve, so the final pass is a stateless
+    searchsorted over doc_ids — no second shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B = _pair_buckets()
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        t = _token_frame(df.reset_index(drop=True))
+        g = t.groupby("token", as_index=False)["doc_id"].min()
+        h = pd.util.hash_array(g["token"].to_numpy(dtype=object)) % B
+        g["bucket"] = h.astype("int64")
+        return g
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("token", as_index=False)["doc_id"].min()
+        h = fd.groupby("doc_id", as_index=False).size()
+        h = h.rename(columns={"doc_id": "first_doc", "size": "n_new"})
+        h["n_new"] = h["n_new"].astype("int64")
+        return h
+
+    hp = ds.map_batches(first_seen, batch_format="pandas",
+                        batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_hist, batch_format="pandas") \
+        .to_pandas()
+    hp = hp.groupby("first_doc", as_index=False)["n_new"].sum() \
+        .sort_values("first_doc").reset_index(drop=True)
+    fd_sorted = hp["first_doc"].to_numpy(dtype=np.int64)
+    nn_cum = np.cumsum(hp["n_new"].to_numpy(dtype=np.int64))
+    nn_map = dict(zip(hp["first_doc"].astype(int), hp["n_new"].astype(int)))
+    curve_ref = ray.put((fd_sorted, nn_cum, nn_map))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        fds, cum, nn = ray.get(curve_ref)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(fds, ids, side="right")
+        if cum.size:
+            vocab = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+        else:  # token-less corpus: nothing ever enters the vocabulary
+            vocab = np.zeros(len(ids), dtype=np.int64)
+        n_new = pd.Series(ids).map(nn).fillna(0).astype("int64")
+        return pd.DataFrame({"doc_id": ids,
+                             "n_new_tokens": n_new.to_numpy(),
+                             "vocab_size": vocab.astype(np.int64)})
+
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(emit, batch_format="pandas", batch_size=65536)
+
+
+# exact SQL mirror: first occurrence = MIN(doc_id) per token, running
+# vocabulary = ordered window sum of the per-doc new-token histogram
+SQL_VOCAB_GROWTH = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS w
+  FROM norm WHERE length(nt) > 0
+),
+fd AS (SELECT w, MIN(doc_id) AS doc_id FROM tok GROUP BY w),
+nn AS (SELECT doc_id, COUNT(*) AS n_new FROM fd GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new_tokens,
+       CAST(SUM(COALESCE(nn.n_new, 0))
+              OVER (ORDER BY d.doc_id) AS BIGINT) AS vocab_size
+FROM documents d LEFT JOIN nn USING (doc_id)
+"""
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty: of a document's distinct token
+    3-grams, how many occur for the FIRST time in the corpus (global
+    min doc_id lands on this doc) — the novelty/duplication-attribution
+    signal data curators use to rank near-duplicate-heavy sources.
+    Fully distributed, nothing driver-side: distinct (doc, gram) rows
+    hash-bucketed by gram (a gram lives in exactly one bucket, so the
+    bucket-local min doc_id IS the global first occurrence), per-doc
+    partials re-bucketed by doc_id for the combine — two bounded
+    shuffles, the decontamination-fallback shape. Docs with < 3 tokens
+    emit zero rows on the gram side and are restored by the zero-row
+    union (SQL LEFT JOIN)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B = _pair_buckets()
+    cols = ["doc_id", "n_grams", "n_new"]
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        gf = _trigram_frame(df.reset_index(drop=True))
+        h = pd.util.hash_array(gf["gram"].to_numpy(dtype=object)) % B
+        gf["bucket"] = h.astype("int64")
+        return gf
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("gram")["doc_id"].transform("min")
+        out = pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                            "new": (fd == g["doc_id"]).to_numpy()})
+        r = out.groupby("doc_id", as_index=False).agg(
+            n_grams=("new", "size"), n_new=("new", "sum"))
+        r["n_grams"] = r["n_grams"].astype("int64")
+        r["n_new"] = r["n_new"].astype("int64")
+        r["b2"] = r["doc_id"] % B
+        return r
+
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_grams": z, "n_new": z,
+                             "b2": ids % B})
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_new=("n_new", "sum"))
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["n_new"] = out["n_new"].astype("int64")
+        return out[cols]
+
+    parts = ds.map_batches(rows, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(attribute, batch_format="pandas")
+    base = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(zeros, batch_format="pandas", batch_size=65536)
+    return parts.union(base).groupby("b2").map_groups(
+        comb, batch_format="pandas")
+
+
+# exact SQL mirror: decontamination's distinct per-doc 3-gram CTE,
+# first occurrence = MIN(doc_id) per gram, novelty = grams whose min
+# lands on this doc
+SQL_NGRAM_NOVELTY = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(nt, ' ') END AS toks
+  FROM norm
+),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+2], ' ')
+                   for i in generate_series(1, len(toks) - 2)]) AS gram
+    FROM t WHERE len(toks) >= 3)
+),
+fd AS (SELECT gram, MIN(doc_id) AS fdoc FROM g GROUP BY gram),
+h AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.fdoc = g.doc_id THEN 1 ELSE 0 END) AS n_new
+  FROM g JOIN fd f USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_new, 0) AS BIGINT) AS n_new
+FROM documents d LEFT JOIN h USING (doc_id)
+"""
+
+
 def _cand_minhash_lsh(ds: ray.data.Dataset, B: int) -> ray.data.Dataset:
     """MinHash-LSH candidate pairs (a < b): signatures -> (band_key,
     doc_id) rows -> bucketed band groupby -> within-band pairs. Banding
@@ -5981,6 +6271,9 @@ QUERIES = {
     "decontamination": q_decontamination,
     "shard_packing": q_shard_packing,
     "lang_temperature_sample": q_lang_temperature_sample,
+    "corpus_familiarity": q_corpus_familiarity,
+    "vocab_growth": q_vocab_growth,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -5994,7 +6287,9 @@ _PYWS = (r"[\t\n\x0B\f\r\x1C-\x1F \x85\x{00A0}\x{1680}"
 _PYWS_NEG = _PYWS.replace("[", "[^", 1)  # Python \S+ equivalent
 for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
            "SQL_EXTRACTION_HTML_STRIP", "SQL_REPETITION_FILTER",
-           "SQL_DECONTAMINATION", "SQL_SHARD_PACKING"):
+           "SQL_DECONTAMINATION", "SQL_SHARD_PACKING",
+           "SQL_CORPUS_FAMILIARITY", "SQL_VOCAB_GROWTH",
+           "SQL_NGRAM_NOVELTY"):
     # import-time assert: a reformatted literal would make the replace
     # a silent no-op and revert that oracle to RE2's narrower \s
     assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
@@ -6079,4 +6374,7 @@ ORACLE_SQL = {
     "decontamination": SQL_DECONTAMINATION,
     "shard_packing": SQL_SHARD_PACKING,
     "lang_temperature_sample": SQL_LANG_TEMPERATURE_SAMPLE,
+    "corpus_familiarity": SQL_CORPUS_FAMILIARITY,
+    "vocab_growth": SQL_VOCAB_GROWTH,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
 }

@@ -67,6 +67,9 @@ SUBSET = [
     "corpus_prep",
     "event_minute_gaps",
     "segment_revenue_share",
+    "corpus_familiarity",
+    "vocab_growth",
+    "ngram_novelty",
 ]
 
 
@@ -753,3 +756,63 @@ def test_lang_temperature_sample_rule(ray_session):
         mine, want[["doc_id", "lang", "rate"]], check_dtype=False)
     # the head language is actually downsampled (rate > 1) on this data
     assert rates.max() > 1
+
+
+def test_corpus_familiarity_guard_paths_agree(ray_session):
+    """Forcing the bucketed fallback (budget=0) must produce exactly
+    the broadcast path's per-doc counts and familiarity sums."""
+    from ocr_ray.queries import q_corpus_familiarity
+
+    a = _norm(q_corpus_familiarity(SF))
+    b = _norm(q_corpus_familiarity(SF, _broadcast_max=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_token_first_occurrence_edges_match_oracle(ray_session, tmp_path):
+    """corpus_familiarity / vocab_growth / ngram_novelty edge cases on
+    a hand-built table: empty doc, whitespace-only doc, <3-token doc,
+    an exact duplicate, and mixed case. All three must match their SQL
+    mirrors exactly, and the hand-checkable invariants must hold."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            "Alpha beta gamma delta",   # introduces 4 tokens, 2 grams
+            "",                          # empty: no tokens
+            "  \t ",                     # whitespace-only: no tokens
+            "alpha BETA gamma delta",    # exact dup after lowering
+            "two tokens",                # <3 tokens: no grams
+            "alpha epsilon",             # one new token
+        ],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    for name in ["corpus_familiarity", "vocab_growth", "ngram_novelty"]:
+        mine = _norm(Q.QUERIES[name](sf))
+        orc = _norm(con2.execute(Q.ORACLE_SQL[name]).df())
+        pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+
+    fam = Q.QUERIES["corpus_familiarity"](sf).to_pandas() \
+        .set_index("doc_id")
+    assert set(fam.index) == {0, 3, 4, 5}      # token-less docs emit no row
+    # doc 0 == doc 3 after lowercasing: identical scores
+    assert fam.loc[0].equals(fam.loc[3])
+    # alpha:3 beta:2 gamma:2 delta:2 -> 9 familiarity, 4 distinct
+    assert fam.loc[0, "familiarity"] == 9 and fam.loc[0, "n_distinct"] == 4
+    assert fam.loc[5, "familiarity"] == 3 + 1  # alpha(3) + epsilon(1)
+
+    vg = Q.QUERIES["vocab_growth"](sf).to_pandas().set_index("doc_id")
+    assert len(vg) == 6                         # every doc emits a row
+    assert vg.loc[0, "n_new_tokens"] == 4 and vg.loc[0, "vocab_size"] == 4
+    assert vg.loc[3, "n_new_tokens"] == 0 and vg.loc[3, "vocab_size"] == 4
+    assert vg.loc[4, "n_new_tokens"] == 2       # two, tokens
+    assert vg.loc[5, "n_new_tokens"] == 1 and vg.loc[5, "vocab_size"] == 7
+
+    nv = Q.QUERIES["ngram_novelty"](sf).to_pandas().set_index("doc_id")
+    assert len(nv) == 6
+    assert nv.loc[0, "n_grams"] == 2 and nv.loc[0, "n_new"] == 2
+    assert nv.loc[3, "n_grams"] == 2 and nv.loc[3, "n_new"] == 0
+    assert (nv.loc[[1, 2, 4, 5], ["n_grams", "n_new"]] == 0).all().all()
+    assert (nv["n_new"] <= nv["n_grams"]).all()
