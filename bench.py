@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "pagerank",
     "decontamination",
     "shard_packing",
+    "corpus_familiarity",
+    "ngram_novelty",
 ]
 
 

@@ -2393,6 +2393,96 @@ FROM documents d LEFT JOIN h USING (doc_id)
 """
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Dataset-version diff (CDC between snapshots): classify every
+    order key as added / deleted / changed between a 'previous' and a
+    'current' snapshot and emit ONLY the changes with both versions'
+    values — the primitive a 100 TB curation loop runs after every
+    refresh to re-process just the delta. The two snapshots derive
+    deterministically from the one fixture table (previous = keys not
+    % 11, price bumped one cent on % 13 keys; current = keys not % 17)
+    so the diff is reproducible and the SQL mirror exact. Shape: two
+    pruned projected reads -> per-batch (key, side, cents) rows -> ONE
+    bounded hash-bucketed shuffle whose reducer pivots each key's <= 2
+    rows into a status — a distributed full-outer hash compare, neither
+    snapshot ever materializes off-cluster. Prices compare as exact
+    integer cents (the _micro_revenue exactness rule); -1 marks the
+    absent side."""
+    B = _pair_buckets()
+    cols = ["o_orderkey", "status", "prev_cents", "cur_cents"]
+
+    def side_rows(side: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            k = df["o_orderkey"].to_numpy(dtype=np.int64)
+            cents = np.round(
+                df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+            ).astype(np.int64)
+            if side == "prev":
+                keep = k % 11 != 0
+                cents = cents + (k % 13 == 0)
+            else:
+                keep = k % 17 != 0
+            return pd.DataFrame({
+                "o_orderkey": k[keep],
+                "cents": cents[keep],
+                "is_cur": np.full(int(keep.sum()), side == "cur"),
+                "bucket": k[keep] % B,
+            })
+        return f
+
+    def rd() -> ray.data.Dataset:
+        return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    both = rd().map_batches(side_rows("prev"), batch_format="pandas",
+                            batch_size=65536) \
+        .union(rd().map_batches(side_rows("cur"), batch_format="pandas",
+                                batch_size=65536))
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.loc[~g["is_cur"]].set_index("o_orderkey")["cents"]
+        c = g.loc[g["is_cur"]].set_index("o_orderkey")["cents"]
+        m = p.to_frame("prev_cents").join(c.to_frame("cur_cents"),
+                                          how="outer")
+        status = np.where(
+            m["prev_cents"].isna(), "added",
+            np.where(m["cur_cents"].isna(), "deleted",
+                     np.where(m["prev_cents"] != m["cur_cents"],
+                              "changed", "unchanged")))
+        m["status"] = status
+        m = m[m["status"] != "unchanged"].reset_index()
+        m["prev_cents"] = m["prev_cents"].fillna(-1).astype("int64")
+        m["cur_cents"] = m["cur_cents"].fillna(-1).astype("int64")
+        m["o_orderkey"] = m["o_orderkey"].astype("int64")
+        return m[cols]
+
+    return both.groupby("bucket").map_groups(diff, batch_format="pandas")
+
+
+# exact SQL mirror: the same two derived snapshots full-outer joined on
+# the key, integer-cent comparison, unchanged rows dropped
+SQL_SNAPSHOT_DIFF = """
+WITH prev AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+cur AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 17 <> 0
+)
+SELECT o_orderkey,
+       CASE WHEN p.cents IS NULL THEN 'added'
+            WHEN c.cents IS NULL THEN 'deleted'
+            ELSE 'changed' END AS status,
+       COALESCE(p.cents, -1) AS prev_cents,
+       COALESCE(c.cents, -1) AS cur_cents
+FROM prev p FULL OUTER JOIN cur c USING (o_orderkey)
+WHERE p.cents IS NULL OR c.cents IS NULL OR p.cents <> c.cents
+"""
+
+
 def _cand_minhash_lsh(ds: ray.data.Dataset, B: int) -> ray.data.Dataset:
     """MinHash-LSH candidate pairs (a < b): signatures -> (band_key,
     doc_id) rows -> bucketed band groupby -> within-band pairs. Banding
@@ -6274,6 +6364,7 @@ QUERIES = {
     "corpus_familiarity": q_corpus_familiarity,
     "vocab_growth": q_vocab_growth,
     "ngram_novelty": q_ngram_novelty,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -6377,4 +6468,5 @@ ORACLE_SQL = {
     "corpus_familiarity": SQL_CORPUS_FAMILIARITY,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
 }

@@ -70,6 +70,7 @@ SUBSET = [
     "corpus_familiarity",
     "vocab_growth",
     "ngram_novelty",
+    "snapshot_diff",
 ]
 
 
