@@ -2224,19 +2224,25 @@ GROUP BY t.doc_id
 """
 
 
-def q_vocab_growth(sf_dir: str):
+def q_vocab_growth(sf_dir: str, _broadcast_max: int | None = None):
     """Heaps-law vocabulary-growth profile: per document (in doc_id
     order) how many NEW tokens it introduces — global first occurrence
     lands here — and the running vocabulary size, the curve a corpus
     curator reads to decide when more data stops adding vocabulary.
     Shape: per-batch partial (token, min doc_id) rows -> ONE bounded
     shuffle bucketed by token hash (bucket-local min IS the global min)
-    emitting a (first_doc, n_new) histogram partial per bucket; the
-    driver folds only that histogram (<= vocabulary rows, NOT corpus
-    rows; at 10^12 docs the running sum would become the same
-    range-bucket two-pass prefix sum shard_packing uses) and broadcasts
-    the sorted cumulative curve, so the final pass is a stateless
-    searchsorted over doc_ids — no second shuffle."""
+    emitting a (first_doc, n_new) histogram partial per bucket. The
+    histogram (<= vocabulary rows, NOT corpus rows) is probed with the
+    catalog-standard limit(budget+1) guard: within budget the driver
+    folds it and broadcasts the sorted cumulative curve so the final
+    pass is a stateless searchsorted — no second shuffle. Past the
+    budget (web-scale vocabularies) it switches to shard_packing's
+    range-bucket two-pass prefix sum: per-doc_id-range n_new subtotals
+    (one tiny row per range) fold into O(ranges) exclusive offsets on
+    the driver, and ONE shuffle co-locates each range's histogram slice
+    with its documents, where an intra-range cumsum + searchsorted
+    finishes the curve — nothing driver-side scales with the corpus."""
+    budget = _BROADCAST_MAX_KEYS if _broadcast_max is None else _broadcast_max
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     B = _pair_buckets()
 
@@ -2254,32 +2260,98 @@ def q_vocab_growth(sf_dir: str):
         h["n_new"] = h["n_new"].astype("int64")
         return h
 
-    hp = ds.map_batches(first_seen, batch_format="pandas",
-                        batch_size=65536) \
+    hist = ds.map_batches(first_seen, batch_format="pandas",
+                          batch_size=65536) \
         .groupby("bucket").map_groups(bucket_hist, batch_format="pandas") \
-        .to_pandas()
-    hp = hp.groupby("first_doc", as_index=False)["n_new"].sum() \
-        .sort_values("first_doc").reset_index(drop=True)
-    fd_sorted = hp["first_doc"].to_numpy(dtype=np.int64)
-    nn_cum = np.cumsum(hp["n_new"].to_numpy(dtype=np.int64))
-    nn_map = dict(zip(hp["first_doc"].astype(int), hp["n_new"].astype(int)))
-    curve_ref = ray.put((fd_sorted, nn_cum, nn_map))
+        .materialize()
+    probe = hist.limit(budget + 1).to_pandas()
+    if len(probe) <= budget:
+        # the probe holds the whole histogram: fold + broadcast the curve
+        hp = probe.groupby("first_doc", as_index=False)["n_new"].sum() \
+            .sort_values("first_doc").reset_index(drop=True)
+        fd_sorted = hp["first_doc"].to_numpy(dtype=np.int64)
+        nn_cum = np.cumsum(hp["n_new"].to_numpy(dtype=np.int64))
+        nn_map = dict(zip(hp["first_doc"].astype(int),
+                          hp["n_new"].astype(int)))
+        curve_ref = ray.put((fd_sorted, nn_cum, nn_map))
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        fds, cum, nn = ray.get(curve_ref)
-        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            fds, cum, nn = ray.get(curve_ref)
+            ids = df["doc_id"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(fds, ids, side="right")
+            if cum.size:
+                vocab = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+            else:  # token-less corpus: nothing enters the vocabulary
+                vocab = np.zeros(len(ids), dtype=np.int64)
+            n_new = pd.Series(ids).map(nn).fillna(0).astype("int64")
+            return pd.DataFrame({"doc_id": ids,
+                                 "n_new_tokens": n_new.to_numpy(),
+                                 "vocab_size": vocab.astype(np.int64)})
+
+        return _read(sf_dir, "documents", ["doc_id"]) \
+            .map_batches(emit, batch_format="pandas", batch_size=65536)
+
+    # fallback: histogram ~ corpus — range-bucket two-pass prefix sum
+    max_id = _parquet_col_max(os.path.join(sf_dir, "documents.parquet"),
+                              "doc_id")
+    R = max(1, -(-(int(max_id) + 1) // (4 * B)))  # ceil div
+
+    def hist_rows(h: pd.DataFrame) -> pd.DataFrame:
+        h = h.copy()
+        h["rng"] = h["first_doc"] // R
+        return h
+
+    ranged = hist.map_batches(hist_rows, batch_format="pandas",
+                              batch_size=65536).materialize()
+    sums = _partial_group_sum(ranged, ["rng"], {"tot": "n_new"})
+    sums = sums.sort_values("rng").reset_index(drop=True)
+    cum = np.cumsum(sums["tot"].to_numpy(dtype=np.int64))
+    offs = dict(zip(sums["rng"].astype(int),
+                    np.concatenate(([0], cum[:-1])).astype(np.int64)))
+    # ranges with no new tokens are absent from `offs`; their offset is
+    # the running total at the nearest preceding present range
+    rng_sorted = sums["rng"].to_numpy(dtype=np.int64)
+    offs_ref = ray.put((offs, rng_sorted, cum))
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame({"first_doc": ids, "n_new": np.int64(0),
+                             "rng": ids // R, "is_doc": True})
+
+    def hist_side(h: pd.DataFrame) -> pd.DataFrame:
+        h = h.copy()
+        h["is_doc"] = False
+        return h
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        offs_d, rngs, cums = ray.get(offs_ref)
+        r = int(g["rng"].iloc[0])
+        if r in offs_d:
+            off = offs_d[r]
+        else:
+            p = np.searchsorted(rngs, r, side="left")
+            off = int(cums[p - 1]) if p > 0 else 0
+        h = g.loc[~g["is_doc"]].groupby("first_doc", as_index=False)[
+            "n_new"].sum().sort_values("first_doc")
+        fds = h["first_doc"].to_numpy(dtype=np.int64)
+        hc = off + np.cumsum(h["n_new"].to_numpy(dtype=np.int64))
+        d = g.loc[g["is_doc"]]
+        ids = d["first_doc"].to_numpy(dtype=np.int64)
         pos = np.searchsorted(fds, ids, side="right")
-        if cum.size:
-            vocab = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
-        else:  # token-less corpus: nothing ever enters the vocabulary
-            vocab = np.zeros(len(ids), dtype=np.int64)
-        n_new = pd.Series(ids).map(nn).fillna(0).astype("int64")
-        return pd.DataFrame({"doc_id": ids,
-                             "n_new_tokens": n_new.to_numpy(),
-                             "vocab_size": vocab.astype(np.int64)})
+        vocab = np.where(pos > 0, hc[np.maximum(pos - 1, 0)],
+                         off) if hc.size else np.full(len(ids), off)
+        nn = pd.Series(ids).map(dict(zip(h["first_doc"].astype(int),
+                                         h["n_new"].astype(int))))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_new_tokens": nn.fillna(0).astype("int64").to_numpy(),
+            "vocab_size": np.asarray(vocab, dtype=np.int64)})
 
-    return _read(sf_dir, "documents", ["doc_id"]) \
-        .map_batches(emit, batch_format="pandas", batch_size=65536)
+    both = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(doc_rows, batch_format="pandas", batch_size=65536) \
+        .union(ranged.map_batches(hist_side, batch_format="pandas",
+                                  batch_size=65536))
+    return both.groupby("rng").map_groups(finish, batch_format="pandas")
 
 
 # exact SQL mirror: first occurrence = MIN(doc_id) per token, running

@@ -817,3 +817,14 @@ def test_token_first_occurrence_edges_match_oracle(ray_session, tmp_path):
     assert nv.loc[3, "n_grams"] == 2 and nv.loc[3, "n_new"] == 0
     assert (nv.loc[[1, 2, 4, 5], ["n_grams", "n_new"]] == 0).all().all()
     assert (nv["n_new"] <= nv["n_grams"]).all()
+
+
+def test_vocab_growth_guard_paths_agree(ray_session):
+    """Forcing the range-prefix-sum fallback (budget=0) must reproduce
+    the broadcast-curve path exactly, including docs in ranges that
+    introduce no new tokens (offset carried from preceding ranges)."""
+    from ocr_ray.queries import q_vocab_growth
+
+    a = _norm(q_vocab_growth(SF))
+    b = _norm(q_vocab_growth(SF, _broadcast_max=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
