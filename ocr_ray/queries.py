@@ -2555,6 +2555,62 @@ WHERE p.cents IS NULL OR c.cents IS NULL OR p.cents <> c.cents
 """
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention analysis: users grouped by first-active day
+    (their cohort), counted per day-offset they come back — the
+    engagement matrix behind every retention curve. Shape: per-batch
+    distinct (user, day) activity rows hash-bucketed by user (a user's
+    rows co-locate, so the bucket-local min day IS the cohort and the
+    per-(cohort, offset) counts are disjoint across buckets), then the
+    driver folds only the per-bucket partial counts — the final key
+    space is calendar-bounded (days x offsets, NOT user- or
+    event-scaled), so the fold is scale-safe by nature. All-integer
+    counts + timestamp cohorts -> hard oracle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    B = _pair_buckets()
+
+    def act_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                          "day": df["ts"].dt.floor("D")}).drop_duplicates()
+        d["bucket"] = d["user_id"] % B
+        return d
+
+    def cohort_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # batch-level dedup is per-batch only: finish it here
+        g = g[["user_id", "day"]].drop_duplicates()
+        first = g.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame({
+            "cohort_day": first,
+            "day_offset": (g["day"] - first).dt.days.astype("int64"),
+        })
+        r = out.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return r.rename(columns={"size": "n_users"})
+
+    parts = ds.map_batches(act_rows, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(cohort_counts, batch_format="pandas")
+    out = parts.to_pandas().groupby(["cohort_day", "day_offset"],
+                                    as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+# exact SQL mirror: distinct (user, day) activity, cohort = MIN(day)
+# per user, one count per (cohort, offset) cell
+SQL_RETENTION_COHORTS = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
+  FROM events
+),
+fst AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN fst f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def _cand_minhash_lsh(ds: ray.data.Dataset, B: int) -> ray.data.Dataset:
     """MinHash-LSH candidate pairs (a < b): signatures -> (band_key,
     doc_id) rows -> bucketed band groupby -> within-band pairs. Banding
@@ -6437,6 +6493,7 @@ QUERIES = {
     "vocab_growth": q_vocab_growth,
     "ngram_novelty": q_ngram_novelty,
     "snapshot_diff": q_snapshot_diff,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -6541,4 +6598,5 @@ ORACLE_SQL = {
     "vocab_growth": SQL_VOCAB_GROWTH,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }

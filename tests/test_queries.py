@@ -71,6 +71,7 @@ SUBSET = [
     "vocab_growth",
     "ngram_novelty",
     "snapshot_diff",
+    "retention_cohorts",
 ]
 
 
