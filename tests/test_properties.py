@@ -153,3 +153,36 @@ def test_stitch_permutation_invariant(perm):
     assert got == base
     assert [s["offset"] for s in base["spans"]] == [0, 1, 2, 3, 4]
     assert base["confidence"] == 0.7 and base["n_errors"] == 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_token_frame_matches_naive_split(texts):
+    """The vectorized explode kernel behind corpus_familiarity /
+    vocab_growth must equal the naive per-doc str.split() expansion,
+    preserving occurrence multiplicity and doc attribution."""
+    import pandas as pd
+    from ocr_ray.queries import _token_frame
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = _token_frame(df)
+    want = [(i, w) for i, t in enumerate(texts) for w in t.lower().split()]
+    assert list(zip(got["doc_id"], got["token"])) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_trigram_frame_matches_naive_shingles(texts):
+    """The explode+shift 3-gram kernel behind decontamination /
+    ngram_novelty must equal the naive distinct shingle set per doc."""
+    import pandas as pd
+    from ocr_ray.queries import _trigram_frame
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = set(zip(_trigram_frame(df)["doc_id"], _trigram_frame(df)["gram"]))
+    want = set()
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        for j in range(len(toks) - 2):
+            want.add((i, " ".join(toks[j:j + 3])))
+    assert got == want
