@@ -2611,6 +2611,132 @@ GROUP BY 1, 2
 """
 
 
+def q_conversion_attribution(sf_dir: str):
+    """Last-touch conversion attribution: every purchase event joined
+    to the most recent STRICTLY-PRIOR click by the same user within a
+    1-hour lookback — the per-user as-of join marketing attribution
+    runs at event-stream scale. Shape: one pruned + row-filtered read
+    of just the two event types, hash-bucketed by user (a user's whole
+    timeline co-locates), then a vectorized ``pd.merge_asof`` per
+    bucket — no per-row Python, no driver materialization; unmatched
+    purchases carry the -1 sentinel. Gaps are exact integer
+    microseconds so the row is a hard value oracle."""
+    B = _pair_buckets()
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"],
+               filter=pc.field("event_type").isin(["purchase", "click"]))
+    cols = ["purchase_id", "user_id", "click_id", "gap_us"]
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        df["bucket"] = df["user_id"].astype("int64") % B
+        return df
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        # sort by (ts, event_id): merge_asof takes the LAST row among
+        # equal timestamps, which then matches the SQL mirror's
+        # ORDER BY c.ts DESC, c.event_id DESC tie-break
+        p = g.loc[g["event_type"] == "purchase",
+                  ["event_id", "user_id", "ts"]] \
+            .sort_values(["ts", "event_id"]) \
+            .rename(columns={"event_id": "purchase_id"})
+        c = g.loc[g["event_type"] == "click",
+                  ["event_id", "user_id", "ts"]] \
+            .sort_values(["ts", "event_id"]) \
+            .rename(columns={"event_id": "click_id"})
+        m = pd.merge_asof(p, c, on="ts", by="user_id",
+                          direction="backward",
+                          tolerance=pd.Timedelta(hours=1),
+                          allow_exact_matches=False,
+                          suffixes=("", "_c"))
+        # merge_asof keeps the purchase ts; recover the click ts via id
+        cts = c.set_index("click_id")["ts"]
+        gap = (m["ts"] - m["click_id"].map(cts)).dt.total_seconds()
+        out = pd.DataFrame({
+            "purchase_id": m["purchase_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "click_id": m["click_id"].fillna(-1).astype("int64"),
+            "gap_us": np.round(gap.fillna(-1e-6).to_numpy()
+                               * 1e6).astype(np.int64),
+        })
+        return out[cols]
+
+    return ds.map_batches(tag, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(attribute, batch_format="pandas")
+
+
+# exact SQL mirror: strict-prior 1-hour-lookback as-of via windowed
+# row_number, microsecond-exact gaps, -1 sentinels for no-touch
+SQL_CONVERSION_ATTRIBUTION = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         date_diff('microsecond', c.ts, p.ts) AS gap_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(COALESCE(j.click_id, -1) AS BIGINT) AS click_id,
+       CAST(COALESCE(j.gap_us, -1) AS BIGINT) AS gap_us
+FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+  ON p.event_id = j.purchase_id
+"""
+
+
+_SAMPLE_K = 5  # docs kept per source by the hash-priority sample
+
+
+def q_source_hash_sample(sf_dir: str):
+    """Exact-k-per-group deterministic sample: the _SAMPLE_K documents
+    per source with the smallest md5(doc_id) priority — the
+    reservoir-sample replacement that needs no RNG state, returns the
+    SAME rows at any cluster size / batch split / resume, and never
+    over- or under-shoots k (unlike Bernoulli sampling). Shape:
+    per-batch local prune to k rows per source (so at most k x batches
+    rows shuffle, not the corpus), then ONE shuffle keyed by source
+    for the final top-k + rank. The md5-of-decimal-string priority is
+    recomputed bit-identically by the SQL mirror."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        out = pd.DataFrame({
+            "source": df["source"],
+            "doc_id": df["doc_id"].astype("int64"),
+            "h": [hashlib.md5(str(int(d)).encode()).hexdigest()
+                  for d in df["doc_id"]],
+        })
+        return out.sort_values(["source", "h", "doc_id"]) \
+            .groupby("source", as_index=False).head(_SAMPLE_K)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(_SAMPLE_K) \
+            .reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "doc_id", "rnk"]]
+
+    return ds.map_batches(local_topk, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("source").map_groups(final_topk, batch_format="pandas")
+
+
+# exact SQL mirror: same md5-of-decimal-string priority, same
+# (hash, doc_id) tie-break, same k
+SQL_SOURCE_HASH_SAMPLE = """
+SELECT source, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+FROM documents
+QUALIFY rnk <= 5
+"""
+
+
 def _cand_minhash_lsh(ds: ray.data.Dataset, B: int) -> ray.data.Dataset:
     """MinHash-LSH candidate pairs (a < b): signatures -> (band_key,
     doc_id) rows -> bucketed band groupby -> within-band pairs. Banding
@@ -6494,6 +6620,8 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "retention_cohorts": q_retention_cohorts,
+    "conversion_attribution": q_conversion_attribution,
+    "source_hash_sample": q_source_hash_sample,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -6599,4 +6727,6 @@ ORACLE_SQL = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "conversion_attribution": SQL_CONVERSION_ATTRIBUTION,
+    "source_hash_sample": SQL_SOURCE_HASH_SAMPLE,
 }

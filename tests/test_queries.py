@@ -72,6 +72,8 @@ SUBSET = [
     "ngram_novelty",
     "snapshot_diff",
     "retention_cohorts",
+    "conversion_attribution",
+    "source_hash_sample",
 ]
 
 
