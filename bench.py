@@ -55,6 +55,7 @@ def corpus_for(sf: float) -> tuple[str, int, int]:
 
 def run_bench() -> dict:
     import ray
+    import ray.data
 
     ray.init(
         address="local",
@@ -104,7 +105,10 @@ def run_bench() -> dict:
     for name in bench_queries:
         t0 = time.time()
         res = Q.QUERIES[name](SF_DIR)
-        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+        # Dataset has a .columns() METHOD, so hasattr can't distinguish
+        # it from a DataFrame — isinstance or the lazy plan never runs
+        # and the recorded time measures plan construction only
+        if isinstance(res, ray.data.Dataset):
             res.to_pandas()
         qtimes[name] = round(time.time() - t0, 3)
 

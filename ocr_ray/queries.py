@@ -2123,10 +2123,11 @@ def q_corpus_familiarity(sf_dir: str, _broadcast_max: int | None = None):
     over its token occurrences of that token's GLOBAL corpus count —
     high = boilerplate-like, low = rare-vocabulary text — plus token /
     distinct-token counts. Two-pass shape: pass 1 builds the unigram
-    table as per-batch partial counts; when the vocabulary fits the
-    broadcast budget (limit(budget+1) probe, the catalog-standard
-    guard) it is ``ray.put`` once and the corpus streams through one
-    stateless vectorized dict-map scan. Past the budget — web-scale
+    table as per-batch partial counts folded through one bounded
+    by-token-hash combine (so the limit(budget+1) probe sees DISTINCT
+    vocabulary rows, not batches x partials); when the vocabulary fits
+    the broadcast budget it is ``ray.put`` once and the corpus streams
+    through one stateless vectorized map scan. Past the budget — web-scale
     vocabularies ARE corpus-sized — it falls back to two bounded
     shuffles: token-occurrence rows hash-bucketed by token (counts and
     scores inside each bucket; a token lives in exactly one bucket so
@@ -2136,18 +2137,29 @@ def q_corpus_familiarity(sf_dir: str, _broadcast_max: int | None = None):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cols = ["doc_id", "n_tokens", "n_distinct", "familiarity"]
 
+    B = _pair_buckets()
+
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         t = _token_frame(df.reset_index(drop=True))
         g = t.groupby("token", as_index=False).size()
-        return g.rename(columns={"size": "n"})
+        g = g.rename(columns={"size": "n"})
+        h = pd.util.hash_array(g["token"].to_numpy(dtype=object)) % B
+        g["bucket"] = h.astype("int64")
+        return g
 
-    parts = ds.map_batches(partial_counts, batch_format="pandas",
-                           batch_size=65536)
-    # probe the PARTIAL rows (>= distinct vocab, so conservative): if
-    # they all fit, the probe already holds the whole unigram table
-    probe = parts.limit(budget + 1).to_pandas()
+    def combine_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False)["n"].sum()
+
+    # probe the COMBINED unigram table (== distinct vocab rows — probing
+    # the per-batch partials instead would overcount by batches× and
+    # push large-but-broadcastable vocabularies into the fallback)
+    counts = ds.map_batches(partial_counts, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("bucket").map_groups(combine_counts,
+                                      batch_format="pandas")
+    probe = counts.limit(budget + 1).to_pandas()
     if len(probe) <= budget:
-        cnt_ref = ray.put(probe.groupby("token")["n"].sum())
+        cnt_ref = ray.put(probe.set_index("token")["n"])
 
         def score(df: pd.DataFrame) -> pd.DataFrame:
             c = ray.get(cnt_ref)
@@ -2167,8 +2179,6 @@ def q_corpus_familiarity(sf_dir: str, _broadcast_max: int | None = None):
         return ds.map_batches(score, batch_format="pandas", batch_size=65536)
 
     # fallback: vocabulary ~ corpus — bucketed count-and-score
-    B = _pair_buckets()
-
     def occ_rows(df: pd.DataFrame) -> pd.DataFrame:
         t = _token_frame(df.reset_index(drop=True))
         h = pd.util.hash_array(t["token"].to_numpy(dtype=object)) % B
@@ -2270,22 +2280,25 @@ def q_vocab_growth(sf_dir: str, _broadcast_max: int | None = None):
         hp = probe.groupby("first_doc", as_index=False)["n_new"].sum() \
             .sort_values("first_doc").reset_index(drop=True)
         fd_sorted = hp["first_doc"].to_numpy(dtype=np.int64)
-        nn_cum = np.cumsum(hp["n_new"].to_numpy(dtype=np.int64))
-        nn_map = dict(zip(hp["first_doc"].astype(int),
-                          hp["n_new"].astype(int)))
-        curve_ref = ray.put((fd_sorted, nn_cum, nn_map))
+        nn_arr = hp["n_new"].to_numpy(dtype=np.int64)
+        # two compact int64 arrays broadcast; n_new recovers by the
+        # searchsorted-equality trick instead of a per-row dict lookup
+        curve_ref = ray.put((fd_sorted, np.cumsum(nn_arr), nn_arr))
 
         def emit(df: pd.DataFrame) -> pd.DataFrame:
-            fds, cum, nn = ray.get(curve_ref)
+            fds, cum, nna = ray.get(curve_ref)
             ids = df["doc_id"].to_numpy(dtype=np.int64)
             pos = np.searchsorted(fds, ids, side="right")
             if cum.size:
-                vocab = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+                prev = np.maximum(pos - 1, 0)
+                vocab = np.where(pos > 0, cum[prev], 0)
+                n_new = np.where((pos > 0) & (fds[prev] == ids),
+                                 nna[prev], 0)
             else:  # token-less corpus: nothing enters the vocabulary
                 vocab = np.zeros(len(ids), dtype=np.int64)
-            n_new = pd.Series(ids).map(nn).fillna(0).astype("int64")
+                n_new = vocab
             return pd.DataFrame({"doc_id": ids,
-                                 "n_new_tokens": n_new.to_numpy(),
+                                 "n_new_tokens": n_new.astype(np.int64),
                                  "vocab_size": vocab.astype(np.int64)})
 
         return _read(sf_dir, "documents", ["doc_id"]) \
@@ -2334,17 +2347,21 @@ def q_vocab_growth(sf_dir: str, _broadcast_max: int | None = None):
         h = g.loc[~g["is_doc"]].groupby("first_doc", as_index=False)[
             "n_new"].sum().sort_values("first_doc")
         fds = h["first_doc"].to_numpy(dtype=np.int64)
-        hc = off + np.cumsum(h["n_new"].to_numpy(dtype=np.int64))
+        nna = h["n_new"].to_numpy(dtype=np.int64)
+        hc = off + np.cumsum(nna)
         d = g.loc[g["is_doc"]]
         ids = d["first_doc"].to_numpy(dtype=np.int64)
         pos = np.searchsorted(fds, ids, side="right")
-        vocab = np.where(pos > 0, hc[np.maximum(pos - 1, 0)],
-                         off) if hc.size else np.full(len(ids), off)
-        nn = pd.Series(ids).map(dict(zip(h["first_doc"].astype(int),
-                                         h["n_new"].astype(int))))
+        if hc.size:
+            prev = np.maximum(pos - 1, 0)
+            vocab = np.where(pos > 0, hc[prev], off)
+            n_new = np.where((pos > 0) & (fds[prev] == ids), nna[prev], 0)
+        else:
+            vocab = np.full(len(ids), off, dtype=np.int64)
+            n_new = np.zeros(len(ids), dtype=np.int64)
         return pd.DataFrame({
             "doc_id": ids,
-            "n_new_tokens": nn.fillna(0).astype("int64").to_numpy(),
+            "n_new_tokens": np.asarray(n_new, dtype=np.int64),
             "vocab_size": np.asarray(vocab, dtype=np.int64)})
 
     both = _read(sf_dir, "documents", ["doc_id"]) \

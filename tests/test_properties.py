@@ -179,7 +179,8 @@ def test_trigram_frame_matches_naive_shingles(texts):
     from ocr_ray.queries import _trigram_frame
 
     df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
-    got = set(zip(_trigram_frame(df)["doc_id"], _trigram_frame(df)["gram"]))
+    tf = _trigram_frame(df)
+    got = set(zip(tf["doc_id"], tf["gram"]))
     want = set()
     for i, t in enumerate(texts):
         toks = t.lower().split()
