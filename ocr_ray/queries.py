@@ -6555,6 +6555,379 @@ def q_pagerank(sf_dir: str):
 SQL_PAGERANK = _pagerank_sql(_PAGERANK_ITERS)
 
 
+_CHUNK_W = 32  # tokens per training context window
+_CHUNK_S = 24  # window stride (8-token overlap between windows)
+
+
+def q_chunk_windows(sf_dir: str):
+    """Fixed-token-window chunking with overlap — the pretraining
+    context-window splitter: every document becomes ceil(n/stride)
+    windows of up to ``_CHUNK_W`` tokens starting every ``_CHUNK_S``
+    tokens, so consecutive windows share an 8-token overlap and no
+    token is lost at window boundaries. Shape: a pure map-side fan-out
+    inside ``map_batches`` — NO shuffle, no driver state, output rows
+    stream straight through, so at 100 TB it is embarrassingly
+    parallel and bounded only by write bandwidth. Window offsets are
+    computed in one vectorized arange pass; the only per-window Python
+    is the C-level ``str.join`` of the slice. Tokenization is a
+    literal single-space split, recomputed bit-identically by the SQL
+    mirror's ``string_split(text, ' ')``."""
+    W, S = _CHUNK_W, _CHUNK_S
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.split(" ").to_numpy()
+        n = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                        count=len(toks))
+        c = -(-n // S)  # windows per doc: ceil(n / stride), n >= 1
+        total = int(c.sum())
+        if total == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype="object"),
+            })
+        # per-window local index 0..c_i-1 via one global arange minus
+        # each doc's exclusive prefix total — no Python loop over docs
+        starts_of = np.concatenate(([0], np.cumsum(c)[:-1]))
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts_of, c)
+        starts = idx * S
+        ends = np.minimum(starts + W, np.repeat(n, c))
+        toks_rep = np.repeat(toks, c)
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), c),
+            "chunk_idx": idx,
+            "n_tokens": ends - starts,
+            "chunk_text": [" ".join(t[s:e]) for t, s, e
+                           in zip(toks_rep, starts, ends)],
+        })
+
+    return ds.map_batches(chunk, batch_format="pandas", batch_size=4096)
+
+
+# exact SQL mirror: same split, same stride grid (range excludes n, so
+# every start < n), same 1-based-inclusive slice of the token list
+SQL_CHUNK_WINDOWS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CAST(n AS BIGINT), 24)) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(st / 24 AS BIGINT) AS chunk_idx,
+       CAST(least(st + 32, n) - st AS BIGINT) AS n_tokens,
+       array_to_string(toks[CAST(st + 1 AS BIGINT):least(st + 32, n)],
+                       ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_source_token_jaccard(sf_dir: str):
+    """Corpus-level source-similarity matrix: token-set Jaccard between
+    every pair of sources — the dataset-curation view that tells you
+    which crawl slices / providers overlap enough to treat as one
+    mixture component. Shape: per-batch DISTINCT (source, token) rows
+    (each batch dedups before anything shuffles) -> ONE bounded shuffle
+    bucketed by token hash, where the bucket-local dedup IS the global
+    dedup (a token's rows all land in its bucket) and each token emits
+    its source pairs via one vectorized self-merge (m<=|sources| rows
+    per token) -> tiny (src_a, src_b) partial counts -> final combine
+    is |sources|^2 rows on the driver. Nothing driver-side scales with
+    the corpus or the vocabulary; per-bucket work is
+    O(vocab/buckets x |sources|^2), the inherent grain of the
+    pairwise-source statistic. Jaccard is an unrounded ratio of the
+    same two exact integers on both sides."""
+    B = _pair_buckets()
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        e = df["text"].str.split(" ").explode()
+        out = pd.DataFrame({
+            "source": df["source"].reindex(e.index).to_numpy(),
+            "tok": e.to_numpy(),
+        }).drop_duplicates()
+        h = pd.util.hash_array(out["tok"].to_numpy(dtype=object))
+        out["bucket"] = (h % B).astype("int64")
+        return out
+
+    def tok_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["source", "tok"])
+        m = g.merge(g, on="tok")
+        pairs = m.loc[m["source_x"] < m["source_y"]] \
+            .groupby(["source_x", "source_y"], as_index=False).size() \
+            .rename(columns={"source_x": "src_a", "source_y": "src_b",
+                             "size": "cnt"})
+        vocab = g.groupby("source", as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        vocab = pd.DataFrame({"src_a": vocab["source"],
+                              "src_b": vocab["source"],
+                              "cnt": vocab["cnt"]})
+        out = pd.concat([pairs, vocab], ignore_index=True)
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    parts = ds.map_batches(local_pairs, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(tok_pairs, batch_format="pandas")
+    agg = _bucketed_combine(parts, ["src_a", "src_b"], {"cnt": "sum"})
+    diag = agg.loc[agg["src_a"] == agg["src_b"]] \
+        .set_index("src_a")["cnt"]
+    out = agg.loc[agg["src_a"] != agg["src_b"]].reset_index(drop=True)
+    va = out["src_a"].map(diag).to_numpy(dtype=np.int64)
+    vb = out["src_b"].map(diag).to_numpy(dtype=np.int64)
+    inter = out["cnt"].to_numpy(dtype=np.int64)
+    union_n = va + vb - inter
+    return pd.DataFrame({
+        "src_a": out["src_a"], "src_b": out["src_b"],
+        "inter": inter, "union_n": union_n,
+        "jaccard": inter.astype(np.float64) / union_n,
+    })
+
+
+# exact SQL mirror: same distinct (source, token) grain, same a<b pair
+# orientation, same unrounded integer-ratio jaccard
+SQL_SOURCE_TOKEN_JACCARD = """
+WITH st AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+),
+v AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+i AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(va.n + vb.n - i.inter AS BIGINT) AS union_n,
+       CAST(i.inter AS DOUBLE) / (va.n + vb.n - i.inter) AS jaccard
+FROM i
+JOIN v va ON va.source = i.src_a
+JOIN v vb ON vb.source = i.src_b
+"""
+
+
+_PMI_TOP_V = 24   # co-occurrence restricted to the top-V tokens by df
+_PMI_MIN_PAIR = 5  # pairs below this document support are noise
+
+
+def q_token_pmi(sf_dir: str):
+    """Token co-occurrence PMI over the top-V vocabulary — the
+    collocation / topic-drift statistic (pointwise mutual information
+    of two tokens appearing in the same document). The top-V filter IS
+    the scale story: at web scale the distinct-pair space is
+    vocabulary^2, so pass 1 computes exact document frequencies with
+    per-bucket top-V pruning (the global top-V is a subset of the
+    union of per-bucket top-Vs) and only the V chosen tokens' pairs
+    ever materialize — pass 2 broadcasts the V-token table once via
+    ``ray.put`` and emits per-batch PARTIAL pair counts (<= V^2 rows
+    per batch regardless of batch size), folded by one bounded
+    combine. Per-doc pair emission is one numpy triu expansion, no
+    per-pair Python. N comes from parquet row-group metadata (no
+    scan). PMI = ln(N * df_ab / (df_a * df_b)) is computed from the
+    same exact integers on both sides; the cut (df desc, token asc)
+    and the support floor are deterministic ties included."""
+    V, MINP = _PMI_TOP_V, _PMI_MIN_PAIR
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        e = df["text"].str.split(" ").explode()
+        t = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64")
+            .reindex(e.index).to_numpy(),
+            "tok": e.to_numpy(),
+        }).drop_duplicates()
+        return t
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = doc_tokens(df)
+        return t.groupby("tok", as_index=False).size() \
+            .rename(columns={"size": "df"})
+
+    dfs = _bucketed_combine(
+        ds.map_batches(df_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["tok"], {"df": "sum"},
+        topk=(V, ["df", "tok"], [False, True]))
+    dfs = dfs.sort_values(["df", "tok"], ascending=[False, True]) \
+        .head(V).reset_index(drop=True)
+    n_docs = int(_read(sf_dir, "documents", ["doc_id"]).count())
+    df_map = dict(zip(dfs["tok"], dfs["df"].astype(np.int64)))
+    top_ref = ray.put(df_map)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = ray.get(top_ref)
+        t = doc_tokens(df)
+        t = t.loc[t["tok"].isin(dmap)]
+        if t.empty:
+            return pd.DataFrame({"tok_a": pd.Series([], dtype="object"),
+                                 "tok_b": pd.Series([], dtype="object"),
+                                 "pair_docs": pd.Series([], dtype="int64")})
+        rows = []
+        # one triu expansion per doc: O(V^2) numpy per doc, never
+        # per-pair Python
+        for _, toks in t.groupby("doc_id")["tok"]:
+            a = np.sort(toks.to_numpy(dtype=object))
+            if a.size < 2:
+                continue
+            iu, ju = np.triu_indices(a.size, k=1)
+            rows.append(pd.DataFrame({"tok_a": a[iu], "tok_b": a[ju]}))
+        if not rows:
+            return pd.DataFrame({"tok_a": pd.Series([], dtype="object"),
+                                 "tok_b": pd.Series([], dtype="object"),
+                                 "pair_docs": pd.Series([], dtype="int64")})
+        p = pd.concat(rows, ignore_index=True)
+        out = p.groupby(["tok_a", "tok_b"], as_index=False).size() \
+            .rename(columns={"size": "pair_docs"})
+        out["pair_docs"] = out["pair_docs"].astype("int64")
+        return out
+
+    pairs = _bucketed_combine(
+        ds.map_batches(pair_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["tok_a", "tok_b"], {"pair_docs": "sum"})
+    pairs = pairs.loc[pairs["pair_docs"] >= MINP].reset_index(drop=True)
+    da = pairs["tok_a"].map(df_map).to_numpy(dtype=np.int64)
+    db = pairs["tok_b"].map(df_map).to_numpy(dtype=np.int64)
+    cab = pairs["pair_docs"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "tok_a": pairs["tok_a"], "tok_b": pairs["tok_b"],
+        "pair_docs": cab,
+        "pmi": np.log(cab.astype(np.float64) * n_docs / (da * db)),
+    })
+
+
+# exact SQL mirror: same distinct (doc, token) grain, same (df desc,
+# tok asc) top-V cut, same a<b orientation and support floor
+SQL_TOKEN_PMI = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+),
+f AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+topv AS (SELECT tok, df FROM f ORDER BY df DESC, tok LIMIT 24),
+ft AS (SELECT dt.doc_id, dt.tok FROM dt JOIN topv USING (tok)),
+n AS (SELECT count(*) AS n FROM documents),
+p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS pair_docs
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT p.tok_a, p.tok_b, CAST(p.pair_docs AS BIGINT) AS pair_docs,
+       ln(CAST(p.pair_docs AS DOUBLE) * n.n / (da.df * db.df)) AS pmi
+FROM p
+JOIN topv da ON da.tok = p.tok_a
+JOIN topv db ON db.tok = p.tok_b
+CROSS JOIN n
+WHERE p.pair_docs >= 5
+"""
+
+
+_CURR_K = 8  # curriculum difficulty buckets
+
+
+def q_curriculum_buckets(sf_dir: str):
+    """Length-curriculum bucketing: exact NTILE(K) of the corpus under
+    ORDER BY (n_chars, doc_id) — the deterministic difficulty-tier
+    assignment a curriculum-training dataloader consumes — reduced to
+    per-bucket stats. Distributed exact-rank shape: pass 1 folds a
+    (n_chars -> count) histogram (per-batch partials, driver fold —
+    distinct lengths are intrinsically bounded by the max document
+    length, NOT the corpus; a web corpus capped at 1 MB docs has <=1M
+    histogram rows) into an exclusive cumulative table broadcast via
+    ``ray.put``; pass 2 shuffles ONCE bucketed by n_chars so each
+    group ranks its doc_ids locally (global rank = cum_below[len] +
+    local rank) and emits per-(curriculum-bucket) PARTIAL aggregates —
+    K x shuffle-width tiny rows reach the final fold. The NTILE
+    remainder rule (first n%K buckets one larger) is replicated
+    exactly; avg_chars is the unrounded ratio of the same two
+    integers on both sides."""
+    K = _CURR_K
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    hist = ds.map_batches(hist_partial, batch_format="pandas",
+                          batch_size=65536).to_pandas() \
+        .groupby("n_chars", as_index=False)["cnt"].sum() \
+        .sort_values("n_chars").reset_index(drop=True)
+    lens = hist["n_chars"].to_numpy(dtype=np.int64)
+    cnts = hist["cnt"].to_numpy(dtype=np.int64)
+    n_total = int(cnts.sum())
+    cum_below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    q, rem = divmod(n_total, K)
+    cum_ref = ray.put((lens, cum_below))
+    B = _pair_buckets()
+
+    def rank_and_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lens_b, cum_b = ray.get(cum_ref)
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        base = cum_b[np.searchsorted(lens_b, g["n_chars"].to_numpy())]
+        within = g.groupby("n_chars").cumcount().to_numpy()
+        r = base + within + 1  # 1-based global rank
+        # NTILE: first `rem` buckets hold q+1 rows, the rest q
+        big = rem * (q + 1)
+        bucket = np.where(
+            r <= big,
+            (r - 1) // max(q + 1, 1),
+            rem + (r - 1 - big) // max(q, 1),
+        ).astype(np.int64) + 1
+        nc = g["n_chars"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"bucket": bucket, "n_chars": nc}) \
+            .groupby("bucket", as_index=False) \
+            .agg(n_docs=("n_chars", "size"), min_chars=("n_chars", "min"),
+                 max_chars=("n_chars", "max"), sum_chars=("n_chars", "sum"))
+        return out.astype({"n_docs": "int64", "min_chars": "int64",
+                           "max_chars": "int64", "sum_chars": "int64"})
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        df["shuf"] = (df["n_chars"].to_numpy(dtype=np.int64)) % B
+        return df
+
+    parts = ds.map_batches(shard, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("shuf").map_groups(rank_and_bucket,
+                                    batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("bucket", as_index=False).agg(
+        n_docs=("n_docs", "sum"), min_chars=("min_chars", "min"),
+        max_chars=("max_chars", "max"), sum_chars=("sum_chars", "sum"))
+    out["avg_chars"] = out["sum_chars"].to_numpy(dtype=np.float64) \
+        / out["n_docs"].to_numpy(dtype=np.int64)
+    return out
+
+
+# exact SQL mirror: NTILE over the same deterministic total order
+SQL_CURRICULUM_BUCKETS = """
+WITH r AS (
+  SELECT n_chars, ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM r GROUP BY bucket
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -6639,6 +7012,10 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "conversion_attribution": q_conversion_attribution,
     "source_hash_sample": q_source_hash_sample,
+    "chunk_windows": q_chunk_windows,
+    "source_token_jaccard": q_source_token_jaccard,
+    "token_pmi": q_token_pmi,
+    "curriculum_buckets": q_curriculum_buckets,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -6746,4 +7123,8 @@ ORACLE_SQL = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "conversion_attribution": SQL_CONVERSION_ATTRIBUTION,
     "source_hash_sample": SQL_SOURCE_HASH_SAMPLE,
+    "chunk_windows": SQL_CHUNK_WINDOWS,
+    "source_token_jaccard": SQL_SOURCE_TOKEN_JACCARD,
+    "token_pmi": SQL_TOKEN_PMI,
+    "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
 }

@@ -74,6 +74,10 @@ SUBSET = [
     "retention_cohorts",
     "conversion_attribution",
     "source_hash_sample",
+    "chunk_windows",
+    "source_token_jaccard",
+    "token_pmi",
+    "curriculum_buckets",
 ]
 
 
@@ -831,3 +835,91 @@ def test_vocab_growth_guard_paths_agree(ray_session):
     a = _norm(q_vocab_growth(SF))
     b = _norm(q_vocab_growth(SF, _broadcast_max=0))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_chunk_windows_reconstruct_and_overlap(ray_session):
+    """Every chunk must be the exact token slice of its document at
+    chunk_idx * stride, consecutive chunks of a doc must overlap by
+    W - S tokens, and concatenating each chunk's first S tokens (plus
+    the final chunk's tail) must reproduce the document verbatim."""
+    from ocr_ray.queries import _CHUNK_S, _CHUNK_W
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .set_index("doc_id")["text"]
+    ch = Q.QUERIES["chunk_windows"](SF).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"])
+    for doc_id, g in ch.groupby("doc_id"):
+        toks = docs.loc[doc_id].split(" ")
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        for _, row in g.iterrows():
+            s = row["chunk_idx"] * _CHUNK_S
+            e = min(s + _CHUNK_W, len(toks))
+            assert row["chunk_text"] == " ".join(toks[s:e])
+            assert row["n_tokens"] == e - s
+        # stride-prefix reconstruction: no token lost or duplicated
+        pieces = [c.split(" ")[:_CHUNK_S] for c in g["chunk_text"][:-1]]
+        pieces.append(g["chunk_text"].iloc[-1].split(" "))
+        assert [t for p in pieces for t in p] == toks
+
+
+def test_source_token_jaccard_bounds_and_grain(ray_session):
+    """Pairs are strictly a<b, jaccard = inter/union in (0, 1], and the
+    per-source vocabulary sizes implied by (inter, union) must agree
+    with a local pandas recomputation."""
+    out = Q.QUERIES["source_token_jaccard"](SF)
+    assert (out["src_a"] < out["src_b"]).all()
+    assert ((out["inter"] >= 1) & (out["inter"] <= out["union_n"])).all()
+    assert np.allclose(out["jaccard"],
+                       out["inter"] / out["union_n"])
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    vocab = {s: set(" ".join(g["text"]).split(" "))
+             for s, g in docs.groupby("source")}
+    for _, r in out.iterrows():
+        a, b = vocab[r["src_a"]], vocab[r["src_b"]]
+        assert r["inter"] == len(a & b) and r["union_n"] == len(a | b)
+
+
+def test_token_pmi_support_and_orientation(ray_session):
+    """pair_docs can never exceed either token's document frequency,
+    pairs are a<b, the support floor holds, and PMI recomputes from
+    the emitted integers."""
+    from ocr_ray.queries import _PMI_MIN_PAIR
+
+    out = Q.QUERIES["token_pmi"](SF)
+    assert (out["tok_a"] < out["tok_b"]).all()
+    assert (out["pair_docs"] >= _PMI_MIN_PAIR).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = len(docs)
+    df_cnt: dict[str, int] = {}
+    for t in docs["text"]:
+        for tok in set(t.split(" ")):
+            df_cnt[tok] = df_cnt.get(tok, 0) + 1
+    da = out["tok_a"].map(df_cnt)
+    db = out["tok_b"].map(df_cnt)
+    assert (out["pair_docs"] <= np.minimum(da, db)).all()
+    assert np.allclose(out["pmi"],
+                       np.log(out["pair_docs"] * n / (da * db)))
+
+
+def test_curriculum_buckets_partition_properties(ray_session):
+    """Buckets partition the corpus: sizes differ by at most one with
+    the larger buckets first (NTILE), every doc is counted once, and
+    char ranges are non-decreasing across buckets."""
+    from ocr_ray.queries import _CURR_K
+
+    out = Q.QUERIES["curriculum_buckets"](SF).sort_values("bucket") \
+        .reset_index(drop=True)
+    n = len(pd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id"]))
+    assert out["n_docs"].sum() == n
+    assert list(out["bucket"]) == list(range(1, min(_CURR_K, n) + 1))
+    sizes = out["n_docs"].to_numpy()
+    assert sizes.max() - sizes.min() <= 1
+    assert (np.diff(sizes) <= 0).all()  # larger buckets first
+    # difficulty ordering: bucket k's max never exceeds bucket k+1's min
+    assert (out["max_chars"].to_numpy()[:-1]
+            <= out["min_chars"].to_numpy()[1:]).all()
+    assert (out["min_chars"] <= out["max_chars"]).all()
