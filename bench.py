@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "shard_packing",
     "corpus_familiarity",
     "ngram_novelty",
+    "chunk_windows",
+    "curriculum_buckets",
+    "prefix_dups",
 ]
 
 

@@ -6928,6 +6928,119 @@ FROM r GROUP BY bucket
 """
 
 
+def q_prefix_dups(sf_dir: str):
+    """Prefix-containment dedup: every document whose text is a PROPER
+    prefix of another document's text — the truncation-duplicate case
+    (partial crawls, cut-off re-fetches) that exact-hash dedup misses
+    because the hashes differ. The distributed trick is sort adjacency
+    on DISTINCT texts: all strings with prefix ``a`` sort contiguously
+    immediately after ``a`` itself, so ``a`` is a proper prefix of
+    ANOTHER distinct text iff its immediate sorted successor starts
+    with it — no all-pairs substring scan, no suffix array. Shape:
+    (1) global text dedup via one hash-bucketed shuffle; (2) regroup by
+    FIRST CHARACTER — every proper-prefix pair shares it, so the
+    adjacency check is complete within each group (a web corpus would
+    extend the key to the first k chars, routing each text to its own
+    k-or-shorter prefix buckets — bounded x k fan-out — to split hot
+    leading characters; one char is the right grain for this corpus);
+    (3) one bucketed join back by text hash fans the surviving prefix
+    texts out to every doc_id that carries them. Per-text Python is
+    one C-level ``startswith`` against the sorted successor. The empty
+    string (a prefix of everything but sharing no first char) is
+    handled as its own group joined against the corpus's nonempty
+    count."""
+    B = _pair_buckets()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["text"]].drop_duplicates().reset_index(drop=True)
+        h = pd.util.hash_array(out["text"].to_numpy(dtype=object))
+        out["bucket"] = (h % B).astype("int64")
+        return out
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["text"]].drop_duplicates().reset_index(drop=True)
+        out["fc"] = out["text"].str.slice(0, 1)
+        return out
+
+    distinct = ds.map_batches(local_distinct, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_distinct,
+                                      batch_format="pandas") \
+        .materialize()
+    # the empty text sorts before every other string and is a proper
+    # prefix of all of them, but shares no first character — resolve it
+    # from two tiny counts (one vectorized partial pass) instead of
+    # complicating the group key
+    stats = distinct.map_batches(
+        lambda df: pd.DataFrame({"n": [np.int64(len(df))],
+                                 "empty": [np.int64((df["text"] == "")
+                                                    .sum())]}),
+        batch_format="pandas").to_pandas()
+    n_distinct = int(stats["n"].sum())
+    has_empty = int(stats["empty"].sum()) > 0
+
+    def mark_prefixes(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["text"].to_numpy(dtype=object))
+        if t.size >= 2:
+            isp = np.fromiter(
+                (nx.startswith(cu) for cu, nx in zip(t[:-1], t[1:])),
+                dtype=bool, count=t.size - 1)
+            keep = t[:-1][isp]
+        else:
+            keep = np.array([], dtype=object)
+        keep = keep[keep != ""]  # empty text handled globally
+        h = pd.util.hash_array(keep)
+        return pd.DataFrame({"text": keep,
+                             "bucket": (h % B).astype("int64")})
+
+    pref = distinct.groupby("fc").map_groups(mark_prefixes,
+                                             batch_format="pandas")
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        h = pd.util.hash_array(df["text"].to_numpy(dtype=object))
+        return pd.DataFrame({"text": df["text"],
+                             "doc_id": df["doc_id"].astype("int64"),
+                             "bucket": (h % B).astype("int64")})
+
+    def pref_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        df["doc_id"] = np.int64(-1)
+        return df[["text", "doc_id", "bucket"]]
+
+    def join_back(g: pd.DataFrame) -> pd.DataFrame:
+        hit = set(g.loc[g["doc_id"] < 0, "text"])
+        d = g.loc[g["doc_id"] >= 0]
+        if has_empty and n_distinct > 1:
+            m = d.loc[d["text"].isin(hit) | (d["text"] == "")]
+        else:
+            m = d.loc[d["text"].isin(hit)]
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(dtype=np.int64),
+            "text_len": m["text"].str.len().to_numpy(dtype=np.int64),
+        })
+
+    docs_t = ds.map_batches(tag_docs, batch_format="pandas",
+                            batch_size=65536)
+    return docs_t.union(pref.map_batches(pref_side,
+                                         batch_format="pandas")) \
+        .groupby("bucket").map_groups(join_back, batch_format="pandas")
+
+
+# exact SQL mirror: proper-prefix EXISTS (fine at oracle scale; the Ray
+# side replaces the all-pairs scan with sorted adjacency)
+SQL_PREFIX_DUPS = """
+SELECT a.doc_id, CAST(len(a.text) AS BIGINT) AS text_len
+FROM documents a
+WHERE EXISTS (
+  SELECT 1 FROM documents b
+  WHERE len(b.text) > len(a.text)
+    AND substr(b.text, 1, len(a.text)) = a.text
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -7016,6 +7129,7 @@ QUERIES = {
     "source_token_jaccard": q_source_token_jaccard,
     "token_pmi": q_token_pmi,
     "curriculum_buckets": q_curriculum_buckets,
+    "prefix_dups": q_prefix_dups,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -7127,4 +7241,5 @@ ORACLE_SQL = {
     "source_token_jaccard": SQL_SOURCE_TOKEN_JACCARD,
     "token_pmi": SQL_TOKEN_PMI,
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
+    "prefix_dups": SQL_PREFIX_DUPS,
 }

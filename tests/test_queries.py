@@ -78,6 +78,7 @@ SUBSET = [
     "source_token_jaccard",
     "token_pmi",
     "curriculum_buckets",
+    "prefix_dups",
 ]
 
 
@@ -923,3 +924,31 @@ def test_curriculum_buckets_partition_properties(ray_session):
     assert (out["max_chars"].to_numpy()[:-1]
             <= out["min_chars"].to_numpy()[1:]).all()
     assert (out["min_chars"] <= out["max_chars"]).all()
+
+
+def test_prefix_dups_edge_cases(ray_session, tmp_path):
+    """Sorted-adjacency prefix detection must agree with the EXISTS
+    oracle on a corpus engineered to stress it: duplicate texts (an
+    exact dup is NOT a proper prefix), chains (a < ab < abc), texts
+    equal to another's prefix via a different leading char, and the
+    empty text (prefix of everything, shares no first char)."""
+    docs = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": ["ab", "ab",          # duplicates, not proper prefixes
+                 "abc", "abcd",       # chain: ab<abc<abcd
+                 "b", "ba x",         # other leading char
+                 "", "zzz",           # empty is prefix of all others
+                 "abce",              # shares 'abc' prefix
+                 "q"],                # prefix of nothing
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = _norm(Q.QUERIES["prefix_dups"](sf))
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["prefix_dups"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    # both 'ab' rows qualify (prefix of abc), abc does (abcd), 'b'
+    # does (ba x), '' does (everything); abcd/abce/ba x/zzz/q do not
+    assert sorted(mine["doc_id"]) == [0, 1, 2, 4, 6]
