@@ -7041,6 +7041,195 @@ WHERE EXISTS (
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix over the event stream: global counts of
+    (prev_type -> next_type) per user under the deterministic total
+    order (ts, event_id) — the behavioral-model statistic (what users
+    do next) and the distributed shape of SQL's ``LAG(type) OVER
+    (PARTITION BY user ORDER BY ts, event_id)``. Users are hashed into
+    _pair_buckets() shuffle partitions (a user lives in exactly ONE
+    bucket, so bucket-local shifted pairs ARE that user's global
+    transitions); each bucket diffs thousands of users in one
+    vectorized sort+shift pass and emits <= n_types^2 partial rows —
+    the driver folds B x n_types^2 tiny rows, never event rows. The
+    share column is the ratio of the SAME two integers on both sides
+    (one float division, no accumulation order)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return df.assign(_b=u % B)
+
+    def trans_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same = g["user_id"].eq(g["user_id"].shift())
+        prev = g["event_type"].shift()
+        p = pd.DataFrame({"prev_type": prev[same], "next_type": g["event_type"][same]})
+        out = p.groupby(["prev_type", "next_type"], as_index=False).size() \
+            .rename(columns={"size": "n_trans"})
+        out["n_trans"] = out["n_trans"].astype("int64")
+        return out
+
+    out = ds.map_batches(add_bucket, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("_b").map_groups(trans_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = out.groupby(["prev_type", "next_type"], as_index=False)["n_trans"].sum()
+    out["n_trans"] = out["n_trans"].astype("int64")
+    tot = out.groupby("prev_type")["n_trans"].transform("sum")
+    out["share"] = out["n_trans"].to_numpy(dtype=np.float64) \
+        / tot.to_numpy(dtype=np.int64)
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+# exact SQL mirror: same (ts, event_id) total order; share is the same
+# integer ratio (COUNT / per-prev_type window SUM)
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_trans,
+       CAST(COUNT(*) AS DOUBLE)
+         / SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS share
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def q_bigram_familiarity(sf_dir: str, _broadcast_max: int | None = None):
+    """Bigram-LM familiarity: per document the sum over its ADJACENT
+    token pairs of that bigram's GLOBAL corpus count — the 2-gram
+    sibling of q_corpus_familiarity and the integer-exact core of a
+    KenLM-style fluency filter (a doc whose bigrams are all
+    corpus-frequent is boilerplate; one whose bigrams are novel is
+    either fresh text or garbled OCR). Same two-pass shape: pass 1
+    folds per-batch partial bigram counts through one bounded
+    by-bigram-hash combine; within the broadcast budget the table is
+    ``ray.put`` once and the corpus streams through a stateless scan.
+    Past it (web-scale bigram vocabularies are corpus-sized) the
+    occurrence rows hash-bucket by bigram — counts and scores inside
+    each bucket are global because a bigram lives in one bucket — then
+    a per-doc combine bucketed by doc_id. Bigram construction is one
+    shift within each doc's token frame (no per-pair Python); docs
+    with < 2 tokens emit no row (SQL inner join)."""
+    budget = _BROADCAST_MAX_KEYS if _broadcast_max is None else _broadcast_max
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cols = ["doc_id", "n_bigrams", "n_distinct", "familiarity"]
+    B = _pair_buckets()
+
+    def bigram_frame(df: pd.DataFrame) -> pd.DataFrame:
+        t = _token_frame(df.reset_index(drop=True))
+        if t.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "bigram": pd.Series([], dtype="object")})
+        # adjacent pair = token + next token within the same doc: one
+        # shift over the exploded frame (doc_ids are contiguous there)
+        same = t["doc_id"].eq(t["doc_id"].shift(-1))
+        nxt = t["token"].shift(-1)
+        m = same.to_numpy()
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy()[m],
+            "bigram": (t["token"][same] + " " + nxt[same]).to_numpy(),
+        })
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        bg = bigram_frame(df)
+        g = bg.groupby("bigram", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        h = pd.util.hash_array(g["bigram"].to_numpy(dtype=object)) % B
+        return g.assign(bucket=h.astype("int64"))
+
+    def combine_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bigram", as_index=False)["n"].sum()
+
+    counts = ds.map_batches(partial_counts, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("bucket").map_groups(combine_counts, batch_format="pandas")
+    probe = counts.limit(budget + 1).to_pandas()
+    if len(probe) <= budget:
+        cnt_ref = ray.put(probe.set_index("bigram")["n"])
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cnt_ref)
+            bg = bigram_frame(df)
+            if bg.empty:
+                return pd.DataFrame({k: pd.Series([], dtype="int64")
+                                     for k in cols})
+            bg["c"] = bg["bigram"].map(c).astype("int64")
+            out = bg.groupby("doc_id", as_index=False).agg(
+                n_bigrams=("bigram", "size"),
+                n_distinct=("bigram", "nunique"),
+                familiarity=("c", "sum"))
+            for k in cols:
+                out[k] = out[k].astype("int64")
+            return out[cols]
+
+        return ds.map_batches(score, batch_format="pandas", batch_size=65536)
+
+    # fallback: bigram vocabulary ~ corpus — bucketed count-and-score
+    def occ_rows(df: pd.DataFrame) -> pd.DataFrame:
+        bg = bigram_frame(df)
+        h = pd.util.hash_array(bg["bigram"].to_numpy(dtype=object)) % B
+        return bg.assign(bucket=h.astype("int64"))
+
+    def bucket_score(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("bigram")["bigram"].transform("size")
+        out = pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                            "bigram": g["bigram"],
+                            "c": c.to_numpy(dtype=np.int64)})
+        r = out.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("c", "size"), n_distinct=("bigram", "nunique"),
+            familiarity=("c", "sum"))
+        for k in cols:
+            r[k] = r[k].astype("int64")
+        r["b2"] = r["doc_id"] % B
+        return r
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"), n_distinct=("n_distinct", "sum"),
+            familiarity=("familiarity", "sum"))
+        for k in cols:
+            out[k] = out[k].astype("int64")
+        return out[cols]
+
+    return ds.map_batches(occ_rows, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_score, batch_format="pandas") \
+        .groupby("b2").map_groups(comb, batch_format="pandas")
+
+
+# exact SQL mirror: same lowercase + Python-whitespace tokenization
+# (the '\s+' literal is widened by the _PYWS block below), adjacent
+# pairs via position self-join, global bigram counts joined back per
+# occurrence, all-integer aggregates
+SQL_BIGRAM_FAMILIARITY = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM (SELECT doc_id, string_split(nt, ' ') AS t
+        FROM norm WHERE length(nt) > 0),
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+),
+gc AS (SELECT bg, COUNT(*) AS c FROM tok GROUP BY bg)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(DISTINCT t.bg) AS BIGINT) AS n_distinct,
+       CAST(SUM(gc.c) AS BIGINT) AS familiarity
+FROM tok t JOIN gc USING (bg)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -7130,6 +7319,8 @@ QUERIES = {
     "token_pmi": q_token_pmi,
     "curriculum_buckets": q_curriculum_buckets,
     "prefix_dups": q_prefix_dups,
+    "event_transitions": q_event_transitions,
+    "bigram_familiarity": q_bigram_familiarity,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -7145,7 +7336,7 @@ for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
            "SQL_EXTRACTION_HTML_STRIP", "SQL_REPETITION_FILTER",
            "SQL_DECONTAMINATION", "SQL_SHARD_PACKING",
            "SQL_CORPUS_FAMILIARITY", "SQL_VOCAB_GROWTH",
-           "SQL_NGRAM_NOVELTY"):
+           "SQL_NGRAM_NOVELTY", "SQL_BIGRAM_FAMILIARITY"):
     # import-time assert: a reformatted literal would make the replace
     # a silent no-op and revert that oracle to RE2's narrower \s
     assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
@@ -7242,4 +7433,6 @@ ORACLE_SQL = {
     "token_pmi": SQL_TOKEN_PMI,
     "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
     "prefix_dups": SQL_PREFIX_DUPS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "bigram_familiarity": SQL_BIGRAM_FAMILIARITY,
 }

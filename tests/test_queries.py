@@ -79,6 +79,8 @@ SUBSET = [
     "token_pmi",
     "curriculum_buckets",
     "prefix_dups",
+    "event_transitions",
+    "bigram_familiarity",
 ]
 
 
@@ -825,6 +827,77 @@ def test_token_first_occurrence_edges_match_oracle(ray_session, tmp_path):
     assert nv.loc[3, "n_grams"] == 2 and nv.loc[3, "n_new"] == 0
     assert (nv.loc[[1, 2, 4, 5], ["n_grams", "n_new"]] == 0).all().all()
     assert (nv["n_new"] <= nv["n_grams"]).all()
+
+
+def test_bigram_familiarity_guard_paths_agree(ray_session):
+    """Forcing the bucketed fallback (budget=0) must produce exactly
+    the broadcast path's per-doc bigram counts and familiarity sums."""
+    from ocr_ray.queries import q_bigram_familiarity
+
+    a = _norm(q_bigram_familiarity(SF))
+    b = _norm(q_bigram_familiarity(SF, _broadcast_max=0))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_bigram_familiarity_edges(ray_session, tmp_path):
+    """Hand-built corpus: empty / whitespace-only / 1-token docs emit
+    no row; repeated bigrams count per occurrence; scores match the
+    SQL mirror on the same table."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "a b a b",        # bigrams: (a b) x2, (b a) x1
+            "A B",            # lowercased dup of (a b)
+            "",               # no tokens
+            "solo",           # 1 token: no bigram
+            "c d",            # unique bigram
+        ],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    mine = _norm(Q.QUERIES["bigram_familiarity"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["bigram_familiarity"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+
+    fam = Q.QUERIES["bigram_familiarity"](sf).to_pandas().set_index("doc_id")
+    assert set(fam.index) == {0, 1, 4}
+    # global counts: (a b)=3, (b a)=1, (c d)=1
+    assert fam.loc[0, "n_bigrams"] == 3 and fam.loc[0, "n_distinct"] == 2
+    assert fam.loc[0, "familiarity"] == 3 + 3 + 1
+    assert fam.loc[1, "familiarity"] == 3
+    assert fam.loc[4, "familiarity"] == 1
+
+
+def test_event_transitions_hand_checked(ray_session, tmp_path):
+    """Two users with interleaved timestamps: transitions stay within
+    each user; ties break on event_id; shares sum to 1 per prev_type."""
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [7, 7, 7, 8, 8, 8],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:05",
+            "2024-01-01 00:00:05",  # tie with event 2 -> event_id order
+            "2024-01-01 00:00:01", "2024-01-01 00:00:02",
+            "2024-01-01 00:00:03",
+        ]),
+        "event_type": ["view", "click", "buy", "view", "view", "click"],
+        "value": [0.0] * 6,
+        "props": [""] * 6,
+    })
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    out = Q.QUERIES["event_transitions"](sf)
+    if isinstance(out, ray.data.Dataset):
+        out = out.to_pandas()
+    got = {(r.prev_type, r.next_type): r.n_trans for r in out.itertuples()}
+    # user 7: view->click, click->buy; user 8: view->view, view->click
+    assert got == {("view", "click"): 2, ("click", "buy"): 1,
+                   ("view", "view"): 1}
+    shares = out.groupby("prev_type")["share"].sum()
+    assert np.allclose(shares.to_numpy(), 1.0)
 
 
 def test_vocab_growth_guard_paths_agree(ray_session):
