@@ -7230,6 +7230,107 @@ GROUP BY t.doc_id
 """
 
 
+_SEG_W = 16  # tokens per dedup segment ("line")
+
+
+def q_segment_dedup(sf_dir: str):
+    """Line-level exact dedup (RefinedWeb/CCNet-style, public): each
+    document is cut into consecutive disjoint _SEG_W-token segments
+    (the synthetic corpus has no newlines, so fixed token windows
+    stand in for lines); a segment occurrence is a DUPLICATE when the
+    same segment text appeared earlier in the corpus under the total
+    order (doc_id, seg_idx). Output is the per-document rewrite plan —
+    segments kept/removed and exact tokens removed — the statistic a
+    curation pipeline applies before training. Shape: one vectorized
+    explode (tokens -> pos//W segment ids -> per-segment join), then
+    TWO bounded shuffles: segments hash-bucket by text (a segment
+    lives in one bucket, so bucket-local first-occurrence IS global;
+    duplicates are marked with one sort + duplicated() pass per
+    bucket), then per-doc partial rollups combine bucketed by doc_id.
+    The driver never sees segment rows; all outputs are int64."""
+    W = _SEG_W
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B = _pair_buckets()
+    cols = ["doc_id", "n_segs", "n_dup_segs", "n_tokens_removed"]
+
+    def seg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        t = _token_frame(df.reset_index(drop=True))
+        if t.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "seg_idx": pd.Series([], dtype="int64"),
+                                 "seg": pd.Series([], dtype="object"),
+                                 "n_tok": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int64")})
+        t["seg_idx"] = (t.groupby("doc_id").cumcount() // W).astype("int64")
+        g = t.groupby(["doc_id", "seg_idx"], as_index=False).agg(
+            seg=("token", " ".join), n_tok=("token", "size"))
+        g["n_tok"] = g["n_tok"].astype("int64")
+        h = pd.util.hash_array(g["seg"].to_numpy(dtype=object)) % B
+        return g.assign(bucket=h.astype("int64"))
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seg", "doc_id", "seg_idx"])
+        dup = g.duplicated("seg", keep="first")
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "is_dup": dup.to_numpy(),
+            "n_tok": g["n_tok"].astype("int64"),
+        })
+        r = out.assign(rm=np.where(out["is_dup"], out["n_tok"], 0)) \
+            .groupby("doc_id", as_index=False).agg(
+                n_segs=("n_tok", "size"), n_dup_segs=("is_dup", "sum"),
+                n_tokens_removed=("rm", "sum"))
+        for k in cols:
+            r[k] = r[k].astype("int64")
+        r["b2"] = r["doc_id"] % B
+        return r
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_segs=("n_segs", "sum"), n_dup_segs=("n_dup_segs", "sum"),
+            n_tokens_removed=("n_tokens_removed", "sum"))
+        for k in cols:
+            out[k] = out[k].astype("int64")
+        return out[cols]
+
+    return ds.map_batches(seg_rows, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("bucket").map_groups(mark_dups, batch_format="pandas") \
+        .groupby("b2").map_groups(comb, batch_format="pandas")
+
+
+# exact SQL mirror: same lowercase + Python-whitespace tokenization
+# (the '\s+' literal is widened by the _PYWS block below), same
+# disjoint W-token segmentation, same (doc_id, seg_idx) first-keeper
+SQL_SEGMENT_DEDUP = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, s - 1 AS seg_idx,
+         array_to_string(t[(s-1)*16+1 : LEAST(s*16, len(t))], ' ') AS seg,
+         LEAST(s*16, len(t)) - (s-1)*16 AS n_tok
+  FROM (SELECT doc_id, string_split(nt, ' ') AS t
+        FROM norm WHERE length(nt) > 0),
+       LATERAL (SELECT unnest(generate_series(
+                  1, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS s)
+),
+m AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) > 1 AS is_dup
+  FROM seg
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS BIGINT)
+         AS n_tokens_removed
+FROM m GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -7321,6 +7422,7 @@ QUERIES = {
     "prefix_dups": q_prefix_dups,
     "event_transitions": q_event_transitions,
     "bigram_familiarity": q_bigram_familiarity,
+    "segment_dedup": q_segment_dedup,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -7336,7 +7438,8 @@ for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
            "SQL_EXTRACTION_HTML_STRIP", "SQL_REPETITION_FILTER",
            "SQL_DECONTAMINATION", "SQL_SHARD_PACKING",
            "SQL_CORPUS_FAMILIARITY", "SQL_VOCAB_GROWTH",
-           "SQL_NGRAM_NOVELTY", "SQL_BIGRAM_FAMILIARITY"):
+           "SQL_NGRAM_NOVELTY", "SQL_BIGRAM_FAMILIARITY",
+           "SQL_SEGMENT_DEDUP"):
     # import-time assert: a reformatted literal would make the replace
     # a silent no-op and revert that oracle to RE2's narrower \s
     assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
@@ -7435,4 +7538,5 @@ ORACLE_SQL = {
     "prefix_dups": SQL_PREFIX_DUPS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "bigram_familiarity": SQL_BIGRAM_FAMILIARITY,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
 }

@@ -81,6 +81,7 @@ SUBSET = [
     "prefix_dups",
     "event_transitions",
     "bigram_familiarity",
+    "segment_dedup",
 ]
 
 
@@ -898,6 +899,45 @@ def test_event_transitions_hand_checked(ray_session, tmp_path):
                    ("view", "view"): 1}
     shares = out.groupby("prev_type")["share"].sum()
     assert np.allclose(shares.to_numpy(), 1.0)
+
+
+def test_segment_dedup_hand_checked(ray_session, tmp_path):
+    """3-token segments (monkeypatched W via the module constant is
+    avoided — build docs sized to the real W=16): a doc repeating its
+    own first segment, a doc repeating another doc's segment, a short
+    tail segment, and an empty doc. First occurrence under (doc_id,
+    seg_idx) wins; removed-token counts are exact per segment."""
+    W = Q._SEG_W
+    seg_a = " ".join(f"a{i}" for i in range(W))      # full segment A
+    seg_b = " ".join(f"b{i}" for i in range(W))      # full segment B
+    tail = "t0 t1 t2"                                 # 3-token tail
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"{seg_a} {seg_a} {tail}",  # self-dup + unique tail
+            f"{seg_b} {seg_a}",         # cross-doc dup of A
+            "",                          # no tokens: no row
+            tail,                        # dup of doc 0's tail segment
+        ],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    mine = _norm(Q.QUERIES["segment_dedup"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["segment_dedup"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+
+    out = Q.QUERIES["segment_dedup"](sf).to_pandas().set_index("doc_id")
+    assert set(out.index) == {0, 1, 3}
+    assert out.loc[0, "n_segs"] == 3      # A, A(dup), tail
+    assert out.loc[0, "n_dup_segs"] == 1
+    assert out.loc[0, "n_tokens_removed"] == W
+    assert out.loc[1, "n_dup_segs"] == 1  # its A copy
+    assert out.loc[1, "n_tokens_removed"] == W
+    assert out.loc[3, "n_dup_segs"] == 1  # tail seen in doc 0 first
+    assert out.loc[3, "n_tokens_removed"] == 3
 
 
 def test_vocab_growth_guard_paths_agree(ray_session):
