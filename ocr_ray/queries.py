@@ -7331,6 +7331,71 @@ FROM m GROUP BY doc_id
 """
 
 
+def q_pareto_orders(sf_dir: str):
+    """Skyline / Pareto-frontier query: per order priority, the orders
+    not dominated on (later date, lower price) — b dominates a when
+    b.date >= a.date AND b.price <= a.price with one strict; ties on
+    both axes keep BOTH points. The distributed shape is the skyline
+    classic: dominance is transitive, so every globally non-dominated
+    point survives its batch-local frontier — each batch prunes to its
+    local skyline (one vectorized sort + per-date min + exclusive
+    cummin pass, no pairwise scan), and ONE tiny combine per priority
+    group re-runs the same kernel on the union of local frontiers
+    (O(distinct dates) rows each, never raw orders). No all-pairs
+    anywhere; the oracle's NOT EXISTS is the quadratic check this
+    replaces."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderkey", "o_orderdate",
+                "o_totalprice"])
+
+    def frontier(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("o_orderpriority", sort=False):
+            g = g.sort_values(["o_orderdate", "o_totalprice"],
+                              ascending=[False, True])
+            # per-date min price, in date-desc order
+            dmin = g.groupby("o_orderdate", sort=False)["o_totalprice"] \
+                .min()
+            # exclusive running min over strictly-later dates: a date
+            # survives iff its min price beats every later date's
+            prev = dmin.cummin().shift(1)
+            alive = dmin[prev.isna() | (dmin < prev)]
+            m = g["o_orderdate"].map(alive).eq(g["o_totalprice"])
+            out.append(g[m.to_numpy()])
+        if not out:
+            return df.iloc[:0]
+        return pd.concat(out, ignore_index=True)
+
+    part = ds.map_batches(frontier, batch_format="pandas",
+                          batch_size=65536)
+    out = part.groupby("o_orderpriority") \
+        .map_groups(frontier, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "o_orderpriority": out["o_orderpriority"],
+        "o_orderkey": out["o_orderkey"].astype("int64"),
+        "o_orderdate": out["o_orderdate"],
+        "o_totalprice": out["o_totalprice"].astype(float),
+    }).sort_values(["o_orderpriority", "o_orderkey"]).reset_index(drop=True)
+
+
+# exact SQL mirror: the quadratic NOT EXISTS dominance check the
+# distributed local-frontier union replaces
+SQL_PARETO_ORDERS = """
+SELECT a.o_orderpriority,
+       CAST(a.o_orderkey AS BIGINT) AS o_orderkey,
+       a.o_orderdate, a.o_totalprice
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE b.o_orderpriority = a.o_orderpriority
+    AND b.o_orderdate >= a.o_orderdate
+    AND b.o_totalprice <= a.o_totalprice
+    AND (b.o_orderdate > a.o_orderdate
+         OR b.o_totalprice < a.o_totalprice)
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -7423,6 +7488,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "bigram_familiarity": q_bigram_familiarity,
     "segment_dedup": q_segment_dedup,
+    "pareto_orders": q_pareto_orders,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -7539,4 +7605,5 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "bigram_familiarity": SQL_BIGRAM_FAMILIARITY,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "pareto_orders": SQL_PARETO_ORDERS,
 }

@@ -82,6 +82,7 @@ SUBSET = [
     "event_transitions",
     "bigram_familiarity",
     "segment_dedup",
+    "pareto_orders",
 ]
 
 
@@ -938,6 +939,35 @@ def test_segment_dedup_hand_checked(ray_session, tmp_path):
     assert out.loc[1, "n_tokens_removed"] == W
     assert out.loc[3, "n_dup_segs"] == 1  # tail seen in doc 0 first
     assert out.loc[3, "n_tokens_removed"] == 3
+
+
+def test_pareto_orders_hand_checked(ray_session, tmp_path):
+    """Hand-built skyline: dominated points drop, ties on both axes
+    both survive, and a point dominated only ACROSS batch boundaries
+    is still pruned by the combine stage (forced via tiny batches)."""
+    d = pd.to_datetime
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5, 6],
+        "o_custkey": [0] * 6,
+        "o_orderstatus": ["O"] * 6,
+        "o_totalprice": [100.0, 50.0, 50.0, 200.0, 60.0, 100.0],
+        "o_orderdate": d(["2024-01-03", "2024-01-02", "2024-01-02",
+                          "2024-01-04", "2024-01-01", "2024-01-04"]),
+        "o_orderpriority": ["1-URGENT"] * 5 + ["2-HIGH"]})
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    mine = _norm(Q.QUERIES["pareto_orders"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["pareto_orders"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    keys = set(mine["o_orderkey"])
+    # 1 (latest at price 100 beats nothing cheaper later: key 4 is
+    # later but pricier -> 1 survives), 2 & 3 (tie pair, cheapest),
+    # 4 (latest date), 6 (only point in its priority). 5 is dominated
+    # by 2/3 (later AND cheaper).
+    assert keys == {1, 2, 3, 4, 6}
 
 
 def test_vocab_growth_guard_paths_agree(ray_session):
