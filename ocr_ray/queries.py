@@ -7396,6 +7396,169 @@ WHERE NOT EXISTS (
 """
 
 
+def q_mad_outliers(sf_dir: str):
+    """Robust outlier counts per group via the median-absolute-
+    deviation rule (|v - median| > 3 * MAD) — the heavy-tail-safe
+    sibling of the z-score filter in q_nation_spend_outliers, and a
+    standard data-quality gate. Both the median and the MAD are EXACT
+    order statistics computed by the same histogram-narrowing scheme
+    as q_group_percentiles (driver holds one (lo, hi, rank) triple per
+    group; each pass is one map_batches of 512-bin partials), run
+    TWICE: once over the raw values, once over |v - med| with the
+    per-group medians broadcast via ``ray.put``. Cost is O(passes)
+    full scans per phase regardless of group count; nothing
+    group-sized ever sorts globally. Rank = ceil(n/2) (lower median)
+    matches the SQL row_number oracle bit-for-bit, so the final
+    3*MAD comparisons run on identical doubles on both sides."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    BINS = 512
+
+    def group_median(dev_med: dict | None) -> dict[str, tuple]:
+        """Exact per-group lower median of value (dev_med None) or of
+        |value - dev_med[grp]|. Returns {grp: (median, n)}."""
+        med_ref = ray.put(dev_med)
+
+        def vframe(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(med_ref)
+            v = df["value"].to_numpy(dtype=np.float64)
+            if m is not None:
+                v = np.abs(v - df["event_type"].map(m).to_numpy())
+            return pd.DataFrame({"grp": df["event_type"], "v": v})
+
+        def stats(df: pd.DataFrame) -> pd.DataFrame:
+            return vframe(df).groupby("grp")["v"].agg(
+                n="count", lo="min", hi="max").reset_index()
+
+        parts = ds.map_batches(stats, batch_format="pandas",
+                               batch_size=65536).to_pandas()
+        agg = parts.groupby("grp").agg(
+            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+        state = {g: [float(r["lo"]), float(np.nextafter(r["hi"], np.inf)),
+                     int(np.ceil(0.5 * r["n"])), False, int(r["n"])]
+                 for g, r in agg.iterrows()}
+
+        for _ in range(6):
+            bounds = {g: (s[0], s[1]) for g, s in state.items() if not s[3]}
+            if not bounds:
+                break
+            b_ref = ray.put(bounds)
+
+            def hist(df: pd.DataFrame) -> pd.DataFrame:
+                b = ray.get(b_ref)
+                vf = vframe(df)
+                rows = []
+                for grp, sub in vf.groupby("grp"):
+                    if grp not in b:
+                        continue
+                    lo, hi = b[grp]
+                    v = sub["v"].to_numpy()
+                    v = v[(v >= lo) & (v < hi)]
+                    h, _ = np.histogram(v, bins=np.linspace(lo, hi, BINS + 1))
+                    rows.append((grp, h.astype(np.int64).tobytes()))
+                return pd.DataFrame(rows, columns=["grp", "h"]) if rows \
+                    else pd.DataFrame({"grp": pd.Series([], dtype="object"),
+                                       "h": pd.Series([], dtype="object")})
+
+            hp = ds.map_batches(hist, batch_format="pandas",
+                                batch_size=65536).to_pandas()
+            for grp in bounds:
+                total = np.zeros(BINS, dtype=np.int64)
+                for buf in hp.loc[hp["grp"] == grp, "h"]:
+                    total += np.frombuffer(buf, dtype=np.int64)
+                lo, hi, rank, _, n = state[grp]
+                edges = np.linspace(lo, hi, BINS + 1)
+                cum = np.cumsum(total)
+                bi = int(np.searchsorted(cum, rank))
+                new_rank = rank - (int(cum[bi - 1]) if bi else 0)
+                done = bool(total[bi] <= 100_000)
+                state[grp] = [float(edges[bi]), float(edges[bi + 1]),
+                              new_rank, done, n]
+
+        fin_ref = ray.put({g: (s[0], s[1]) for g, s in state.items()})
+
+        def in_range(df: pd.DataFrame) -> pd.DataFrame:
+            b = ray.get(fin_ref)
+            vf = vframe(df)
+            keep = []
+            for grp, sub in vf.groupby("grp"):
+                lo, hi = b[grp]
+                v = sub["v"].to_numpy()
+                keep.append(pd.DataFrame({"grp": grp,
+                                          "v": v[(v >= lo) & (v < hi)]}))
+            return pd.concat(keep, ignore_index=True) if keep else \
+                pd.DataFrame({"grp": pd.Series([], dtype="object"),
+                              "v": pd.Series([], dtype="float64")})
+
+        vals = ds.map_batches(in_range, batch_format="pandas").to_pandas()
+        out = {}
+        for grp, s in state.items():
+            v = np.sort(vals.loc[vals["grp"] == grp, "v"].to_numpy())
+            out[grp] = (float(v[s[2] - 1]), s[4])
+        return out
+
+    med = {g: mv for g, (mv, _) in group_median(None).items()}
+    mad_n = group_median(med)
+    thr_ref = ray.put({g: (med[g], 3.0 * mv) for g, (mv, _) in
+                       mad_n.items()})
+
+    def count_out(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        g = df.groupby("event_type")["value"]
+        rows = []
+        for grp, v in g:
+            m, lim = t[grp]
+            a = v.to_numpy(dtype=np.float64)
+            rows.append((grp, int((np.abs(a - m) > lim).sum())))
+        return pd.DataFrame(rows, columns=["event_type", "n_outliers"]) \
+            if rows else pd.DataFrame(
+                {"event_type": pd.Series([], dtype="object"),
+                 "n_outliers": pd.Series([], dtype="int64")})
+
+    cnt = ds.map_batches(count_out, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby("event_type", as_index=False)["n_outliers"].sum()
+    cnt["n_outliers"] = cnt["n_outliers"].astype("int64")
+    cnt["med"] = cnt["event_type"].map(med).round(4)
+    cnt["mad"] = cnt["event_type"].map(
+        {g: mv for g, (mv, _) in mad_n.items()}).round(4)
+    cnt["n_events"] = cnt["event_type"].map(
+        {g: n for g, (_, n) in mad_n.items()}).astype("int64")
+    return cnt[["event_type", "med", "mad", "n_outliers", "n_events"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# exact SQL mirror: lower-median rank ceil(n/2) at both levels, same
+# 3*MAD threshold on identical doubles
+SQL_MAD_OUTLIERS = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS med, n FROM ranked
+  WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+),
+rankedd AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS d, m.med, m.n,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY ABS(e.value - m.med)) AS rn
+  FROM events e JOIN med m USING (event_type)
+),
+madt AS (
+  SELECT event_type, d AS mad, med, n FROM rankedd
+  WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+)
+SELECT e.event_type, ROUND(m.med, 4) AS med, ROUND(m.mad, 4) AS mad,
+       CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * m.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN madt m USING (event_type)
+GROUP BY e.event_type, m.med, m.mad
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -7489,6 +7652,7 @@ QUERIES = {
     "bigram_familiarity": q_bigram_familiarity,
     "segment_dedup": q_segment_dedup,
     "pareto_orders": q_pareto_orders,
+    "mad_outliers": q_mad_outliers,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -7606,4 +7770,5 @@ ORACLE_SQL = {
     "bigram_familiarity": SQL_BIGRAM_FAMILIARITY,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "pareto_orders": SQL_PARETO_ORDERS,
+    "mad_outliers": SQL_MAD_OUTLIERS,
 }

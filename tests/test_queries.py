@@ -83,6 +83,7 @@ SUBSET = [
     "bigram_familiarity",
     "segment_dedup",
     "pareto_orders",
+    "mad_outliers",
 ]
 
 
@@ -968,6 +969,32 @@ def test_pareto_orders_hand_checked(ray_session, tmp_path):
     # 4 (latest date), 6 (only point in its priority). 5 is dominated
     # by 2/3 (later AND cheaper).
     assert keys == {1, 2, 3, 4, 6}
+
+
+def test_mad_outliers_hand_checked(ray_session, tmp_path):
+    """Known medians: group A = [1..5, 100] has lower median 3 (rank
+    ceil(6/2)=3), deviations [2,1,0,1,2,97] -> MAD 1 (rank 3 of
+    sorted [0,1,1,2,2,97]), threshold 3 -> only 100 is an outlier
+    (|100-3|=97 > 3). Constant group B: MAD 0, zero outliers."""
+    ev = pd.DataFrame({
+        "event_id": range(9),
+        "user_id": [0] * 9,
+        "ts": pd.to_datetime(["2024-01-01"] * 9),
+        "event_type": ["A"] * 6 + ["B"] * 3,
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 100.0, 7.0, 7.0, 7.0],
+        "props": [""] * 9,
+    })
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    mine = _norm(Q.QUERIES["mad_outliers"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["mad_outliers"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    m = mine.set_index("event_type")
+    assert m.loc["A", "med"] == 3.0 and m.loc["A", "mad"] == 1.0
+    assert m.loc["A", "n_outliers"] == 1 and m.loc["A", "n_events"] == 6
+    assert m.loc["B", "mad"] == 0.0 and m.loc["B", "n_outliers"] == 0
 
 
 def test_vocab_growth_guard_paths_agree(ray_session):
