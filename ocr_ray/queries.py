@@ -7559,6 +7559,70 @@ GROUP BY e.event_type, m.med, m.mad
 """
 
 
+_BURST_GAP_S = 3600  # repeated (user, type) within this window = duplicate
+
+
+def q_event_burst_dedup(sf_dir: str):
+    """Telemetry burst dedup: an event is a DUPLICATE when the same
+    (user, event_type) fired within _BURST_GAP_S seconds of its
+    previous occurrence under the (ts, event_id) total order — the
+    retry/double-click/bot-burst filter every event pipeline runs
+    before analytics. Per (user, type) stream stats come back as kept
+    / dropped counts. One bounded shuffle: (user, type) keys hash into
+    _pair_buckets() partitions (a key lives in one bucket, so the
+    bucket-local sort+shift gap IS the global one); each bucket diffs
+    thousands of keys in one vectorized pass. Gap uses whole-second
+    floor on both endpoints, matching the SQL date_diff oracle."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        h = pd.util.hash_array(df["event_type"].to_numpy(dtype=object))
+        return df.assign(_b=((u ^ h.astype("int64")) % B))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        same = g["user_id"].eq(g["user_id"].shift()) \
+            & g["event_type"].eq(g["event_type"].shift())
+        gap = g["ts"].dt.floor("s").diff().dt.total_seconds()
+        dup = same & (gap <= _BURST_GAP_S)
+        out = pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                            "event_type": g["event_type"],
+                            "dup": dup.to_numpy()})
+        r = out.groupby(["user_id", "event_type"], as_index=False).agg(
+            n_events=("dup", "size"), n_dropped=("dup", "sum"))
+        r["n_events"] = r["n_events"].astype("int64")
+        r["n_dropped"] = r["n_dropped"].astype("int64")
+        r["n_kept"] = r["n_events"] - r["n_dropped"]
+        return r[["user_id", "event_type", "n_events", "n_kept",
+                  "n_dropped"]]
+
+    return ds.map_batches(add_bucket, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("_b").map_groups(dedup_bucket, batch_format="pandas")
+
+
+# exact SQL mirror: same (ts, event_id) order, same floor-second gap
+SQL_EVENT_BURST_DEDUP = """
+WITH g AS (
+  SELECT user_id, event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id), ts) AS gap
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN gap <= 3600 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM g GROUP BY user_id, event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -7653,6 +7717,7 @@ QUERIES = {
     "segment_dedup": q_segment_dedup,
     "pareto_orders": q_pareto_orders,
     "mad_outliers": q_mad_outliers,
+    "event_burst_dedup": q_event_burst_dedup,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -7771,4 +7836,5 @@ ORACLE_SQL = {
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "pareto_orders": SQL_PARETO_ORDERS,
     "mad_outliers": SQL_MAD_OUTLIERS,
+    "event_burst_dedup": SQL_EVENT_BURST_DEDUP,
 }

@@ -84,6 +84,7 @@ SUBSET = [
     "segment_dedup",
     "pareto_orders",
     "mad_outliers",
+    "event_burst_dedup",
 ]
 
 
@@ -995,6 +996,42 @@ def test_mad_outliers_hand_checked(ray_session, tmp_path):
     assert m.loc["A", "med"] == 3.0 and m.loc["A", "mad"] == 1.0
     assert m.loc["A", "n_outliers"] == 1 and m.loc["A", "n_events"] == 6
     assert m.loc["B", "mad"] == 0.0 and m.loc["B", "n_outliers"] == 0
+
+
+def test_event_burst_dedup_hand_checked(ray_session, tmp_path):
+    """A 3-ping burst drops pings 2 and 3 (each within the 3600 s
+    window of its predecessor); an isolated repeat 2 h later is kept;
+    a different event_type inside the burst window is untouched. Also
+    asserts the window actually fires on the synthetic sf0.01 data."""
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [9, 9, 9, 9, 9, 9],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:30:00",
+            "2024-01-01 01:00:00",   # 1800 s after ping 2 -> dropped too
+            "2024-01-01 03:00:00",   # 7200 s gap -> kept
+            "2024-01-01 00:10:00",   # other type inside burst window
+            "2024-01-01 00:20:00",   # same other type, 600 s later -> dup
+        ]),
+        "event_type": ["ping"] * 4 + ["click"] * 2,
+        "value": [0.0] * 6,
+        "props": [""] * 6,
+    })
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    mine = _norm(Q.QUERIES["event_burst_dedup"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["event_burst_dedup"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    m = mine.set_index("event_type")
+    assert m.loc["ping", "n_events"] == 4 and m.loc["ping", "n_dropped"] == 2
+    assert m.loc["click", "n_kept"] == 1 and m.loc["click", "n_dropped"] == 1
+    # the real fixture must exercise the drop branch too
+    full = Q.QUERIES["event_burst_dedup"](SF)
+    if isinstance(full, ray.data.Dataset):
+        full = full.to_pandas()
+    assert full["n_dropped"].sum() > 0
 
 
 def test_vocab_growth_guard_paths_agree(ray_session):
