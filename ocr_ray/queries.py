@@ -7623,6 +7623,187 @@ FROM g GROUP BY user_id, event_type
 """
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the classic customer-analytics cube: per customer max(orderdate),
+    count(orders), sum(price in exact integer cents); each dimension
+    gets an exact global NTILE(5) under the deterministic order
+    (value, custkey); output is the 5x5x5 segment census. Distributed
+    shape: ONE bounded shuffle builds the per-customer aggregate rows
+    (partial per batch, combine bucketed by custkey); each dimension's
+    4 NTILE boundaries are then found by the same histogram-narrowing
+    selection as q_mad_outliers (driver holds (lo, hi, rank) per
+    boundary — all 4 boundary ranks narrow in the SAME scan; ties at a
+    boundary value resolve by collecting that final <=100k-row range
+    and rank-indexing (value, custkey) pairs). The assignment pass is
+    one stateless searchsorted against the 12 broadcast boundary
+    pairs; only 125 segment rows reach the driver. Nothing
+    customer-scale ever materializes driver-side (the curriculum
+    query's full value histogram would here be customer-sized)."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+    B = _pair_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = df.assign(m=cents).groupby("o_custkey", as_index=False).agg(
+            r=("o_orderdate", "max"), f=("o_custkey", "size"),
+            m=("m", "sum"))
+        g["f"] = g["f"].astype("int64")
+        g["m"] = g["m"].astype("int64")
+        return g.assign(_b=g["o_custkey"].astype("int64") % B)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+        return pd.DataFrame({
+            "o_custkey": out["o_custkey"].astype("int64"),
+            # recency as int64 MICROSECONDS (the parquet precision) so
+            # all three dims share one integer kernel; us epoch values
+            # (~2e15) stay exactly representable in float64 inside
+            # np.histogram, which ns values (~2e18 > 2^53) would not
+            "r": out["r"].astype("datetime64[us]").astype("int64"),
+            "f": out["f"].astype("int64"),
+            "m": out["m"].astype("int64"),
+        })
+
+    cust = ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("_b").map_groups(combine, batch_format="pandas") \
+        .materialize()
+    n = cust.count()
+    q, rem = divmod(n, 5)
+    # rank of the LAST row of quintile k (1-based, k = 1..4)
+    bounds_ranks = [k * q + min(k, rem) for k in range(1, 5)]
+
+    def select_pairs(dim: str) -> list[tuple[int, int]]:
+        """Exact (value, custkey) order statistics at bounds_ranks
+        under lexicographic (value, custkey) order, by histogram
+        narrowing on the int64 value then rank-indexing the final
+        collected range (ties included)."""
+        BINS = 512
+
+        def int_edges(lo: int, hi: int) -> np.ndarray:
+            # EXACT integer bin edges: float linspace edges would let a
+            # value land on a different side of floor/ceil-widened
+            # bounds than the bin np.histogram counted it in, skewing
+            # the residual rank. Integer edges make both agree exactly.
+            e = lo + (np.arange(BINS + 1, dtype=np.int64) * (hi - lo)) \
+                // BINS
+            return np.unique(e)
+
+        stats = cust.map_batches(
+            lambda df: pd.DataFrame(
+                {"lo": [df[dim].min()], "hi": [df[dim].max()]}),
+            batch_format="pandas").to_pandas()
+        glo, ghi = int(stats["lo"].min()), int(stats["hi"].max()) + 1
+        # state per boundary: [lo, hi, residual rank within [lo, hi)]
+        # where rank counts rows with value < lo already excluded
+        state = {r: [glo, ghi, r, False] for r in bounds_ranks}
+        for _ in range(8):
+            open_b = {r: (s[0], s[1]) for r, s in state.items() if not s[3]}
+            if not open_b:
+                break
+            b_ref = ray.put(open_b)
+
+            def hist(df: pd.DataFrame, _b=b_ref) -> pd.DataFrame:
+                b = ray.get(_b)
+                v_all = df[dim].to_numpy(dtype=np.int64)
+                rows = []
+                for r, (lo, hi) in b.items():
+                    v = v_all[(v_all >= lo) & (v_all < hi)]
+                    h, _ = np.histogram(v, bins=int_edges(lo, hi))
+                    rows.append((r, h.astype(np.int64).tobytes()))
+                return pd.DataFrame(rows, columns=["r", "h"])
+
+            hp = cust.map_batches(hist, batch_format="pandas").to_pandas()
+            for r, (lo, hi) in open_b.items():
+                edges = int_edges(lo, hi)
+                total = np.zeros(len(edges) - 1, dtype=np.int64)
+                for buf in hp.loc[hp["r"] == r, "h"]:
+                    total += np.frombuffer(buf, dtype=np.int64)
+                cum = np.cumsum(total)
+                rank = state[r][2]
+                bi = int(np.searchsorted(cum, rank))
+                new_rank = rank - (int(cum[bi - 1]) if bi else 0)
+                nlo, nhi = int(edges[bi]), int(edges[bi + 1])
+                done = bool(total[bi] <= 100_000) or nhi - nlo <= 1
+                state[r] = [nlo, nhi, new_rank, done]
+
+        fin_ref = ray.put({r: (s[0], s[1]) for r, s in state.items()})
+
+        def in_range(df: pd.DataFrame, _b=fin_ref) -> pd.DataFrame:
+            b = ray.get(_b)
+            v = df[dim].to_numpy(dtype=np.int64)
+            keep = []
+            for r, (lo, hi) in b.items():
+                m = (v >= lo) & (v < hi)
+                keep.append(pd.DataFrame(
+                    {"r": r, "v": v[m],
+                     "c": df["o_custkey"].to_numpy(dtype=np.int64)[m]}))
+            return pd.concat(keep, ignore_index=True)
+
+        vals = cust.map_batches(in_range, batch_format="pandas").to_pandas()
+        pairs = []
+        for r in bounds_ranks:
+            sub = vals.loc[vals["r"] == r].sort_values(["v", "c"])
+            rank = state[r][2]
+            row = sub.iloc[rank - 1]
+            pairs.append((int(row["v"]), int(row["c"])))
+        return pairs
+
+    cuts = {dim: select_pairs(dim) for dim in ("r", "f", "m")}
+    cuts_ref = ray.put(cuts)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cuts_ref)
+        ck = df["o_custkey"].to_numpy(dtype=np.int64)
+        out = {}
+        for dim in ("r", "f", "m"):
+            v = df[dim].to_numpy(dtype=np.int64)
+            # quintile = 1 + number of boundary pairs strictly below
+            # (value, custkey); a row equal to boundary k closes
+            # bucket k, so "strictly below" counts k-1 of them
+            qn = np.zeros(len(v), dtype=np.int64)
+            for bv, bc in c[dim]:
+                qn += (v > bv) | ((v == bv) & (ck > bc))
+            out[f"{dim}_q"] = qn + 1
+        g = pd.DataFrame(out).groupby(["r_q", "f_q", "m_q"],
+                                      as_index=False).size() \
+            .rename(columns={"size": "n_customers"})
+        g["n_customers"] = g["n_customers"].astype("int64")
+        return g
+
+    seg = cust.map_batches(assign, batch_format="pandas").to_pandas()
+    out = seg.groupby(["r_q", "f_q", "m_q"], as_index=False) \
+        ["n_customers"].sum()
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values(["r_q", "f_q", "m_q"]).reset_index(drop=True)
+
+
+# exact SQL mirror: same integer-cents monetary, same (value, custkey)
+# NTILE tie order on all three dimensions
+SQL_RFM_SEGMENTS = """
+WITH c AS (
+  SELECT o_custkey, max(o_orderdate) AS r, COUNT(*) AS f,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT ntile(5) OVER (ORDER BY r, o_custkey) AS r_q,
+         ntile(5) OVER (ORDER BY f, o_custkey) AS f_q,
+         ntile(5) OVER (ORDER BY m, o_custkey) AS m_q
+  FROM c
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM q GROUP BY r_q, f_q, m_q
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -7718,6 +7899,7 @@ QUERIES = {
     "pareto_orders": q_pareto_orders,
     "mad_outliers": q_mad_outliers,
     "event_burst_dedup": q_event_burst_dedup,
+    "rfm_segments": q_rfm_segments,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -7837,4 +8019,5 @@ ORACLE_SQL = {
     "pareto_orders": SQL_PARETO_ORDERS,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "event_burst_dedup": SQL_EVENT_BURST_DEDUP,
+    "rfm_segments": SQL_RFM_SEGMENTS,
 }

@@ -85,6 +85,7 @@ SUBSET = [
     "pareto_orders",
     "mad_outliers",
     "event_burst_dedup",
+    "rfm_segments",
 ]
 
 
@@ -1032,6 +1033,33 @@ def test_event_burst_dedup_hand_checked(ray_session, tmp_path):
     if isinstance(full, ray.data.Dataset):
         full = full.to_pandas()
     assert full["n_dropped"].sum() > 0
+
+
+def test_rfm_segments_hand_checked(ray_session, tmp_path):
+    """7 customers (n % 5 = 2, so quintiles 1-2 hold 2 rows each),
+    heavy ties on frequency and monetary so the (value, custkey)
+    NTILE tie-break is exercised; matches the SQL mirror exactly and
+    the segment census sums to the customer count."""
+    orders = pd.DataFrame({
+        "o_orderkey": range(1, 12),
+        "o_custkey": [1, 1, 2, 3, 4, 5, 6, 7, 7, 7, 3],
+        "o_orderstatus": ["O"] * 11,
+        "o_totalprice": [10.0] * 11,     # all-tied monetary per order
+        "o_orderdate": pd.to_datetime([
+            "2024-01-01", "2024-02-01", "2024-02-01", "2024-02-01",
+            "2024-03-01", "2024-03-01", "2024-01-15", "2024-01-10",
+            "2024-01-11", "2024-01-12", "2024-02-01"]),
+        "o_orderpriority": ["1-URGENT"] * 11,
+    })
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    mine = _norm(Q.QUERIES["rfm_segments"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["rfm_segments"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    assert mine["n_customers"].sum() == 7
+    assert mine[["f_q", "m_q", "r_q"]].isin(range(1, 6)).all().all()
 
 
 def test_vocab_growth_guard_paths_agree(ray_session):
