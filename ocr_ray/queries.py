@@ -7804,6 +7804,65 @@ FROM q GROUP BY r_q, f_q, m_q
 """
 
 
+def q_event_sequences(sf_dir: str):
+    """Sequential-pattern mining, the 3-gram case: the top-20 most
+    frequent CONSECUTIVE 3-event sequences across all users under the
+    (ts, event_id) per-user total order — what a product analyst pulls
+    to find dominant behavioral paths, and the order-3 extension of
+    q_event_transitions. One bounded shuffle: users hash into
+    _pair_buckets() partitions (a user's whole stream lands in one
+    bucket, so two vectorized shifts inside the bucket enumerate its
+    sequences exactly); each bucket emits <= |event_types|^3 partial
+    count rows, and the driver folds B x that tiny table before the
+    deterministic (n desc, sequence asc) top-20 cut. Event rows never
+    reach the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=df["user_id"].astype("int64") % B)
+
+    def seq_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"]
+        same2 = u.eq(u.shift(2))  # rows 3rd-or-later in their user run
+        p = pd.DataFrame({"t1": g["event_type"].shift(2)[same2],
+                          "t2": g["event_type"].shift(1)[same2],
+                          "t3": g["event_type"][same2]})
+        out = p.groupby(["t1", "t2", "t3"], as_index=False).size() \
+            .rename(columns={"size": "n_seq"})
+        out["n_seq"] = out["n_seq"].astype("int64")
+        return out
+
+    parts = ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("_b").map_groups(seq_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby(["t1", "t2", "t3"], as_index=False)["n_seq"].sum()
+    out["n_seq"] = out["n_seq"].astype("int64")
+    return out.sort_values(["n_seq", "t1", "t2", "t3"],
+                           ascending=[False, True, True, True]) \
+        .head(20).reset_index(drop=True)
+
+
+# exact SQL mirror: two LAGs under the same per-user total order, same
+# deterministic (n desc, sequence asc) top-20 cut
+SQL_EVENT_SEQUENCES = """
+WITH s AS (
+  SELECT lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_seq
+FROM s WHERE t1 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n_seq DESC, t1, t2, t3
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -7900,6 +7959,7 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "event_burst_dedup": q_event_burst_dedup,
     "rfm_segments": q_rfm_segments,
+    "event_sequences": q_event_sequences,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8020,4 +8080,5 @@ ORACLE_SQL = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "event_burst_dedup": SQL_EVENT_BURST_DEDUP,
     "rfm_segments": SQL_RFM_SEGMENTS,
+    "event_sequences": SQL_EVENT_SEQUENCES,
 }

@@ -86,6 +86,7 @@ SUBSET = [
     "mad_outliers",
     "event_burst_dedup",
     "rfm_segments",
+    "event_sequences",
 ]
 
 
@@ -1033,6 +1034,32 @@ def test_event_burst_dedup_hand_checked(ray_session, tmp_path):
     if isinstance(full, ray.data.Dataset):
         full = full.to_pandas()
     assert full["n_dropped"].sum() > 0
+
+
+def test_event_sequences_hand_checked(ray_session, tmp_path):
+    """Sequences never span users, windows are CONSECUTIVE triples
+    (4 events -> 2 sequences), and a tie at the tail sorts by the
+    sequence labels."""
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "user_id": [1, 1, 1, 1, 2, 2, 2],
+        "ts": pd.to_datetime([f"2024-01-01 00:00:0{i}" for i in range(7)]),
+        "event_type": ["a", "b", "c", "a", "b", "c", "a"],
+        "value": [0.0] * 7,
+        "props": [""] * 7,
+    })
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    mine = _norm(Q.QUERIES["event_sequences"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["event_sequences"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    got = {(r.t1, r.t2, r.t3): r.n_seq
+           for r in Q.QUERIES["event_sequences"](sf).itertuples()}
+    # user 1: abc, bca; user 2: bca — never a cross-user "a b c" from
+    # events 4-5-6
+    assert got == {("a", "b", "c"): 1, ("b", "c", "a"): 2}
 
 
 def test_rfm_segments_hand_checked(ray_session, tmp_path):
