@@ -1062,6 +1062,55 @@ def test_event_sequences_hand_checked(ray_session, tmp_path):
     assert got == {("a", "b", "c"): 1, ("b", "c", "a"): 2}
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_rfm_segments_random_vs_oracle(ray_session, tmp_path, seed):
+    """Seeded random order tables (heavy value ties, n not divisible
+    by 5) must match DuckDB's NTILE exactly — guards the boundary
+    selection and (value, custkey) tie-break across shapes the hand
+    test can't enumerate."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(23, 120))
+    orders = pd.DataFrame({
+        "o_orderkey": range(n),
+        "o_custkey": rng.integers(1, 18, n),
+        "o_orderstatus": ["O"] * n,
+        # 2-decimal prices from a tiny grid -> many exact ties
+        "o_totalprice": rng.integers(1, 6, n) * 10.25,
+        "o_orderdate": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 5, n), unit="D"),
+        "o_orderpriority": ["1-URGENT"] * n,
+    })
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    mine = _norm(Q.QUERIES["rfm_segments"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["rfm_segments"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_segment_dedup_random_vs_oracle(ray_session, tmp_path, seed):
+    """Seeded random docs from a 4-token alphabet (so segment
+    collisions are common) must match the SQL mirror exactly,
+    including short tails and repeated within-doc segments."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["aa", "bb", "cc", "dd"])
+    docs = pd.DataFrame({
+        "doc_id": range(30),
+        "text": [" ".join(rng.choice(vocab, size=int(rng.integers(0, 40))))
+                 for _ in range(30)],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    mine = _norm(Q.QUERIES["segment_dedup"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["segment_dedup"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+
+
 def test_rfm_segments_hand_checked(ray_session, tmp_path):
     """7 customers (n % 5 = 2, so quintiles 1-2 hold 2 rows each),
     heavy ties on frequency and monetary so the (value, custkey)
