@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["strip_boilerplate"]
+__all__ = ["strip_boilerplate", "extract_table_cells"]
 
 # containers whose entire content is boilerplate
 _KILL_TAGS = ("script", "style", "nav", "footer", "header", "aside", "noscript", "form")
@@ -36,6 +36,32 @@ _WS_RE = re.compile(r"\s+")
 
 def _clean(text: str) -> str:
     return _WS_RE.sub(" ", _TAG_RE.sub(" ", text)).strip()
+
+
+_TABLE_RE = re.compile(r"<table\b[^>]*>(.*?)</table\s*>",
+                       re.IGNORECASE | re.DOTALL)
+_TR_RE = re.compile(r"<tr\b[^>]*>(.*?)</tr\s*>", re.IGNORECASE | re.DOTALL)
+_TD_RE = re.compile(r"<t[dh]\b[^>]*>(.*?)</t[dh]\s*>",
+                    re.IGNORECASE | re.DOTALL)
+
+
+def extract_table_cells(html: str) -> list[tuple[int, int, int, str]]:
+    """Structured table extraction from an HTML fragment: one
+    (table_idx, row_idx, col_idx, cell_text) tuple per <td>/<th> cell,
+    in document order, inline tags stripped and whitespace collapsed
+    per cell. The DOM-layout-parse sibling of
+    :func:`strip_boilerplate` (the reference's layout parsing lives in
+    its PDF service, app/services/pdf_service.py:107-130; here the
+    structured-content case is HTML tables). Compiled regexes only —
+    runs on thousands of spans per ``map_batches`` batch."""
+    out: list[tuple[int, int, int, str]] = []
+    if not html:
+        return out
+    for ti, table in enumerate(_TABLE_RE.findall(html)):
+        for ri, row in enumerate(_TR_RE.findall(table)):
+            for ci, cell in enumerate(_TD_RE.findall(row)):
+                out.append((ti, ri, ci, _clean(cell)))
+    return out
 
 
 def strip_boilerplate(html: str, max_link_density: float = 0.4, min_text_chars: int = 20) -> str:

@@ -7863,6 +7863,65 @@ LIMIT 20
 """
 
 
+def q_extraction_html_tables(sf_dir: str):
+    """Structured DOM extraction gate: deterministic HTML documents —
+    a boilerplate shell (nav/footer/attribute noise, a TH header row)
+    wrapping a table whose cell VALUES are a closed-form function of
+    doc_id — stream through the real regex table parser
+    (``functions/html.extract_table_cells``), one batch of spans at a
+    time. The oracle never parses HTML: it regenerates the expected
+    (row, col, cell) lattice from the same modular arithmetic, so any
+    parser slip (missed row, swallowed attribute, wrong cell order)
+    breaks the hash. Stateless map_batches; cell rows ARE the result."""
+    from .functions.html import extract_table_cells
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen_parse(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"].astype("int64"):
+            R, C = int(d % 4 + 1), int(d % 3 + 2)
+            body = "".join(
+                "<tr class='r%d'>" % r
+                + "".join(f"<td >v{(d * 31 + r * 7 + c) % 97}</td>"
+                          for c in range(C))
+                + "</tr>"
+                for r in range(R))
+            head = "<tr>" + "".join(f"<th>h{c}</th>" for c in range(C)) \
+                + "</tr>"
+            html = ("<html><nav><a href='/'>menu</a></nav>"
+                    f"<table border=1>{head}{body}</table>"
+                    "<footer>© corp</footer></html>")
+            for ti, ri, ci, txt in extract_table_cells(html):
+                rows.append((d, ti, ri, ci, txt))
+        out = pd.DataFrame(rows, columns=["doc_id", "tbl", "row_idx",
+                                          "col_idx", "cell"])
+        for k in ("doc_id", "tbl", "row_idx", "col_idx"):
+            out[k] = out[k].astype("int64")
+        return out
+
+    return ds.map_batches(gen_parse, batch_format="pandas",
+                          batch_size=65536)
+
+
+# oracle regenerates the lattice closed-form — no HTML parsing; row 0
+# is the TH header row, data rows are offset by 1
+SQL_EXTRACTION_HTML_TABLES = """
+SELECT doc_id, CAST(0 AS BIGINT) AS tbl,
+       CAST(0 AS BIGINT) AS row_idx, CAST(c AS BIGINT) AS col_idx,
+       'h' || CAST(c AS VARCHAR) AS cell
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0, doc_id % 3 + 1)) AS c)
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS tbl,
+       CAST(r + 1 AS BIGINT) AS row_idx, CAST(c AS BIGINT) AS col_idx,
+       'v' || CAST((doc_id * 31 + r * 7 + c) % 97 AS VARCHAR) AS cell
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0, doc_id % 4)) AS r),
+     LATERAL (SELECT unnest(generate_series(0, doc_id % 3 + 1)) AS c)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -7960,6 +8019,7 @@ QUERIES = {
     "event_burst_dedup": q_event_burst_dedup,
     "rfm_segments": q_rfm_segments,
     "event_sequences": q_event_sequences,
+    "extraction_html_tables": q_extraction_html_tables,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8081,4 +8141,5 @@ ORACLE_SQL = {
     "event_burst_dedup": SQL_EVENT_BURST_DEDUP,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "event_sequences": SQL_EVENT_SEQUENCES,
+    "extraction_html_tables": SQL_EXTRACTION_HTML_TABLES,
 }

@@ -50,3 +50,28 @@ def test_empty_and_tagless():
     assert strip_boilerplate("Plain text without any markup at all here.") == (
         "Plain text without any markup at all here."
     )
+
+
+def test_extract_table_cells_basic_and_messy():
+    from ocr_ray.functions.html import extract_table_cells
+
+    html = ("<TABLE class='x'><tr><th>A</th><th >B</th></tr>"
+            "<tr id='r'><td>1</td><td>  two\n words </td></tr></TABLE>"
+            "<p>not a cell</p>"
+            "<table><tr><td><b>bold</b> tail</td></tr></table>")
+    cells = extract_table_cells(html)
+    assert cells == [
+        (0, 0, 0, "A"), (0, 0, 1, "B"),
+        (0, 1, 0, "1"), (0, 1, 1, "two words"),
+        (1, 0, 0, "bold tail"),
+    ]
+
+
+def test_extract_table_cells_empty_inputs():
+    from ocr_ray.functions.html import extract_table_cells
+
+    assert extract_table_cells("") == []
+    assert extract_table_cells("<p>no tables</p>") == []
+    # row with no cells contributes nothing; empty cell keeps position
+    assert extract_table_cells("<table><tr></tr><tr><td></td></tr></table>") \
+        == [(0, 1, 0, "")]

@@ -87,6 +87,7 @@ SUBSET = [
     "event_burst_dedup",
     "rfm_segments",
     "event_sequences",
+    "extraction_html_tables",
 ]
 
 
