@@ -7922,6 +7922,129 @@ FROM documents,
 """
 
 
+def q_weighted_median(sf_dir: str):
+    """Quantity-WEIGHTED median price per return flag — the weighted
+    order statistic (each row counts with weight w, the median is the
+    smallest value whose running weight reaches half the total), the
+    inventory-/revenue-weighted cousin of the count medians in
+    q_median_prices. Same histogram-narrowing scheme as
+    q_group_percentiles but the histograms accumulate WEIGHT SUMS per
+    bin (np.histogram(v, weights=w)) and the driver tracks one
+    residual weight rank per group; integer weights keep every
+    cumulative comparison exact. O(passes) scans, one (lo, hi, rank)
+    triple per group driver-side, final <=100k-row range collected for
+    the exact crossing value. The SQL mirror is the cumulative-weight
+    window with the same cw*2 >= tw crossing rule."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    BINS = 512
+
+    def wframe(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "grp": df["l_returnflag"],
+            "v": df["l_extendedprice"].to_numpy(dtype=np.float64),
+            "w": np.floor(df["l_quantity"].to_numpy(dtype=np.float64)
+                          + 0.5).astype(np.int64),
+        })
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        f = wframe(df)
+        return f.groupby("grp").agg(
+            tw=("w", "sum"), lo=("v", "min"), hi=("v", "max")) \
+            .reset_index()
+
+    parts = ds.map_batches(stats, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    agg = parts.groupby("grp").agg(
+        tw=("tw", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    # crossing rule cw*2 >= tw with integer cw == cw >= ceil(tw/2)
+    state = {g: [float(r["lo"]), float(np.nextafter(r["hi"], np.inf)),
+                 int(-(-int(r["tw"]) // 2)), False]
+             for g, r in agg.iterrows()}
+
+    for _ in range(6):
+        bounds = {g: (s[0], s[1]) for g, s in state.items() if not s[3]}
+        if not bounds:
+            break
+        b_ref = ray.put(bounds)
+
+        def hist(df: pd.DataFrame, _b=b_ref) -> pd.DataFrame:
+            b = ray.get(_b)
+            f = wframe(df)
+            rows = []
+            for grp, sub in f.groupby("grp"):
+                if grp not in b:
+                    continue
+                lo, hi = b[grp]
+                v = sub["v"].to_numpy()
+                w = sub["w"].to_numpy()
+                m = (v >= lo) & (v < hi)
+                h, _ = np.histogram(v[m], bins=np.linspace(lo, hi, BINS + 1),
+                                    weights=w[m].astype(np.float64))
+                # integer weights sum exactly in float64 at any
+                # realistic scale; store back as int64
+                rows.append((grp, np.rint(h).astype(np.int64).tobytes()))
+            return pd.DataFrame(rows, columns=["grp", "h"]) if rows else \
+                pd.DataFrame({"grp": pd.Series([], dtype="object"),
+                              "h": pd.Series([], dtype="object")})
+
+        hp = ds.map_batches(hist, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+        for grp, (lo, hi) in bounds.items():
+            total = np.zeros(BINS, dtype=np.int64)
+            for buf in hp.loc[hp["grp"] == grp, "h"]:
+                total += np.frombuffer(buf, dtype=np.int64)
+            edges = np.linspace(lo, hi, BINS + 1)
+            cum = np.cumsum(total)
+            rank = state[grp][2]
+            bi = int(np.searchsorted(cum, rank))
+            new_rank = rank - (int(cum[bi - 1]) if bi else 0)
+            done = bool(total[bi] <= 100_000)
+            state[grp] = [float(edges[bi]), float(edges[bi + 1]),
+                          new_rank, done]
+
+    fin_ref = ray.put({g: (s[0], s[1]) for g, s in state.items()})
+
+    def in_range(df: pd.DataFrame, _b=fin_ref) -> pd.DataFrame:
+        b = ray.get(_b)
+        f = wframe(df)
+        keep = []
+        for grp, sub in f.groupby("grp"):
+            lo, hi = b[grp]
+            m = (sub["v"].to_numpy() >= lo) & (sub["v"].to_numpy() < hi)
+            keep.append(sub.loc[m])
+        return pd.concat(keep, ignore_index=True) if keep else f.iloc[:0]
+
+    vals = ds.map_batches(in_range, batch_format="pandas").to_pandas()
+    rows = []
+    for grp, s in sorted(state.items()):
+        sub = vals.loc[vals["grp"] == grp].sort_values("v")
+        # collapse ties so the crossing value is the VALUE multiset's
+        cw = sub.groupby("v", sort=True)["w"].sum().cumsum()
+        v = cw.index.to_numpy()[np.searchsorted(cw.to_numpy(), s[2])]
+        rows.append((grp, round(float(v), 2)))
+    return pd.DataFrame(rows, columns=["l_returnflag", "wmedian_price"])
+
+
+# exact SQL mirror: cumulative-weight window (RANGE frame pools ties),
+# same integer crossing rule
+SQL_WEIGHTED_MEDIAN = """
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(ROUND(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, v,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM g
+)
+SELECT l_returnflag, ROUND(MIN(v), 2) AS wmedian_price
+FROM cum WHERE cw * 2 >= tw GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8020,6 +8143,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "event_sequences": q_event_sequences,
     "extraction_html_tables": q_extraction_html_tables,
+    "weighted_median": q_weighted_median,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8142,4 +8266,5 @@ ORACLE_SQL = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "event_sequences": SQL_EVENT_SEQUENCES,
     "extraction_html_tables": SQL_EXTRACTION_HTML_TABLES,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
 }

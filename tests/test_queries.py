@@ -88,6 +88,7 @@ SUBSET = [
     "rfm_segments",
     "event_sequences",
     "extraction_html_tables",
+    "weighted_median",
 ]
 
 
@@ -1110,6 +1111,38 @@ def test_segment_dedup_random_vs_oracle(ray_session, tmp_path, seed):
     mine = _norm(Q.QUERIES["segment_dedup"](sf))
     orc = _norm(con2.execute(Q.ORACLE_SQL["segment_dedup"]).df())
     pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+
+
+def test_weighted_median_hand_checked(ray_session, tmp_path):
+    """Weighted median crosses at the value where running weight
+    reaches half the total: values [10 (w=1), 20 (w=1), 30 (w=8)]
+    -> total 10, crossing at cw>=5 -> 30; an unweighted-median
+    reading would say 20. Tie pooling: two rows of the same value
+    pool their weights."""
+    li = pd.DataFrame({
+        "l_returnflag": ["A"] * 3 + ["B"] * 4,
+        "l_extendedprice": [10.0, 20.0, 30.0, 5.0, 5.0, 7.0, 9.0],
+        "l_quantity": [1.0, 1.0, 8.0, 2.0, 2.0, 3.0, 1.0],
+        "l_shipdate": pd.to_datetime(["2024-01-01"] * 7),
+        "l_discount": [0.0] * 7,
+        "l_tax": [0.0] * 7,
+        "l_orderkey": range(7),
+        "l_partkey": [0] * 7,
+        "l_suppkey": [0] * 7,
+        "l_linenumber": [1] * 7,
+    })
+    sf = str(tmp_path)
+    li.to_parquet(f"{sf}/lineitem.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    mine = _norm(Q.QUERIES["weighted_median"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["weighted_median"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    m = mine.set_index("l_returnflag")["wmedian_price"]
+    assert m["A"] == 30.0
+    # B: pooled 5s carry weight 4 of 8 total -> cw*2 >= tw at v=5
+    assert m["B"] == 5.0
 
 
 def test_rfm_segments_hand_checked(ray_session, tmp_path):
