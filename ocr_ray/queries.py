@@ -8045,6 +8045,61 @@ FROM cum WHERE cw * 2 >= tw GROUP BY l_returnflag
 """
 
 
+def q_extraction_reading_order(sf_dir: str):
+    """Reading-order merge gate (G1, the layout-parse step the north
+    rule names): per document a deterministic grid of region chunks —
+    R x C cells whose text is a closed-form token of (doc_id, row,
+    col), RTL direction for odd doc_ids — streams through the REAL
+    merge kernel (``functions/merge.merge_chunk_texts``: row-major,
+    column direction flipped under RTL, separator-joined since exact
+    projection cuts carry no overlap). The oracle never runs the
+    merger: it rebuilds the expected page text with an ordered
+    string_agg over the same lattice, so any ordering slip (RTL not
+    flipped, rows interleaved, separator wrong) breaks the hash.
+    Stateless map_batches; one (doc_id, page_text, n_chunks) row per
+    doc."""
+    from .config import MergeConfig
+    from .functions.merge import merge_chunk_texts
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    LTR, RTL = MergeConfig(), MergeConfig(rtl=True)
+
+    def gen_merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d in df["doc_id"].astype("int64"):
+            R, C = int(d % 3 + 1), int(d % 3 + 2)
+            chunks = [{"row": r, "col": c,
+                       "text": f"w{(d * 13 + r * 5 + c) % 89}"}
+                      for r in range(R) for c in range(C)]
+            cfg = RTL if d % 2 else LTR
+            rows.append((int(d), merge_chunk_texts(chunks, cfg),
+                         len(chunks)))
+        out = pd.DataFrame(rows, columns=["doc_id", "page_text",
+                                          "n_chunks"])
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_chunks"] = out["n_chunks"].astype("int64")
+        return out
+
+    return ds.map_batches(gen_merge, batch_format="pandas",
+                          batch_size=65536)
+
+
+# oracle rebuilds the merged text closed-form: row-major string_agg,
+# column order flipped for odd (RTL) docs, '\n\n' separator
+SQL_EXTRACTION_READING_ORDER = """
+SELECT doc_id,
+       string_agg('w' || CAST((doc_id * 13 + r * 5 + c) % 89 AS VARCHAR),
+                  chr(10) || chr(10)
+                  ORDER BY r, CASE WHEN doc_id % 2 = 1 THEN -c ELSE c END)
+         AS page_text,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0, doc_id % 3)) AS r),
+     LATERAL (SELECT unnest(generate_series(0, doc_id % 3 + 1)) AS c)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8144,6 +8199,7 @@ QUERIES = {
     "event_sequences": q_event_sequences,
     "extraction_html_tables": q_extraction_html_tables,
     "weighted_median": q_weighted_median,
+    "extraction_reading_order": q_extraction_reading_order,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8267,4 +8323,5 @@ ORACLE_SQL = {
     "event_sequences": SQL_EVENT_SEQUENCES,
     "extraction_html_tables": SQL_EXTRACTION_HTML_TABLES,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "extraction_reading_order": SQL_EXTRACTION_READING_ORDER,
 }

@@ -89,6 +89,7 @@ SUBSET = [
     "event_sequences",
     "extraction_html_tables",
     "weighted_median",
+    "extraction_reading_order",
 ]
 
 
