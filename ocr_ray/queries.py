@@ -8100,6 +8100,113 @@ GROUP BY doc_id
 """
 
 
+_DRIFT_A, _DRIFT_B, _DRIFT_V = "src0", "src1", 30
+
+
+def q_distribution_drift(sf_dir: str):
+    """Train/serve distribution-drift monitor: token-frequency
+    comparison between two corpus slices (sources src0 vs src1) — per
+    top-V token (by combined count, token-asc ties) the occurrence
+    counts in each slice and the probability gap p_a - p_b, the table
+    an ML-ops dashboard renders before a drift alarm. Shape: pushed-
+    down two-source read -> per-batch (token, src, n) partials -> ONE
+    shuffle bucketed by token hash (both slices' counts for a token
+    meet in its bucket, where they pivot to one row and the bucket
+    prunes to its local combined top-V — the global top-V is a subset
+    of the union); slice totals fold from O(batches x 2) tiny partial
+    rows, never a second scan. Counts are exact integers; the drift
+    gap is one double expression over the same four integers on both
+    sides."""
+    A, Bsrc, V = _DRIFT_A, _DRIFT_B, _DRIFT_V
+    ds = _read(sf_dir, "documents", ["source", "text"],
+               filter=pc.is_in(pc.field("source"),
+                               pa.array([A, Bsrc])))
+    B = _pair_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        e = df["text"].str.lower().str.split().explode().dropna()
+        if e.empty:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "src": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        t = pd.DataFrame({"src": df["source"].reindex(e.index).to_numpy(),
+                          "token": e.to_numpy()})
+        g = t.groupby(["token", "src"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        h = pd.util.hash_array(g["token"].to_numpy(dtype=object)) % B
+        return g.assign(_b=h.astype("int64"))
+
+    def pivot_prune(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["token", "src"], as_index=False)["n"].sum()
+        w = s.pivot(index="token", columns="src", values="n") \
+            .fillna(0).astype("int64")
+        for c in (A, Bsrc):
+            if c not in w.columns:
+                w[c] = 0
+        out = pd.DataFrame({"token": w.index,
+                            "cnt_a": w[A].to_numpy(dtype=np.int64),
+                            "cnt_b": w[Bsrc].to_numpy(dtype=np.int64)})
+        out["comb"] = out["cnt_a"] + out["cnt_b"]
+        return out.sort_values(["comb", "token"],
+                               ascending=[False, True]).head(V)
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+    # slice totals: O(batches x 2) rows folded driver-side
+    tots = parts.map_batches(
+        lambda df: df.groupby("src", as_index=False)["n"].sum(),
+        batch_format="pandas").to_pandas() \
+        .groupby("src")["n"].sum()
+    tot_a, tot_b = int(tots.get(A, 0)), int(tots.get(Bsrc, 0))
+
+    top = parts.groupby("_b").map_groups(pivot_prune,
+                                         batch_format="pandas") \
+        .to_pandas() \
+        .sort_values(["comb", "token"], ascending=[False, True]) \
+        .head(V).reset_index(drop=True)
+    drift = top["cnt_a"].to_numpy(dtype=np.float64) / tot_a \
+        - top["cnt_b"].to_numpy(dtype=np.float64) / tot_b
+    return pd.DataFrame({"token": top["token"],
+                         "cnt_a": top["cnt_a"].astype("int64"),
+                         "cnt_b": top["cnt_b"].astype("int64"),
+                         "drift": drift})
+
+
+# exact SQL mirror: same lowercase whitespace tokenization (the '\s+'
+# literal is widened by the _PYWS block below), same combined-count
+# top-V cut, same single-expression drift over identical integers
+SQL_DISTRIBUTION_DRIFT = r"""
+WITH norm AS (
+  SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+tok AS (
+  SELECT source, unnest(string_split(nt, ' ')) AS token
+  FROM norm WHERE length(nt) > 0
+),
+c AS (
+  SELECT token,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cnt_a,
+         SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cnt_b
+  FROM tok GROUP BY token
+),
+t AS (
+  SELECT SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tot_a,
+         SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS tot_b
+  FROM tok
+)
+SELECT token, CAST(cnt_a AS BIGINT) AS cnt_a,
+       CAST(cnt_b AS BIGINT) AS cnt_b,
+       CAST(cnt_a AS DOUBLE) / t.tot_a
+         - CAST(cnt_b AS DOUBLE) / t.tot_b AS drift
+FROM c CROSS JOIN t
+ORDER BY cnt_a + cnt_b DESC, token
+LIMIT 30
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8200,6 +8307,7 @@ QUERIES = {
     "extraction_html_tables": q_extraction_html_tables,
     "weighted_median": q_weighted_median,
     "extraction_reading_order": q_extraction_reading_order,
+    "distribution_drift": q_distribution_drift,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8216,7 +8324,7 @@ for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
            "SQL_DECONTAMINATION", "SQL_SHARD_PACKING",
            "SQL_CORPUS_FAMILIARITY", "SQL_VOCAB_GROWTH",
            "SQL_NGRAM_NOVELTY", "SQL_BIGRAM_FAMILIARITY",
-           "SQL_SEGMENT_DEDUP"):
+           "SQL_SEGMENT_DEDUP", "SQL_DISTRIBUTION_DRIFT"):
     # import-time assert: a reformatted literal would make the replace
     # a silent no-op and revert that oracle to RE2's narrower \s
     assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
@@ -8324,4 +8432,5 @@ ORACLE_SQL = {
     "extraction_html_tables": SQL_EXTRACTION_HTML_TABLES,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "extraction_reading_order": SQL_EXTRACTION_READING_ORDER,
+    "distribution_drift": SQL_DISTRIBUTION_DRIFT,
 }

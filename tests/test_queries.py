@@ -90,6 +90,7 @@ SUBSET = [
     "extraction_html_tables",
     "weighted_median",
     "extraction_reading_order",
+    "distribution_drift",
 ]
 
 
