@@ -8152,8 +8152,12 @@ def q_distribution_drift(sf_dir: str):
         return out.sort_values(["comb", "token"],
                                ascending=[False, True]).head(V)
 
+    # materialized ONCE: both consumers (totals fold, top-V shuffle)
+    # read the same partial-count blocks — without this the tokenize
+    # scan would re-run per consumer. The blocks are distinct-token
+    # partials, far smaller than the corpus slice.
     parts = ds.map_batches(partial, batch_format="pandas",
-                           batch_size=65536)
+                           batch_size=65536).materialize()
     # slice totals: O(batches x 2) rows folded driver-side
     tots = parts.map_batches(
         lambda df: df.groupby("src", as_index=False)["n"].sum(),
