@@ -7518,9 +7518,14 @@ def q_mad_outliers(sf_dir: str):
                          batch_size=65536).to_pandas() \
         .groupby("event_type", as_index=False)["n_outliers"].sum()
     cnt["n_outliers"] = cnt["n_outliers"].astype("int64")
-    cnt["med"] = cnt["event_type"].map(med).round(4)
+    # UNROUNDED: med/mad are actual data values (or |v1 - v2| diffs)
+    # identical on both sides; a 4-decimal round here would expose the
+    # half-even (pandas) vs half-away (SQL ROUND) midpoint divergence
+    # for free — the compare protocol's own 6-decimal float rounding
+    # is applied identically to both sides
+    cnt["med"] = cnt["event_type"].map(med)
     cnt["mad"] = cnt["event_type"].map(
-        {g: mv for g, (mv, _) in mad_n.items()}).round(4)
+        {g: mv for g, (mv, _) in mad_n.items()})
     cnt["n_events"] = cnt["event_type"].map(
         {g: n for g, (_, n) in mad_n.items()}).astype("int64")
     return cnt[["event_type", "med", "mad", "n_outliers", "n_events"]] \
@@ -7550,7 +7555,7 @@ madt AS (
   SELECT event_type, d AS mad, med, n FROM rankedd
   WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
 )
-SELECT e.event_type, ROUND(m.med, 4) AS med, ROUND(m.mad, 4) AS mad,
+SELECT e.event_type, m.med, m.mad,
        CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * m.mad
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        CAST(COUNT(*) AS BIGINT) AS n_events
@@ -7678,12 +7683,16 @@ def q_rfm_segments(sf_dir: str):
     # rank of the LAST row of quintile k (1-based, k = 1..4)
     bounds_ranks = [k * q + min(k, rem) for k in range(1, 5)]
 
-    def select_pairs(dim: str) -> list[tuple[int, int]]:
-        """Exact (value, custkey) order statistics at bounds_ranks
-        under lexicographic (value, custkey) order, by histogram
-        narrowing on the int64 value then rank-indexing the final
-        collected range (ties included)."""
+    def select_all_pairs() -> dict[str, list[tuple[int, int]]]:
+        """Exact (value, custkey) order statistics at bounds_ranks for
+        ALL THREE dimensions simultaneously — state keyed by (dim,
+        rank), so every boundary of every dimension narrows in the
+        SAME stats / histogram / collect scans (one dataset pass per
+        round instead of one per dimension, the q_group_percentiles
+        rule). Ties resolve by rank-indexing the final collected
+        <=100k-row range under (value, custkey)."""
         BINS = 512
+        DIMS = ("r", "f", "m")
 
         def int_edges(lo: int, hi: int) -> np.ndarray:
             # EXACT integer bin edges: float linspace edges would let a
@@ -7696,65 +7705,76 @@ def q_rfm_segments(sf_dir: str):
 
         stats = cust.map_batches(
             lambda df: pd.DataFrame(
-                {"lo": [df[dim].min()], "hi": [df[dim].max()]}),
+                {d + s: [getattr(df[d], m)()]
+                 for d in DIMS for s, m in (("_lo", "min"), ("_hi", "max"))}),
             batch_format="pandas").to_pandas()
-        glo, ghi = int(stats["lo"].min()), int(stats["hi"].max()) + 1
-        # state per boundary: [lo, hi, residual rank within [lo, hi)]
-        # where rank counts rows with value < lo already excluded
-        state = {r: [glo, ghi, r, False] for r in bounds_ranks}
+        # state per (dim, boundary): [lo, hi, residual rank within
+        # [lo, hi)] where rank counts rows with value < lo already
+        # excluded
+        state = {}
+        for d in DIMS:
+            glo = int(stats[d + "_lo"].min())
+            ghi = int(stats[d + "_hi"].max()) + 1
+            for r in bounds_ranks:
+                state[(d, r)] = [glo, ghi, r, False]
         for _ in range(8):
-            open_b = {r: (s[0], s[1]) for r, s in state.items() if not s[3]}
+            open_b = {k: (s[0], s[1]) for k, s in state.items() if not s[3]}
             if not open_b:
                 break
             b_ref = ray.put(open_b)
 
             def hist(df: pd.DataFrame, _b=b_ref) -> pd.DataFrame:
                 b = ray.get(_b)
-                v_all = df[dim].to_numpy(dtype=np.int64)
                 rows = []
-                for r, (lo, hi) in b.items():
+                for (d, r), (lo, hi) in b.items():
+                    v_all = df[d].to_numpy(dtype=np.int64)
                     v = v_all[(v_all >= lo) & (v_all < hi)]
                     h, _ = np.histogram(v, bins=int_edges(lo, hi))
-                    rows.append((r, h.astype(np.int64).tobytes()))
-                return pd.DataFrame(rows, columns=["r", "h"])
+                    rows.append((d, r, h.astype(np.int64).tobytes()))
+                return pd.DataFrame(rows, columns=["d", "r", "h"])
 
             hp = cust.map_batches(hist, batch_format="pandas").to_pandas()
-            for r, (lo, hi) in open_b.items():
+            for (d, r), (lo, hi) in open_b.items():
                 edges = int_edges(lo, hi)
                 total = np.zeros(len(edges) - 1, dtype=np.int64)
-                for buf in hp.loc[hp["r"] == r, "h"]:
+                sel = (hp["d"] == d) & (hp["r"] == r)
+                for buf in hp.loc[sel, "h"]:
                     total += np.frombuffer(buf, dtype=np.int64)
                 cum = np.cumsum(total)
-                rank = state[r][2]
+                rank = state[(d, r)][2]
                 bi = int(np.searchsorted(cum, rank))
                 new_rank = rank - (int(cum[bi - 1]) if bi else 0)
                 nlo, nhi = int(edges[bi]), int(edges[bi + 1])
                 done = bool(total[bi] <= 100_000) or nhi - nlo <= 1
-                state[r] = [nlo, nhi, new_rank, done]
+                state[(d, r)] = [nlo, nhi, new_rank, done]
 
-        fin_ref = ray.put({r: (s[0], s[1]) for r, s in state.items()})
+        fin_ref = ray.put({k: (s[0], s[1]) for k, s in state.items()})
 
         def in_range(df: pd.DataFrame, _b=fin_ref) -> pd.DataFrame:
             b = ray.get(_b)
-            v = df[dim].to_numpy(dtype=np.int64)
+            ck = df["o_custkey"].to_numpy(dtype=np.int64)
             keep = []
-            for r, (lo, hi) in b.items():
+            for (d, r), (lo, hi) in b.items():
+                v = df[d].to_numpy(dtype=np.int64)
                 m = (v >= lo) & (v < hi)
                 keep.append(pd.DataFrame(
-                    {"r": r, "v": v[m],
-                     "c": df["o_custkey"].to_numpy(dtype=np.int64)[m]}))
+                    {"d": d, "r": r, "v": v[m], "c": ck[m]}))
             return pd.concat(keep, ignore_index=True)
 
         vals = cust.map_batches(in_range, batch_format="pandas").to_pandas()
-        pairs = []
-        for r in bounds_ranks:
-            sub = vals.loc[vals["r"] == r].sort_values(["v", "c"])
-            rank = state[r][2]
-            row = sub.iloc[rank - 1]
-            pairs.append((int(row["v"]), int(row["c"])))
-        return pairs
+        out: dict[str, list[tuple[int, int]]] = {}
+        for d in DIMS:
+            pairs = []
+            for r in bounds_ranks:
+                sub = vals.loc[(vals["d"] == d) & (vals["r"] == r)] \
+                    .sort_values(["v", "c"])
+                rank = state[(d, r)][2]
+                row = sub.iloc[rank - 1]
+                pairs.append((int(row["v"]), int(row["c"])))
+            out[d] = pairs
+        return out
 
-    cuts = {dim: select_pairs(dim) for dim in ("r", "f", "m")}
+    cuts = select_all_pairs()
     cuts_ref = ray.put(cuts)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -8022,7 +8042,8 @@ def q_weighted_median(sf_dir: str):
         # collapse ties so the crossing value is the VALUE multiset's
         cw = sub.groupby("v", sort=True)["w"].sum().cumsum()
         v = cw.index.to_numpy()[np.searchsorted(cw.to_numpy(), s[2])]
-        rows.append((grp, round(float(v), 2)))
+        # UNROUNDED data value: same midpoint rationale as mad_outliers
+        rows.append((grp, float(v)))
     return pd.DataFrame(rows, columns=["l_returnflag", "wmedian_price"])
 
 
@@ -8040,7 +8061,7 @@ cum AS (
          SUM(w) OVER (PARTITION BY l_returnflag) AS tw
   FROM g
 )
-SELECT l_returnflag, ROUND(MIN(v), 2) AS wmedian_price
+SELECT l_returnflag, MIN(v) AS wmedian_price
 FROM cum WHERE cw * 2 >= tw GROUP BY l_returnflag
 """
 
@@ -8164,6 +8185,12 @@ def q_distribution_drift(sf_dir: str):
         batch_format="pandas").to_pandas() \
         .groupby("src")["n"].sum()
     tot_a, tot_b = int(tots.get(A, 0)), int(tots.get(Bsrc, 0))
+    if tot_a == 0 or tot_b == 0:
+        # a monitor comparing against an empty slice is a configuration
+        # error — fail loudly instead of emitting inf/nan drift rows
+        raise ValueError(
+            f"distribution_drift: empty token slice (tot_{A}={tot_a}, "
+            f"tot_{Bsrc}={tot_b})")
 
     top = parts.groupby("_b").map_groups(pivot_prune,
                                          batch_format="pandas") \
