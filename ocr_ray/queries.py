@@ -5747,7 +5747,10 @@ def q_group_percentiles(sf_dir: str):
     for (grp, q), s in sorted(state.items()):
         sel = (vals["grp"] == grp) & (vals["q"] == q)
         v = np.sort(vals.loc[sel, "value"].to_numpy())
-        rows.append((grp, q, round(float(v[s[2] - 1]), 4)))
+        # UNROUNDED data value: a 4-decimal round would expose the
+        # half-even (pandas) vs half-away (SQL ROUND) midpoint
+        # divergence; the compare protocol rounds floats identically
+        rows.append((grp, q, float(v[s[2] - 1])))
     return pd.DataFrame(rows, columns=["event_type", "q", "pctl_value"])
 
 
@@ -5759,7 +5762,7 @@ ranked AS (
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
 )
-SELECT event_type, q, ROUND(value, 4) AS pctl_value
+SELECT event_type, q, value AS pctl_value
 FROM ranked JOIN qs ON rn = CAST(CEIL(q * n) AS BIGINT)
 """
 
@@ -7415,7 +7418,18 @@ def q_mad_outliers(sf_dir: str):
 
     def group_median(dev_med: dict | None) -> dict[str, tuple]:
         """Exact per-group lower median of value (dev_med None) or of
-        |value - dev_med[grp]|. Returns {grp: (median, n)}."""
+        |value - dev_med[grp]|. Returns {grp: (median, n)}.
+
+        One of the narrowing-kernel family (q_group_percentiles /
+        here / q_rfm_segments.select_all_pairs / q_weighted_median).
+        They deliberately stay separate: the float-domain variants
+        (this one, percentiles, weighted) bin with np.linspace edges
+        and filter with THE SAME float edges — self-consistent — while
+        the int-domain variant (rfm) needs exact integer edges because
+        its ranks index an integer lattice; rfm also selects (value,
+        key) PAIRS and weighted accumulates WEIGHT sums. A single
+        parameterized helper would thread 4 axes of variation through
+        every call site."""
         med_ref = ray.put(dev_med)
 
         def vframe(df: pd.DataFrame) -> pd.DataFrame:
