@@ -8252,6 +8252,77 @@ LIMIT 30
 """
 
 
+def q_basket_pairs(sf_dir: str):
+    """Market-basket pair mining: the top-20 part pairs most often
+    bought together in one order (frequent-itemset mining at k=2, the
+    co-purchase signal behind recommenders). Orders are the baskets:
+    lineitem rows hash-bucket by orderkey (a basket lives in ONE
+    bucket), each bucket expands its baskets' DISTINCT part sets into
+    a<b pairs with one numpy triu per basket (baskets are bounded —
+    TPC-H ~4-7 items — so the expansion is O(items^2) per basket, not
+    corpus-quadratic) and emits per-pair PARTIAL counts; a second
+    shuffle bucketed BY PAIR folds them — only there is the top-20
+    prune sound (a pair lives in exactly one pair-bucket, so its
+    bucket-local total IS global; pruning in the orderkey buckets
+    would drop partials of pairs whose orders straddle buckets) —
+    before the deterministic (n desc, pair asc) driver cut of
+    O(buckets x 20) rows."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["l_orderkey"].astype("int64")
+        return pd.DataFrame({"o": o, "p": df["l_partkey"].astype("int64"),
+                             "_b": o % B})
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"])
+        rows_a, rows_b = [], []
+        for _, parts in g.groupby("o")["p"]:
+            a = np.sort(parts.to_numpy(dtype=np.int64))
+            if a.size < 2:
+                continue
+            iu, ju = np.triu_indices(a.size, k=1)
+            rows_a.append(a[iu])
+            rows_b.append(a[ju])
+        if not rows_a:
+            return pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                                 "part_b": pd.Series([], dtype="int64"),
+                                 "n_orders": pd.Series([], dtype="int64")})
+        p = pd.DataFrame({"part_a": np.concatenate(rows_a),
+                          "part_b": np.concatenate(rows_b)})
+        out = p.groupby(["part_a", "part_b"], as_index=False).size() \
+            .rename(columns={"size": "n_orders"})
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    partials = ds.map_batches(add_bucket, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("_b").map_groups(pairs_bucket, batch_format="pandas")
+    out = _bucketed_combine(
+        partials, ["part_a", "part_b"], {"n_orders": "sum"},
+        topk=(20, ["n_orders", "part_a", "part_b"],
+              [False, True, True]))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["n_orders", "part_a", "part_b"],
+                           ascending=[False, True, True]) \
+        .head(20).reset_index(drop=True)
+
+
+# exact SQL mirror: distinct-per-basket a<b self-join, same cut
+SQL_BASKET_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(a.l_partkey AS BIGINT) AS part_a,
+       CAST(b.l_partkey AS BIGINT) AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8353,6 +8424,7 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "extraction_reading_order": q_extraction_reading_order,
     "distribution_drift": q_distribution_drift,
+    "basket_pairs": q_basket_pairs,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8478,4 +8550,5 @@ ORACLE_SQL = {
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "extraction_reading_order": SQL_EXTRACTION_READING_ORDER,
     "distribution_drift": SQL_DISTRIBUTION_DRIFT,
+    "basket_pairs": SQL_BASKET_PAIRS,
 }

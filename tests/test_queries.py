@@ -91,6 +91,7 @@ SUBSET = [
     "weighted_median",
     "extraction_reading_order",
     "distribution_drift",
+    "basket_pairs",
 ]
 
 
@@ -1145,6 +1146,36 @@ def test_weighted_median_hand_checked(ray_session, tmp_path):
     assert m["A"] == 30.0
     # B: pooled 5s carry weight 4 of 8 total -> cw*2 >= tw at v=5
     assert m["B"] == 5.0
+
+
+def test_basket_pairs_hand_checked(ray_session, tmp_path):
+    """Pairs count per ORDER (duplicate lineitems of a part in one
+    order count once), never across orders; cut ties sort by pair."""
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 2, 2, 3, 3, 3],
+        "l_partkey": [10, 20, 10, 10, 20, 10, 20, 30],
+        "l_quantity": [1.0] * 8,
+        "l_extendedprice": [1.0] * 8,
+        "l_discount": [0.0] * 8,
+        "l_tax": [0.0] * 8,
+        "l_returnflag": ["N"] * 8,
+        "l_shipdate": pd.to_datetime(["2024-01-01"] * 8),
+        "l_suppkey": [0] * 8,
+        "l_linenumber": range(8),
+    })
+    sf = str(tmp_path)
+    li.to_parquet(f"{sf}/lineitem.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    mine = _norm(Q.QUERIES["basket_pairs"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["basket_pairs"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    got = {(r.part_a, r.part_b): r.n_orders
+           for r in Q.QUERIES["basket_pairs"](sf).itertuples()}
+    # (10,20) in orders 1,2,3; (10,30),(20,30) in order 3 only; the
+    # duplicated part 10 in order 1 contributes no extra pair
+    assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
 
 
 def test_rfm_segments_hand_checked(ray_session, tmp_path):
