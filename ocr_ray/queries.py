@@ -8323,6 +8323,63 @@ LIMIT 20
 """
 
 
+def q_user_mode_event(sf_dir: str):
+    """MODE aggregate (argmax-of-count per key): each user's most
+    frequent event type with its count and the user's event total —
+    SQL's mode()/top-1 window, the categorical summary a feature store
+    materializes per entity. Per-batch (user, type, n) partials
+    shrink the shuffle to distinct pairs per batch; ONE shuffle
+    bucketed by user folds them and takes the per-user argmax with a
+    deterministic (n desc, type asc) tie — a user lives in one bucket,
+    so the bucket argmax IS global. Output is O(users)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    B = _pair_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["user_id"] = g["user_id"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g.assign(_b=g["user_id"] % B)
+
+    def argmax_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        s = s.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        tot = s.groupby("user_id")["n"].transform("sum")
+        s = s.assign(n_events=tot)
+        top = s.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": top["user_id"].astype("int64"),
+            "mode_type": top["event_type"],
+            "mode_n": top["n"].astype("int64"),
+            "n_events": top["n_events"].astype("int64"),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("_b").map_groups(argmax_bucket, batch_format="pandas")
+
+
+# exact SQL mirror: same (n desc, type asc) deterministic tie
+SQL_USER_MODE_EVENT = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, n,
+         SUM(n) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS mode_type,
+       CAST(n AS BIGINT) AS mode_n, CAST(n_events AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8425,6 +8482,7 @@ QUERIES = {
     "extraction_reading_order": q_extraction_reading_order,
     "distribution_drift": q_distribution_drift,
     "basket_pairs": q_basket_pairs,
+    "user_mode_event": q_user_mode_event,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8551,4 +8609,5 @@ ORACLE_SQL = {
     "extraction_reading_order": SQL_EXTRACTION_READING_ORDER,
     "distribution_drift": SQL_DISTRIBUTION_DRIFT,
     "basket_pairs": SQL_BASKET_PAIRS,
+    "user_mode_event": SQL_USER_MODE_EVENT,
 }

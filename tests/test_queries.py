@@ -92,6 +92,7 @@ SUBSET = [
     "extraction_reading_order",
     "distribution_drift",
     "basket_pairs",
+    "user_mode_event",
 ]
 
 
