@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "chunk_windows",
     "curriculum_buckets",
     "prefix_dups",
+    "segment_dedup",
+    "rfm_segments",
+    "basket_pairs",
+    "weighted_median",
 ]
 
 
