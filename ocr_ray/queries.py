@@ -8276,23 +8276,15 @@ def q_basket_pairs(sf_dir: str):
                              "_b": o % B})
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["o", "p"])
-        rows_a, rows_b = [], []
-        for _, parts in g.groupby("o")["p"]:
-            a = np.sort(parts.to_numpy(dtype=np.int64))
-            if a.size < 2:
-                continue
-            iu, ju = np.triu_indices(a.size, k=1)
-            rows_a.append(a[iu])
-            rows_b.append(a[ju])
-        if not rows_a:
-            return pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
-                                 "part_b": pd.Series([], dtype="int64"),
-                                 "n_orders": pd.Series([], dtype="int64")})
-        p = pd.DataFrame({"part_a": np.concatenate(rows_a),
-                          "part_b": np.concatenate(rows_b)})
-        out = p.groupby(["part_a", "part_b"], as_index=False).size() \
-            .rename(columns={"size": "n_orders"})
+        # vectorized a<b expansion: one hash self-merge on the basket
+        # key (baskets are bounded, so the join fan-out is O(items^2)
+        # per basket) — no Python loop over the bucket's baskets
+        g = g.drop_duplicates(["o", "p"])[["o", "p"]]
+        m = g.merge(g, on="o", suffixes=("_a", "_b"))
+        m = m.loc[m["p_a"] < m["p_b"]]
+        out = m.groupby(["p_a", "p_b"], as_index=False).size() \
+            .rename(columns={"size": "n_orders",
+                             "p_a": "part_a", "p_b": "part_b"})
         out["n_orders"] = out["n_orders"].astype("int64")
         return out
 
