@@ -8372,6 +8372,115 @@ FROM r WHERE rn = 1
 """
 
 
+def q_repeat_customers(sf_dir: str):
+    """INTERSECT set op (completing the union / EXCEPT family):
+    customers who ordered in BOTH 1996 and 1997, rolled up to counts
+    per market segment. One pushed-down year-filtered read; per-batch
+    DISTINCT (custkey, year) partials; ONE shuffle bucketed by custkey
+    where presence in both years is a vectorized 2-row check per key
+    (a customer lives in one bucket); the segment lookup rides the
+    same shuffle as tagged dim rows (the lost_customers three-way
+    pattern), so the driver folds only O(segments) rows."""
+    y94 = (pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01"))
+    y95 = (pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01"))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"],
+                   filter=(pc.field("o_orderdate") >= pa.scalar(y94[0]))
+                   & (pc.field("o_orderdate") < pa.scalar(y95[1])))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    B = _pair_buckets()
+
+    def order_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"]
+        yr = np.where(d < y94[1], 1996, 1997).astype(np.int64)
+        out = pd.DataFrame({"key": df["o_custkey"].astype("int64"),
+                            "yr": yr}).drop_duplicates()
+        out["seg"] = ""
+        return out.assign(_b=out["key"] % B)
+
+    def dim_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df["c_custkey"].astype("int64"),
+                            "yr": np.int64(0),
+                            "seg": df["c_mktsegment"]})
+        return out.assign(_b=out["key"] % B)
+
+    def both_years(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["yr"] > 0].drop_duplicates(["key", "yr"])
+        n_years = o.groupby("key")["yr"].nunique()
+        keep = set(n_years[n_years == 2].index)
+        d = g.loc[(g["yr"] == 0) & g["key"].isin(keep)]
+        if d.empty:
+            return pd.DataFrame(
+                {"c_mktsegment": pd.Series([], dtype="object"),
+                 "n_customers": pd.Series([], dtype="int64")})
+        out = d.groupby("seg", as_index=False).size() \
+            .rename(columns={"size": "n_customers", "seg": "c_mktsegment"})
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out[["c_mktsegment", "n_customers"]]
+
+    parts = orders.map_batches(order_part, batch_format="pandas",
+                               batch_size=65536) \
+        .union(cust.map_batches(dim_part, batch_format="pandas")) \
+        .groupby("_b").map_groups(both_years, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("c_mktsegment", as_index=False)["n_customers"].sum()
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# exact SQL mirror: INTERSECT of the two yearly custkey sets
+SQL_REPEAT_CUSTOMERS = """
+WITH both_y AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN both_y ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_price_quantity_hist2d(sf_dir: str):
+    """2-D profiling histogram: joint (price band x quantity) counts
+    over lineitem — the bivariate scatter summary a profiler or BI
+    heatmap consumes, and the 2-D sibling of q_price_histogram.
+    Stateless shape: each batch emits its partial 2-D bincount as
+    (price_band, qty, n) rows (<= bands x qtys per batch regardless
+    of batch size, fully vectorized integer banding); one bounded
+    combine folds them. All-integer cells, no shuffle of raw rows."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    BAND = 10_000  # price band width in whole currency units
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        band = (df["l_extendedprice"].to_numpy(dtype=np.float64)
+                // BAND).astype(np.int64)
+        qty = np.floor(df["l_quantity"].to_numpy(dtype=np.float64)
+                       + 0.5).astype(np.int64)
+        g = pd.DataFrame({"price_band": band, "qty": qty}) \
+            .groupby(["price_band", "qty"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    out = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby(["price_band", "qty"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["price_band", "qty"]).reset_index(drop=True)
+
+
+# exact SQL mirror: same integer banding (floor-div on price, round on
+# quantity)
+SQL_PRICE_QUANTITY_HIST2D = """
+SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS price_band,
+       CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8475,6 +8584,8 @@ QUERIES = {
     "distribution_drift": q_distribution_drift,
     "basket_pairs": q_basket_pairs,
     "user_mode_event": q_user_mode_event,
+    "repeat_customers": q_repeat_customers,
+    "price_quantity_hist2d": q_price_quantity_hist2d,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8602,4 +8713,6 @@ ORACLE_SQL = {
     "distribution_drift": SQL_DISTRIBUTION_DRIFT,
     "basket_pairs": SQL_BASKET_PAIRS,
     "user_mode_event": SQL_USER_MODE_EVENT,
+    "repeat_customers": SQL_REPEAT_CUSTOMERS,
+    "price_quantity_hist2d": SQL_PRICE_QUANTITY_HIST2D,
 }

@@ -93,6 +93,8 @@ SUBSET = [
     "distribution_drift",
     "basket_pairs",
     "user_mode_event",
+    "repeat_customers",
+    "price_quantity_hist2d",
 ]
 
 
