@@ -8481,6 +8481,101 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check in one O(len) pass (the verify
+    step after SymSpell blocking; full DP never runs)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # one substitution allowed
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0  # a is shorter: one skip in b allowed
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q_fuzzy_name_matches(sf_dir: str):
+    """Approximate string matching via SymSpell deletion blocking
+    (public algorithm): pairs of DISTINCT part names at edit distance
+    exactly 1, with each name's part count — the entity-resolution /
+    typo-clustering primitive. The scale story is the blocking: a
+    name's candidate set is every name sharing an entry of
+    {name} ∪ single-deletions(name), so candidates are found by ONE
+    shuffle of (variant, name) rows bucketed by variant hash — never a
+    vocabulary^2 scan (the SQL oracle's all-pairs levenshtein IS that
+    quadratic check, feasible only because the name vocabulary is
+    bounded). Within a bucket, pairs sharing a variant are verified
+    with an O(len) ed<=1 pass; a second shuffle bucketed by pair
+    dedupes pairs that shared variants across buckets. Name counts
+    come from the catalog-standard bucketed combine."""
+    ds = _read(sf_dir, "part", ["p_name"])
+    B = _pair_buckets()
+
+    def name_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_name", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    names = _bucketed_combine(
+        ds.map_batches(name_partial, batch_format="pandas",
+                       batch_size=65536), ["p_name"], {"n": "sum"})
+    nds = ray.data.from_pandas(names.reset_index(drop=True))
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        rows_v, rows_n, rows_c = [], [], []
+        for nm, cnt in zip(df["p_name"], df["n"]):
+            vs = {nm} | {nm[:i] + nm[i + 1:] for i in range(len(nm))}
+            rows_v.extend(vs)
+            rows_n.extend([nm] * len(vs))
+            rows_c.extend([int(cnt)] * len(vs))
+        out = pd.DataFrame({"v": rows_v, "name": rows_n, "n": rows_c})
+        h = pd.util.hash_array(out["v"].to_numpy(dtype=object)) % B
+        return out.assign(_b=h.astype("int64"))
+
+    def candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="v", suffixes=("_a", "_b"))
+        m = m.loc[m["name_a"] < m["name_b"],
+                  ["name_a", "name_b", "n_a", "n_b"]].drop_duplicates(
+                      ["name_a", "name_b"])
+        keep = [_ed_le1(a, b) for a, b in zip(m["name_a"], m["name_b"])]
+        m = m.loc[keep]
+        h = pd.util.hash_array(
+            (m["name_a"] + "\x1f" + m["name_b"]).to_numpy(dtype=object)) % B
+        return m.assign(_b2=h.astype("int64"))
+
+    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["name_a", "name_b"])
+        return pd.DataFrame({
+            "name_a": out["name_a"], "name_b": out["name_b"],
+            "n_parts_a": out["n_a"].astype("int64"),
+            "n_parts_b": out["n_b"].astype("int64"),
+        })
+
+    out = nds.map_batches(variants, batch_format="pandas") \
+        .groupby("_b").map_groups(candidate_pairs, batch_format="pandas") \
+        .groupby("_b2").map_groups(dedupe_pairs, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+# oracle: the quadratic all-pairs levenshtein the blocking replaces —
+# feasible because the name vocabulary is bounded
+SQL_FUZZY_NAME_MATCHES = """
+WITH n AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS np
+           FROM part GROUP BY p_name)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       a.np AS n_parts_a, b.np AS n_parts_b
+FROM n a JOIN n b
+  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8586,6 +8681,7 @@ QUERIES = {
     "user_mode_event": q_user_mode_event,
     "repeat_customers": q_repeat_customers,
     "price_quantity_hist2d": q_price_quantity_hist2d,
+    "fuzzy_name_matches": q_fuzzy_name_matches,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8715,4 +8811,5 @@ ORACLE_SQL = {
     "user_mode_event": SQL_USER_MODE_EVENT,
     "repeat_customers": SQL_REPEAT_CUSTOMERS,
     "price_quantity_hist2d": SQL_PRICE_QUANTITY_HIST2D,
+    "fuzzy_name_matches": SQL_FUZZY_NAME_MATCHES,
 }

@@ -95,6 +95,7 @@ SUBSET = [
     "user_mode_event",
     "repeat_customers",
     "price_quantity_hist2d",
+    "fuzzy_name_matches",
 ]
 
 
@@ -1179,6 +1180,28 @@ def test_basket_pairs_hand_checked(ray_session, tmp_path):
     # (10,20) in orders 1,2,3; (10,30),(20,30) in order 3 only; the
     # duplicated part 10 in order 1 contributes no extra pair
     assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+
+
+def test_ed_le1_matches_levenshtein():
+    """The O(len) ed<=1 verifier agrees with DuckDB levenshtein on
+    random short strings (both match/non-match directions), and the
+    SymSpell blocking is complete: every ED=1 pair shares a deletion
+    variant."""
+    from ocr_ray.queries import _ed_le1
+
+    rng = np.random.default_rng(7)
+    con2 = duckdb.connect()
+    words = ["".join(rng.choice(list("abc"), size=int(rng.integers(0, 6))))
+             for _ in range(60)]
+    for a in words[:30]:
+        for b in words[30:]:
+            lev = con2.execute(
+                "SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+            assert _ed_le1(a, b) == (lev <= 1), (a, b, lev)
+            if lev == 1:
+                va = {a} | {a[:i] + a[i + 1:] for i in range(len(a))}
+                vb = {b} | {b[:i] + b[i + 1:] for i in range(len(b))}
+                assert va & vb, (a, b)
 
 
 def test_rfm_segments_hand_checked(ray_session, tmp_path):
