@@ -8576,6 +8576,78 @@ FROM n a JOIN n b
 """
 
 
+def q_user_longest_streak(sf_dir: str):
+    """Longest STREAK per user: the maximum run of consecutive
+    identical event types under the (ts, event_id) total order, and
+    which type it was — the run-length flavor of gaps-and-islands
+    (q_session_stats islands on time gaps; this islands on value
+    changes), the engagement-streak metric. One bounded shuffle by
+    user hash; each bucket detects runs in one vectorized
+    change-flag + cumsum pass over thousands of users, reduces to
+    per-user argmax with a deterministic (len desc, type asc) tie, and
+    emits one row per user."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=df["user_id"].astype("int64") % B)
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_run = g["user_id"].ne(g["user_id"].shift()) \
+            | g["event_type"].ne(g["event_type"].shift())
+        run_id = new_run.cumsum()
+        runs = pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                             "event_type": g["event_type"],
+                             "run": run_id}) \
+            .groupby(["user_id", "run", "event_type"], as_index=False) \
+            .size().rename(columns={"size": "streak"})
+        # same-length same-type runs collapse before the argmax so the
+        # tie order matches the SQL mirror's DISTINCT
+        runs = runs.drop_duplicates(["user_id", "event_type", "streak"])
+        runs = runs.sort_values(["user_id", "streak", "event_type"],
+                                ascending=[True, False, True])
+        top = runs.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": top["user_id"].astype("int64"),
+            "streak_type": top["event_type"],
+            "streak_len": top["streak"].astype("int64"),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("_b").map_groups(streaks, batch_format="pandas")
+
+
+# exact SQL mirror: islands via the rn-difference trick, same
+# (len desc, type asc) argmax over DISTINCT (user, type, len)
+SQL_USER_LONGEST_STREAK = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events
+),
+runs AS (
+  SELECT DISTINCT user_id, event_type,
+         COUNT(*) OVER (PARTITION BY user_id, event_type, rn - rnt)
+           AS streak
+  FROM o
+),
+ranked AS (
+  SELECT user_id, event_type, streak,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY streak DESC, event_type) AS k
+  FROM (SELECT DISTINCT user_id, event_type, streak FROM runs)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS streak_type,
+       CAST(streak AS BIGINT) AS streak_len
+FROM ranked WHERE k = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8682,6 +8754,7 @@ QUERIES = {
     "repeat_customers": q_repeat_customers,
     "price_quantity_hist2d": q_price_quantity_hist2d,
     "fuzzy_name_matches": q_fuzzy_name_matches,
+    "user_longest_streak": q_user_longest_streak,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8812,4 +8885,5 @@ ORACLE_SQL = {
     "repeat_customers": SQL_REPEAT_CUSTOMERS,
     "price_quantity_hist2d": SQL_PRICE_QUANTITY_HIST2D,
     "fuzzy_name_matches": SQL_FUZZY_NAME_MATCHES,
+    "user_longest_streak": SQL_USER_LONGEST_STREAK,
 }

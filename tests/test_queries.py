@@ -96,6 +96,7 @@ SUBSET = [
     "repeat_customers",
     "price_quantity_hist2d",
     "fuzzy_name_matches",
+    "user_longest_streak",
 ]
 
 
@@ -1202,6 +1203,34 @@ def test_ed_le1_matches_levenshtein():
                 va = {a} | {a[:i] + a[i + 1:] for i in range(len(a))}
                 vb = {b} | {b[:i] + b[i + 1:] for i in range(len(b))}
                 assert va & vb, (a, b)
+
+
+def test_user_longest_streak_hand_checked(ray_session, tmp_path):
+    """Runs break on type change AND on user change; interrupted runs
+    don't merge (a a b a -> longest a-run is 2, not 3); max-length
+    ties resolve to the lexicographically first type."""
+    ev = pd.DataFrame({
+        "event_id": range(9),
+        "user_id": [1, 1, 1, 1, 2, 2, 2, 2, 3],
+        "ts": pd.to_datetime([f"2024-01-01 00:00:0{i}" for i in range(9)]),
+        "event_type": ["a", "a", "b", "a",      # user 1: aa, b, a
+                       "b", "b", "a", "a",      # user 2: bb, aa (tie)
+                       "z"],                     # user 3: single event
+        "value": [0.0] * 9,
+        "props": [""] * 9,
+    })
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    mine = _norm(Q.QUERIES["user_longest_streak"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["user_longest_streak"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    m = mine.set_index("user_id")
+    assert m.loc[1, "streak_len"] == 2 and m.loc[1, "streak_type"] == "a"
+    # tie 2 vs 2 -> 'a' before 'b'
+    assert m.loc[2, "streak_len"] == 2 and m.loc[2, "streak_type"] == "a"
+    assert m.loc[3, "streak_len"] == 1 and m.loc[3, "streak_type"] == "z"
 
 
 def test_rfm_segments_hand_checked(ray_session, tmp_path):
