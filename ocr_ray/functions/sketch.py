@@ -76,3 +76,53 @@ def topk_merge(parts: pd.DataFrame, k: int) -> pd.DataFrame:
     kth_lower = int(g["lower"].iloc[min(k, len(g)) - 1]) if len(g) else 0
     cand = g[g["upper"] >= kth_lower].reset_index()
     return cand[["token", "lower", "upper"]]
+
+
+# --------------------------------------------------------------- count-min
+# Cormode & Muthukrishnan's count-min sketch (public): a (d x w) grid
+# of counters; each key increments one counter per row (row-seeded
+# hash), a point query reads the MIN across rows. Deterministic
+# overestimate: est >= true count always; est <= true + 2N/w with
+# probability >= 1 - 2^-d per query. Partials merge by plain addition,
+# so the sketch streams through map_batches as one (d*w) int64 blob
+# per batch and the driver folds O(batches) blobs — nothing
+# vocabulary-sized anywhere.
+
+CMS_W = 1024
+CMS_D = 4
+_CMS_KEYS = [f"cmsrow{r:04d}_0123456789"[:16] for r in range(CMS_D)]
+
+
+def _cms_idx(keys: pd.Series, row: int) -> np.ndarray:
+    h = pd.util.hash_array(keys.to_numpy(dtype=object),
+                           hash_key=_CMS_KEYS[row])
+    return (h % CMS_W).astype(np.int64)
+
+
+def cms_partial(keys: pd.Series, counts: np.ndarray | None = None,
+                ) -> np.ndarray:
+    """(CMS_D, CMS_W) int64 partial for one batch; ``counts`` weights
+    each key (defaults to 1 per occurrence row)."""
+    w = np.ones(len(keys), dtype=np.int64) if counts is None \
+        else counts.astype(np.int64)
+    out = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for r in range(CMS_D):
+        out[r] = np.bincount(_cms_idx(keys, r), weights=w,
+                             minlength=CMS_W).astype(np.int64)
+    return out
+
+
+def cms_merge(parts) -> np.ndarray:
+    """Sum of partials — mergeability is plain addition."""
+    out = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for p in parts:
+        out += p
+    return out
+
+
+def cms_query(cms: np.ndarray, keys: pd.Series) -> np.ndarray:
+    """Point estimates: MIN across the d row counters per key."""
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_D):
+        est = np.minimum(est, cms[r, _cms_idx(keys, r)])
+    return est

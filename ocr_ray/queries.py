@@ -8648,6 +8648,131 @@ FROM ranked WHERE k = 1
 """
 
 
+def q_cms_token_counts(sf_dir: str):
+    """Count-min sketch point estimates gated against exact counts —
+    completing the sketch family (Bloom membership, HLL distinct,
+    SpaceSaving heavy hitters, mergeable quantiles, and now CMS
+    frequency estimation, the sketch that answers "how often is key X"
+    in O(d*w) memory however large the vocabulary). One streamed pass
+    emits BOTH the per-batch (d x w) CMS blob (one int64 grid per
+    batch, folded by plain addition on the driver) and the exact
+    partial counts that feed the catalog-standard bucketed top-20 cut;
+    the CMS is then point-queried for those 20 tokens. In-query hard
+    gates (the hh_bounds_ok pattern): the deterministic overestimate
+    property est >= exact for EVERY token, and the 2N/w tightness
+    bound with 4x slack — violations raise, so the constant-True flag
+    columns the SQL mirror also emits are real assertions."""
+    from .functions import sketch as S
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B = _pair_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _token_frame(df.reset_index(drop=True))
+        cms = S.cms_partial(t["token"])
+        g = t.groupby("token", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        h = pd.util.hash_array(g["token"].to_numpy(dtype=object)) % B
+        g["_b"] = h.astype("int64")
+        g["cms"] = None
+        # the CMS blob rides the first row of the partial frame
+        g.loc[g.index[:1], "cms"] = [cms.tobytes()] if len(g) else None
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).materialize()
+    blobs = parts.map_batches(
+        lambda df: pd.DataFrame(
+            {"cms": df["cms"].dropna().tolist()}),
+        batch_format="pandas").to_pandas()
+    cms = S.cms_merge([np.frombuffer(b, dtype=np.int64)
+                       .reshape(S.CMS_D, S.CMS_W) for b in blobs["cms"]])
+    n_total = int(cms[0].sum())
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out.sort_values(["n", "token"],
+                               ascending=[False, True]).head(20)
+
+    top = parts.groupby("_b").map_groups(combine, batch_format="pandas") \
+        .to_pandas().sort_values(["n", "token"], ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+    est = S.cms_query(cms, top["token"])
+    exact = top["n"].to_numpy(dtype=np.int64)
+    if (est < exact).any():
+        raise AssertionError("cms_overest_ok violated: est < exact")
+    slack = 4 * int(np.ceil(2 * n_total / S.CMS_W))
+    if (est - exact > slack).any():
+        raise AssertionError(
+            f"cms_tight_ok violated: over by > {slack}")
+    return pd.DataFrame({"token": top["token"], "n": exact,
+                         "cms_overest_ok": True, "cms_tight_ok": True})
+
+
+# exact SQL mirror: exact top-20 counts; the flag columns are real
+# in-query assertions on the Ray side (violations raise)
+SQL_CMS_TOKEN_COUNTS = r"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT unnest(string_split(nt, ' ')) AS token
+  FROM norm WHERE length(nt) > 0
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS cms_overest_ok, TRUE AS cms_tight_ok
+FROM tok GROUP BY token
+ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_order_count_distribution(sf_dir: str):
+    """Frequency-of-frequencies (the Good-Turing profile): how many
+    customers placed exactly K orders, for each K — the group-size
+    distribution a capacity planner or smoothing estimator reads. Two
+    cascaded aggregations, both partial-then-combine: per-batch
+    per-customer counts -> ONE bucketed shuffle makes them global (a
+    customer lives in one bucket) and each bucket emits its (K ->
+    n_customers) partial histogram -> the driver folds O(buckets x
+    distinct K) tiny rows. Distinct K is bounded by the max group
+    size, never by the customer count."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    B = _pair_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size() \
+            .rename(columns={"size": "k"})
+        g["k"] = g["k"].astype("int64")
+        return g.assign(_b=g["o_custkey"].astype("int64") % B)
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("o_custkey", as_index=False)["k"].sum()
+        out = per.groupby("k", as_index=False).size() \
+            .rename(columns={"size": "n_customers"})
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("_b").map_groups(hist_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("k", as_index=False)["n_customers"].sum()
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("k").reset_index(drop=True)
+
+
+# exact SQL mirror: two-level aggregate
+SQL_ORDER_COUNT_DISTRIBUTION = """
+WITH c AS (SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY o_custkey)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM c GROUP BY k
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8755,6 +8880,8 @@ QUERIES = {
     "price_quantity_hist2d": q_price_quantity_hist2d,
     "fuzzy_name_matches": q_fuzzy_name_matches,
     "user_longest_streak": q_user_longest_streak,
+    "cms_token_counts": q_cms_token_counts,
+    "order_count_distribution": q_order_count_distribution,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -8771,7 +8898,8 @@ for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
            "SQL_DECONTAMINATION", "SQL_SHARD_PACKING",
            "SQL_CORPUS_FAMILIARITY", "SQL_VOCAB_GROWTH",
            "SQL_NGRAM_NOVELTY", "SQL_BIGRAM_FAMILIARITY",
-           "SQL_SEGMENT_DEDUP", "SQL_DISTRIBUTION_DRIFT"):
+           "SQL_SEGMENT_DEDUP", "SQL_DISTRIBUTION_DRIFT",
+           "SQL_CMS_TOKEN_COUNTS"):
     # import-time assert: a reformatted literal would make the replace
     # a silent no-op and revert that oracle to RE2's narrower \s
     assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
@@ -8886,4 +9014,6 @@ ORACLE_SQL = {
     "price_quantity_hist2d": SQL_PRICE_QUANTITY_HIST2D,
     "fuzzy_name_matches": SQL_FUZZY_NAME_MATCHES,
     "user_longest_streak": SQL_USER_LONGEST_STREAK,
+    "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
+    "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
 }

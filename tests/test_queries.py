@@ -97,6 +97,8 @@ SUBSET = [
     "price_quantity_hist2d",
     "fuzzy_name_matches",
     "user_longest_streak",
+    "cms_token_counts",
+    "order_count_distribution",
 ]
 
 

