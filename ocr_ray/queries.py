@@ -8773,6 +8773,128 @@ FROM c GROUP BY k
 """
 
 
+def q_price_median_cont(sf_dir: str):
+    """Interpolated median (SQL PERCENTILE_CONT / quantile_cont) per
+    return flag — completing the quantile family: the catalog's other
+    quantiles are exact order STATISTICS (percentile_disc); this
+    interpolates between the two adjacent ones at h = (n-1)*q, the
+    estimator BI tools default to. Both bracketing order statistics of
+    every group narrow in the SAME histogram scans (two (lo, hi, rank)
+    triples per group driver-side, the q_group_percentiles rule); the
+    interpolation v_lo + frac*(v_hi - v_lo) is one float expression
+    over two exact data values, identical on both sides."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    BINS = 512
+    Q = 0.5
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_returnflag")["l_extendedprice"].agg(
+            n="count", lo="min", hi="max").reset_index()
+
+    parts = ds.map_batches(stats, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    agg = parts.groupby("l_returnflag").agg(
+        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    # per group: h = (n-1)*Q; need 1-based ranks floor(h)+1 and
+    # (if fractional) floor(h)+2
+    state: dict[tuple, list] = {}
+    fracs: dict[str, float] = {}
+    for g, r in agg.iterrows():
+        h = (int(r["n"]) - 1) * Q
+        lo_rank = int(np.floor(h)) + 1
+        fracs[g] = h - np.floor(h)
+        ranks = [lo_rank] if fracs[g] == 0 else [lo_rank, lo_rank + 1]
+        for rk in ranks:
+            state[(g, rk)] = [float(r["lo"]),
+                              float(np.nextafter(r["hi"], np.inf)),
+                              rk, False]
+
+    for _ in range(6):
+        bounds = {k: (s[0], s[1]) for k, s in state.items() if not s[3]}
+        if not bounds:
+            break
+        b_ref = ray.put(bounds)
+
+        def hist(df: pd.DataFrame, _b=b_ref) -> pd.DataFrame:
+            b = ray.get(_b)
+            rows = []
+            for grp, sub in df.groupby("l_returnflag"):
+                v_all = sub["l_extendedprice"].to_numpy()
+                for (g, rk), (lo, hi) in b.items():
+                    if g != grp:
+                        continue
+                    v = v_all[(v_all >= lo) & (v_all < hi)]
+                    h, _ = np.histogram(
+                        v, bins=np.linspace(lo, hi, BINS + 1))
+                    rows.append((g, rk, h.astype(np.int64).tobytes()))
+            return pd.DataFrame(rows, columns=["g", "rk", "h"]) if rows \
+                else pd.DataFrame({"g": pd.Series([], dtype="object"),
+                                   "rk": pd.Series([], dtype="int64"),
+                                   "h": pd.Series([], dtype="object")})
+
+        hp = ds.map_batches(hist, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+        for (g, rk), (lo, hi) in bounds.items():
+            total = np.zeros(BINS, dtype=np.int64)
+            sel = (hp["g"] == g) & (hp["rk"] == rk)
+            for buf in hp.loc[sel, "h"]:
+                total += np.frombuffer(buf, dtype=np.int64)
+            edges = np.linspace(lo, hi, BINS + 1)
+            cum = np.cumsum(total)
+            rank = state[(g, rk)][2]
+            bi = int(np.searchsorted(cum, rank))
+            new_rank = rank - (int(cum[bi - 1]) if bi else 0)
+            done = bool(total[bi] <= 100_000)
+            state[(g, rk)] = [float(edges[bi]), float(edges[bi + 1]),
+                              new_rank, done]
+
+    fin_ref = ray.put({k: (s[0], s[1]) for k, s in state.items()})
+
+    def in_range(df: pd.DataFrame, _b=fin_ref) -> pd.DataFrame:
+        b = ray.get(_b)
+        keep = []
+        for grp, sub in df.groupby("l_returnflag"):
+            v = sub["l_extendedprice"].to_numpy()
+            for (g, rk), (lo, hi) in b.items():
+                if g != grp:
+                    continue
+                keep.append(pd.DataFrame(
+                    {"g": g, "rk": rk, "v": v[(v >= lo) & (v < hi)]}))
+        return pd.concat(keep, ignore_index=True) if keep else \
+            pd.DataFrame({"g": pd.Series([], dtype="object"),
+                          "rk": pd.Series([], dtype="int64"),
+                          "v": pd.Series([], dtype="float64")})
+
+    vals = ds.map_batches(in_range, batch_format="pandas").to_pandas()
+    picked: dict[tuple, float] = {}
+    for (g, rk), s in state.items():
+        sub = np.sort(vals.loc[(vals["g"] == g) & (vals["rk"] == rk),
+                               "v"].to_numpy())
+        picked[(g, rk)] = float(sub[s[2] - 1])
+    rows = []
+    for g, r in agg.iterrows():
+        h = (int(r["n"]) - 1) * Q
+        lo_rank = int(np.floor(h)) + 1
+        v_lo = picked[(g, lo_rank)]
+        if fracs[g] == 0:
+            m = v_lo
+        else:
+            v_hi = picked[(g, lo_rank + 1)]
+            m = v_lo + fracs[g] * (v_hi - v_lo)
+        rows.append((g, m))
+    return pd.DataFrame(rows, columns=["l_returnflag", "median_cont"]) \
+        .sort_values("l_returnflag").reset_index(drop=True)
+
+
+# exact SQL mirror: DuckDB quantile_cont interpolates with the same
+# v_lo + frac*(v_hi - v_lo) formula over the same doubles
+SQL_PRICE_MEDIAN_CONT = """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS median_cont
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -8882,6 +9004,7 @@ QUERIES = {
     "user_longest_streak": q_user_longest_streak,
     "cms_token_counts": q_cms_token_counts,
     "order_count_distribution": q_order_count_distribution,
+    "price_median_cont": q_price_median_cont,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -9016,4 +9139,5 @@ ORACLE_SQL = {
     "user_longest_streak": SQL_USER_LONGEST_STREAK,
     "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+    "price_median_cont": SQL_PRICE_MEDIAN_CONT,
 }

@@ -99,6 +99,7 @@ SUBSET = [
     "user_longest_streak",
     "cms_token_counts",
     "order_count_distribution",
+    "price_median_cont",
 ]
 
 
@@ -1233,6 +1234,34 @@ def test_user_longest_streak_hand_checked(ray_session, tmp_path):
     # tie 2 vs 2 -> 'a' before 'b'
     assert m.loc[2, "streak_len"] == 2 and m.loc[2, "streak_type"] == "a"
     assert m.loc[3, "streak_len"] == 1 and m.loc[3, "streak_type"] == "z"
+
+
+def test_price_median_cont_hand_checked(ray_session, tmp_path):
+    """Even group interpolates the two middle values (1,2,10,100 ->
+    6.0); odd group returns the exact middle; both match DuckDB's
+    quantile_cont."""
+    li = pd.DataFrame({
+        "l_returnflag": ["A"] * 4 + ["B"] * 3,
+        "l_extendedprice": [1.0, 2.0, 10.0, 100.0, 5.0, 7.0, 9.0],
+        "l_quantity": [1.0] * 7,
+        "l_discount": [0.0] * 7,
+        "l_tax": [0.0] * 7,
+        "l_shipdate": pd.to_datetime(["2024-01-01"] * 7),
+        "l_orderkey": range(7),
+        "l_partkey": [0] * 7,
+        "l_suppkey": [0] * 7,
+        "l_linenumber": [1] * 7,
+    })
+    sf = str(tmp_path)
+    li.to_parquet(f"{sf}/lineitem.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    mine = _norm(Q.QUERIES["price_median_cont"](sf))
+    orc = _norm(con2.execute(Q.ORACLE_SQL["price_median_cont"]).df())
+    pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    m = mine.set_index("l_returnflag")["median_cont"]
+    assert m["A"] == 6.0 and m["B"] == 7.0
 
 
 def test_rfm_segments_hand_checked(ray_session, tmp_path):
