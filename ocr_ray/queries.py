@@ -8926,6 +8926,245 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) — the full
+    grouping-sets lattice, completing q_rollup_revenue (which only
+    walks the hierarchy): base + both one-dimension marginals + grand
+    total. Same scale discipline: the base aggregate is ONE
+    distributed scan over a provably tiny key space
+    (_partial_group_sum), and all 2^d - 1 super-aggregates are DERIVED
+    from the base rows at O(groups) cost — never one scan per grouping
+    set. Rolled-up dimensions use the 'ALL' sentinel on both sides."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    base = _partial_group_sum(ds, ["o_orderstatus", "o_orderpriority"],
+                              {"rev": "o_totalprice"}, counts="n_orders")
+    by_status = base.groupby("o_orderstatus", as_index=False).agg(
+        rev=("rev", "sum"), n_orders=("n_orders", "sum"))
+    by_status["o_orderpriority"] = "ALL"
+    by_pri = base.groupby("o_orderpriority", as_index=False).agg(
+        rev=("rev", "sum"), n_orders=("n_orders", "sum"))
+    by_pri["o_orderstatus"] = "ALL"
+    total = pd.DataFrame({
+        "o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+        "rev": [base["rev"].sum()], "n_orders": [base["n_orders"].sum()]})
+    out = pd.concat([base, by_status, by_pri, total], ignore_index=True)
+    out["rev"] = out["rev"].astype(float).round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["o_orderstatus", "o_orderpriority", "rev", "n_orders"]] \
+        .sort_values(["o_orderstatus", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
+SQL_CUBE_REVENUE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS rev,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over k numeric columns
+    (l_quantity, l_extendedprice, l_discount) in ONE streaming pass —
+    the multi-column generalization of q_value_hour_corr and the
+    feature-redundancy screen run before model training. Each batch
+    emits the k + k(k+1)/2 + 1 raw moments (n, per-column sums, the
+    full upper-triangular cross-product matrix via one X^T X matmul);
+    the driver folds O(k^2) numbers per batch and closes every pair's
+    correlation. Zero shuffle, cost independent of row count beyond
+    the scan."""
+    COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", COLS)
+    k = len(COLS)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[COLS].to_numpy(dtype=np.float64)
+        xtx = x.T @ x  # all squares + cross-products in one matmul
+        row = {"n": float(len(x))}
+        for i, c in enumerate(COLS):
+            row[f"s{i}"] = x[:, i].sum()
+            for j in range(i, k):
+                row[f"p{i}{j}"] = xtx[i, j]
+        return pd.DataFrame([row])
+
+    m = ds.map_batches(moments, batch_format="pandas",
+                       batch_size=65536).to_pandas().sum()
+    n = m["n"]
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            cov = m[f"p{i}{j}"] - m[f"s{i}"] * m[f"s{j}"] / n
+            vi = m[f"p{i}{i}"] - m[f"s{i}"] ** 2 / n
+            vj = m[f"p{j}{j}"] - m[f"s{j}"] ** 2 / n
+            rows.append((COLS[i], COLS[j],
+                         round(float(cov / np.sqrt(vi * vj)), 4)))
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "corr"]) \
+        .sort_values(["col_a", "col_b"]).reset_index(drop=True)
+
+
+SQL_CORR_MATRIX = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       ROUND(corr(l_quantity, l_discount), 4) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       ROUND(corr(l_extendedprice, l_discount), 4) FROM lineitem
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford's-law first-digit profile of o_totalprice — the
+    classic fraud / synthetic-data screen: organic magnitude-spanning
+    amounts put ~30.1% of first digits at 1, and a flat profile
+    betrays generated values. Prices are fixed to integer cents with
+    the hist2d floor(x*100 + 0.5) rule (identical double math on both
+    sides), the leading digit is taken from the exact int64 decimal
+    string (no log10 — its ulp error near powers of 10 could misbin),
+    and each batch emits a <= 9-row partial the driver folds. The
+    observed share sits next to the Benford expectation log10(1+1/d)
+    so the output IS the comparison. Zero shuffle."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"].to_numpy(np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        d = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        g = d.value_counts().sort_index()
+        return pd.DataFrame({"digit": g.index.to_numpy(np.int64),
+                             "n": g.to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    out = parts.groupby("digit", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    total = int(out["n"].sum())
+    out["pct"] = out["n"] / total  # identical int ratio on both sides
+    out["benford_pct"] = np.round(np.log10(1.0 + 1.0 / out["digit"]
+                                           .to_numpy(np.float64)), 4)
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+# same integer-cents fix and int-string leading digit; LOG10 of the
+# small rationals 1+1/d is ulp-identical across libm for these 9 values
+# and both sides round it to 4
+SQL_BENFORD_DIGITS = """
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+       COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS pct,
+       ROUND(LOG10(1.0 + 1.0 / digit), 4) AS benford_pct
+FROM d GROUP BY digit ORDER BY digit
+"""
+
+
+def q_gini_by_priority(sf_dir: str):
+    """Exact Gini concentration coefficient of o_totalprice per order
+    priority — the inequality metric a curation pipeline reads to see
+    how skewed a source's contribution distribution is (G = 0 uniform,
+    G -> 1 winner-take-all). Uses the rank-sum identity
+    G = 2*sum(i*v_i)/(n*sum(v)) - (n+1)/n over ascending-sorted values,
+    computed WITHOUT any global sort: sum(i*v_i) decomposes over
+    distinct values as v*(c*C + c*(c+1)/2) where c is the value's
+    count and C the count of strictly smaller values, so it needs only
+    per-(group, value) counts plus a prefix count over the value
+    domain. That prefix is the vocab_growth/shard_packing range-bucket
+    two-pass shape: (1) one scan emits per-batch (group, value, count)
+    partials tagged with a value-range id (ranges from a one-scan
+    min/max probe); (2) range subtotals (O(groups x ranges) rows) fold
+    into exclusive offsets on the driver; (3) ONE shuffle co-locates
+    each range's value partials, where an intra-range sort + cumsum is
+    bounded by the range, never the group. Ties are exact: the rank-sum
+    of a tied block is order-invariant, so no tie-break is needed on
+    either side."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    NR = 64  # value ranges per group (parallelism of the prefix pass)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority")["o_totalprice"].agg(
+            n="count", s="sum", lo="min", hi="max").reset_index()
+
+    agg = ds.map_batches(stats, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby("o_orderpriority").agg(
+            n=("n", "sum"), s=("s", "sum"), lo=("lo", "min"),
+            hi=("hi", "max"))
+    widths = {g: max((r["hi"] - r["lo"]) / NR, 1e-12)
+              for g, r in agg.iterrows()}
+    lows = {g: float(r["lo"]) for g, r in agg.iterrows()}
+    w_ref = ray.put((widths, lows))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        widths_d, lows_d = ray.get(w_ref)
+        g = df.groupby(["o_orderpriority", "o_totalprice"],
+                       as_index=False).size().rename(columns={"size": "c"})
+        v = g["o_totalprice"].to_numpy(np.float64)
+        wv = g["o_orderpriority"].map(widths_d).to_numpy(np.float64)
+        lv = g["o_orderpriority"].map(lows_d).to_numpy(np.float64)
+        rng = np.clip(((v - lv) / wv).astype(np.int64), 0, NR - 1)
+        g["c"] = g["c"].astype("int64")
+        g["rng"] = rng
+        g["key"] = g["o_orderpriority"] + "|" + rng.astype(str)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).materialize()
+    # pass 2a: O(groups x NR) range subtotals -> exclusive offsets
+    sums = _partial_group_sum(parts, ["o_orderpriority", "rng"],
+                              {"tot": "c"})
+    sums = sums.sort_values(["o_orderpriority", "rng"])
+    sums["off"] = sums.groupby("o_orderpriority")["tot"].cumsum() \
+        - sums["tot"]
+    offs_ref = ray.put({(r["o_orderpriority"], int(r["rng"])): int(r["off"])
+                        for _, r in sums.iterrows()})
+
+    def rank_sum(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offs_ref)
+        grp = g["o_orderpriority"].iloc[0]
+        off = offs[(grp, int(g["rng"].iloc[0]))]
+        d = g.groupby("o_totalprice", as_index=False)["c"].sum() \
+            .sort_values("o_totalprice")
+        c = d["c"].to_numpy(np.int64)
+        v = d["o_totalprice"].to_numpy(np.float64)
+        C = off + np.concatenate(([0], np.cumsum(c)[:-1]))
+        rs = float((v * (c * C + c * (c + 1) / 2.0)).sum())
+        return pd.DataFrame({"grp": [grp], "rs": [rs]})
+
+    rs = parts.groupby("key").map_groups(rank_sum, batch_format="pandas") \
+        .to_pandas().groupby("grp", as_index=False)["rs"].sum()
+    out = rs.merge(agg.reset_index(), left_on="grp",
+                   right_on="o_orderpriority")
+    n, s = out["n"].astype(float), out["s"].astype(float)
+    out["gini"] = (2.0 * out["rs"] / (n * s) - (n + 1.0) / n).round(6)
+    return out[["o_orderpriority", "gini"]] \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# oracle: the same rank-sum identity via row_number — rank-sums of
+# tied blocks are order-invariant, so the arbitrary tie order of
+# row_number cannot diverge from the Ray side's closed form
+SQL_GINI_BY_PRIORITY = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+         SUM(o_totalprice) OVER (PARTITION BY o_orderpriority) AS s
+  FROM orders
+)
+SELECT o_orderpriority,
+       ROUND(2.0 * SUM(rn * v) / (MAX(n) * MAX(s))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -9036,6 +9275,10 @@ QUERIES = {
     "cms_token_counts": q_cms_token_counts,
     "order_count_distribution": q_order_count_distribution,
     "price_median_cont": q_price_median_cont,
+    "cube_revenue": q_cube_revenue,
+    "corr_matrix": q_corr_matrix,
+    "benford_digits": q_benford_digits,
+    "gini_by_priority": q_gini_by_priority,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -9171,4 +9414,8 @@ ORACLE_SQL = {
     "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
     "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
     "price_median_cont": SQL_PRICE_MEDIAN_CONT,
+    "cube_revenue": SQL_CUBE_REVENUE,
+    "corr_matrix": SQL_CORR_MATRIX,
+    "benford_digits": SQL_BENFORD_DIGITS,
+    "gini_by_priority": SQL_GINI_BY_PRIORITY,
 }

@@ -100,6 +100,10 @@ SUBSET = [
     "cms_token_counts",
     "order_count_distribution",
     "price_median_cont",
+    "cube_revenue",
+    "corr_matrix",
+    "benford_digits",
+    "gini_by_priority",
 ]
 
 
