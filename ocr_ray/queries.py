@@ -9165,6 +9165,179 @@ FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_global_rank(sf_dir: str):
+    """Global ROW_NUMBER over a whole table (ORDER BY o_totalprice,
+    o_orderkey) WITHOUT a global sort — the distributed rank-assignment
+    primitive behind ordered exports, pagination, and percentile
+    transforms. Range-partitioned two-pass shape: a one-scan min/max
+    probe fixes NR value ranges; the tagged rows materialize ONCE; per-
+    range counts (O(NR) driver rows) fold into exclusive offsets; ONE
+    shuffle co-locates each range, where an intra-range sort bounded by
+    the range (never the table) assigns rank = offset + local position.
+    The (value, key) total order makes ranks deterministic under ties.
+    Skew note: a single hot VALUE lands in one range by construction —
+    for known-degenerate distributions the range probe should histogram
+    first (the rfm integer-edge pattern) instead of linspace."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    NR = max(64, 4 * _cpus())
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"]
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()]})
+
+    st = ds.map_batches(stats, batch_format="pandas",
+                        batch_size=65536).to_pandas()
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    width = max((hi - lo) / NR, 1e-12)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy(np.float64)
+        rng = np.clip(((v - lo) / width).astype(np.int64), 0, NR - 1)
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].astype("int64"),
+                             "v": v, "rng": rng})
+
+    parts = ds.map_batches(tag, batch_format="pandas",
+                           batch_size=65536).materialize()
+    sums = _partial_group_sum(parts, ["rng"], {}, counts="c") \
+        .sort_values("rng")
+    offs = dict(zip(sums["rng"].astype(int),
+                    (sums["c"].cumsum() - sums["c"]).astype(int)))
+    offs_ref = ray.put(offs)
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offs_ref)[int(g["rng"].iloc[0])]
+        g = g.sort_values(["v", "o_orderkey"])
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "rnk": off + np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return parts.groupby("rng").map_groups(rank_range,
+                                           batch_format="pandas")
+
+
+SQL_GLOBAL_RANK = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
+FROM orders
+"""
+
+
+def q_independence_stats(sf_dir: str):
+    """Chi-square independence test + mutual information between two
+    categorical dimensions (o_orderstatus x o_orderpriority) — the
+    statistical screen for 'does this column carry signal about that
+    one', run before feature selection or stratification. The joint
+    contingency table is ONE distributed scan over a provably tiny key
+    space (_partial_group_sum); the driver completes the R x C grid
+    (absent cells are observed ZEROS — they still contribute their
+    expected count to chi2), margins, chi2, dof, and MI over O(R*C)
+    numbers. Zero shuffle."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    base = _partial_group_sum(ds, ["o_orderstatus", "o_orderpriority"],
+                              {}, counts="n")
+    grid = base.pivot(index="o_orderstatus", columns="o_orderpriority",
+                      values="n").fillna(0).to_numpy(np.float64)
+    tot = grid.sum()
+    e = np.outer(grid.sum(axis=1), grid.sum(axis=0)) / tot
+    chi2 = float(((grid - e) ** 2 / e).sum())
+    dof = int((grid.shape[0] - 1) * (grid.shape[1] - 1))
+    nz = grid > 0
+    mi = float((grid[nz] / tot * np.log(grid[nz] * tot
+                                        / e[nz] / tot)).sum())
+    return pd.DataFrame({"n": [int(tot)], "chi2": [round(chi2, 6)],
+                         "dof": [np.int64(dof)], "mi": [round(mi, 6)]})
+
+
+# mirror: full grid via margin cross-join (observed-zero cells DO
+# contribute expected mass to chi2); MI only over observed cells
+SQL_INDEPENDENCE_STATS = """
+WITH j AS (
+  SELECT o_orderstatus s, o_orderpriority p, CAST(COUNT(*) AS DOUBLE) n
+  FROM orders GROUP BY 1, 2
+),
+grid AS (
+  SELECT ss.s, pp.p, COALESCE(j.n, 0) AS n
+  FROM (SELECT DISTINCT s FROM j) ss
+  CROSS JOIN (SELECT DISTINCT p FROM j) pp
+  LEFT JOIN j ON j.s = ss.s AND j.p = pp.p
+),
+t AS (
+  SELECT s, p, n, SUM(n) OVER (PARTITION BY s) ns,
+         SUM(n) OVER (PARTITION BY p) np, SUM(n) OVER () tot
+  FROM grid
+)
+SELECT CAST(MAX(tot) AS BIGINT) AS n,
+       ROUND(SUM((n - ns*np/tot)*(n - ns*np/tot)/(ns*np/tot)), 6) AS chi2,
+       CAST((COUNT(DISTINCT s) - 1) * (COUNT(DISTINCT p) - 1) AS BIGINT)
+         AS dof,
+       ROUND(SUM(CASE WHEN n > 0
+                      THEN n/tot * LN(n*tot/(ns*np)) ELSE 0 END), 6) AS mi
+FROM t
+"""
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-independent table fingerprint: a commutative checksum
+    (modular sum + XOR of a deterministic per-row polynomial) over
+    orders — the anti-entropy primitive for comparing replicas /
+    snapshots WITHOUT sorting or moving rows (the cheap companion to
+    q_snapshot_diff's row-level CDC: checksums disagree -> run the
+    diff). Each batch folds to THREE integers (row count, mod-sum,
+    xor); the driver combines partials commutatively, so any batch
+    split / cluster size / resume order yields the identical
+    fingerprint. The row polynomial uses only integer-exact fields
+    (orderkey, price cents via the floor(x*100+0.5) rule, leading
+    chars of the categorical columns) so both sides compute identical
+    int64 values; sums stay exact via Python ints (Ray) and HUGEINT
+    (SQL)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderstatus",
+                "o_orderpriority"])
+    M = (1 << 61) - 1
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        cents = np.floor(df["o_totalprice"].to_numpy(np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        st = df["o_orderstatus"].str[:1].map(ord).to_numpy(np.int64)
+        pr = df["o_orderpriority"].str[:1].map(ord).to_numpy(np.int64)
+        rh = (k * 2654435761 + cents * 97 + st * 1315423911
+              + pr * 1000003) % M
+        return pd.DataFrame({
+            "n": [np.int64(len(k))],
+            # Python-int fold: exact at any row count (no int64 overflow)
+            "s": [int(sum(int(x) for x in rh) % M)],
+            "x": [int(np.bitwise_xor.reduce(rh)) if len(rh) else 0],
+        })
+
+    p = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    return pd.DataFrame({
+        "n_rows": [np.int64(p["n"].sum())],
+        "checksum_sum": [np.int64(sum(int(v) for v in p["s"]) % M)],
+        "checksum_xor": [np.int64(np.bitwise_xor.reduce(
+            p["x"].to_numpy(np.int64))) if len(p) else np.int64(0)],
+    })
+
+
+# same polynomial; DuckDB SUM(BIGINT) widens to HUGEINT so the modular
+# sum is exact on both sides
+SQL_TABLE_CHECKSUM = """
+WITH r AS (
+  SELECT (o_orderkey * 2654435761
+          + CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 97
+          + CAST(ascii(SUBSTR(o_orderstatus, 1, 1)) AS BIGINT) * 1315423911
+          + CAST(ascii(SUBSTR(o_orderpriority, 1, 1)) AS BIGINT) * 1000003)
+         % 2305843009213693951 AS rh
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(rh) % 2305843009213693951 AS BIGINT) AS checksum_sum,
+       CAST(BIT_XOR(rh) AS BIGINT) AS checksum_xor
+FROM r
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -9279,6 +9452,9 @@ QUERIES = {
     "corr_matrix": q_corr_matrix,
     "benford_digits": q_benford_digits,
     "gini_by_priority": q_gini_by_priority,
+    "global_rank": q_global_rank,
+    "independence_stats": q_independence_stats,
+    "table_checksum": q_table_checksum,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -9418,4 +9594,7 @@ ORACLE_SQL = {
     "corr_matrix": SQL_CORR_MATRIX,
     "benford_digits": SQL_BENFORD_DIGITS,
     "gini_by_priority": SQL_GINI_BY_PRIORITY,
+    "global_rank": SQL_GLOBAL_RANK,
+    "independence_stats": SQL_INDEPENDENCE_STATS,
+    "table_checksum": SQL_TABLE_CHECKSUM,
 }

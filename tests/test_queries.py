@@ -104,6 +104,9 @@ SUBSET = [
     "corr_matrix",
     "benford_digits",
     "gini_by_priority",
+    "global_rank",
+    "independence_stats",
+    "table_checksum",
 ]
 
 
