@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "rfm_segments",
     "basket_pairs",
     "weighted_median",
+    "gini_by_priority",
+    "global_rank",
 ]
 
 

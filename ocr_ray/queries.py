@@ -9320,6 +9320,113 @@ def q_table_checksum(sf_dir: str):
     })
 
 
+def q_trimmed_mean(sf_dir: str):
+    """Exact 5%-trimmed mean of o_totalprice per priority — the robust
+    location estimate between the mean (outlier-hostile) and the
+    median (throws away 98% of the data), completing the robust-stats
+    family (MAD, interpolated median, winsor-style trim). Trimming is
+    RANK-based (drop the k = floor(0.05 n) lowest and highest ranks),
+    and because a tied block contributes only value x how-many-ranks-
+    survive — never WHICH tied rows — the trimmed SUM needs only
+    per-(group, value) counts plus each block's global rank interval:
+    exactly the gini_by_priority range-prefix decomposition. One scan
+    emits (group, value, count) partials tagged by value range; range
+    subtotals fold to exclusive offsets (O(groups x ranges) driver
+    rows); ONE shuffle co-locates ranges, where each block intersects
+    its rank interval [C+1, C+c] with the keep window (k, n-k] and
+    emits a 2-number partial (sum, kept). No global sort, no
+    group-sized driver state."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    NR = 64
+    TRIM = 0.05
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority")["o_totalprice"].agg(
+            n="count", lo="min", hi="max").reset_index()
+
+    agg = ds.map_batches(stats, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby("o_orderpriority").agg(
+            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    widths = {g: max((r["hi"] - r["lo"]) / NR, 1e-12)
+              for g, r in agg.iterrows()}
+    lows = {g: float(r["lo"]) for g, r in agg.iterrows()}
+    keep = {g: (int(np.floor(TRIM * r["n"])),
+                int(r["n"]) - int(np.floor(TRIM * r["n"])))
+            for g, r in agg.iterrows()}  # keep ranks in (k, n-k]
+    w_ref = ray.put((widths, lows))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        widths_d, lows_d = ray.get(w_ref)
+        g = df.groupby(["o_orderpriority", "o_totalprice"],
+                       as_index=False).size().rename(columns={"size": "c"})
+        v = g["o_totalprice"].to_numpy(np.float64)
+        wv = g["o_orderpriority"].map(widths_d).to_numpy(np.float64)
+        lv = g["o_orderpriority"].map(lows_d).to_numpy(np.float64)
+        rng = np.clip(((v - lv) / wv).astype(np.int64), 0, NR - 1)
+        g["c"] = g["c"].astype("int64")
+        g["rng"] = rng
+        g["key"] = g["o_orderpriority"] + "|" + rng.astype(str)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).materialize()
+    sums = _partial_group_sum(parts, ["o_orderpriority", "rng"],
+                              {"tot": "c"})
+    sums = sums.sort_values(["o_orderpriority", "rng"])
+    sums["off"] = sums.groupby("o_orderpriority")["tot"].cumsum() \
+        - sums["tot"]
+    offs_ref = ray.put(
+        ({(r["o_orderpriority"], int(r["rng"])): int(r["off"])
+          for _, r in sums.iterrows()}, keep))
+
+    def trim_sum(g: pd.DataFrame) -> pd.DataFrame:
+        offs, keep_d = ray.get(offs_ref)
+        grp = g["o_orderpriority"].iloc[0]
+        off = offs[(grp, int(g["rng"].iloc[0]))]
+        k_lo, k_hi = keep_d[grp]
+        d = g.groupby("o_totalprice", as_index=False)["c"].sum() \
+            .sort_values("o_totalprice")
+        c = d["c"].to_numpy(np.int64)
+        v = d["o_totalprice"].to_numpy(np.float64)
+        hi_r = off + np.cumsum(c)          # block rank interval is
+        lo_r = hi_r - c                    # (lo_r, hi_r]
+        inc = np.clip(np.minimum(hi_r, k_hi) - np.maximum(lo_r, k_lo),
+                      0, None)
+        return pd.DataFrame({"grp": [grp],
+                             "s": [float((v * inc).sum())],
+                             "m": [int(inc.sum())]})
+
+    rs = parts.groupby("key").map_groups(trim_sum, batch_format="pandas") \
+        .to_pandas().groupby("grp", as_index=False).agg(
+            s=("s", "sum"), m=("m", "sum"))
+    rs["trimmed_mean"] = (rs["s"] / rs["m"]).round(6)
+    rs["n_kept"] = rs["m"].astype("int64")
+    return rs.rename(columns={"grp": "o_orderpriority"})[
+        ["o_orderpriority", "trimmed_mean", "n_kept"]] \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# mirror: rank-based trim — any tie order yields the same trimmed
+# VALUE multiset, so row_number's arbitrary tie order is safe
+SQL_TRIMMED_MEAN = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       ROUND(AVG(v), 6) AS trimmed_mean,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM r
+WHERE rn > CAST(FLOOR(0.05 * n) AS BIGINT)
+  AND rn <= n - CAST(FLOOR(0.05 * n) AS BIGINT)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # same polynomial; DuckDB SUM(BIGINT) widens to HUGEINT so the modular
 # sum is exact on both sides
 SQL_TABLE_CHECKSUM = """
@@ -9455,6 +9562,7 @@ QUERIES = {
     "global_rank": q_global_rank,
     "independence_stats": q_independence_stats,
     "table_checksum": q_table_checksum,
+    "trimmed_mean": q_trimmed_mean,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -9597,4 +9705,5 @@ ORACLE_SQL = {
     "global_rank": SQL_GLOBAL_RANK,
     "independence_stats": SQL_INDEPENDENCE_STATS,
     "table_checksum": SQL_TABLE_CHECKSUM,
+    "trimmed_mean": SQL_TRIMMED_MEAN,
 }

@@ -107,6 +107,7 @@ SUBSET = [
     "global_rank",
     "independence_stats",
     "table_checksum",
+    "trimmed_mean",
 ]
 
 
