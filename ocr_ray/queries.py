@@ -9064,6 +9064,54 @@ FROM d GROUP BY digit ORDER BY digit
 """
 
 
+def _grouped_value_ranges(ds: ray.data.Dataset, grp: str, val: str,
+                          nr: int):
+    """Shared first two passes of the rank-decomposition kernels
+    (q_gini_by_priority / q_trimmed_mean): (1) one-scan per-group
+    (n, sum, min, max) probe fixing nr value ranges per group; (2) one
+    scan emitting per-batch (grp, value, count) partials tagged with
+    their range id and a 'grp|rng' shuffle key, materialized ONCE;
+    (3) O(groups x nr) range subtotals folded into exclusive prefix
+    offsets on the driver. Returns (agg, parts, offs) — the consumer
+    adds its own per-range map_groups kernel over ``parts`` keyed by
+    ``key``, reading each range's offset from ``offs``."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(grp)[val].agg(
+            n="count", s="sum", lo="min", hi="max").reset_index()
+
+    agg = ds.map_batches(stats, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby(grp).agg(n=("n", "sum"), s=("s", "sum"),
+                          lo=("lo", "min"), hi=("hi", "max"))
+    widths = {g: max((r["hi"] - r["lo"]) / nr, 1e-12)
+              for g, r in agg.iterrows()}
+    lows = {g: float(r["lo"]) for g, r in agg.iterrows()}
+    w_ref = ray.put((widths, lows))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        widths_d, lows_d = ray.get(w_ref)
+        g = df.groupby([grp, val], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        v = g[val].to_numpy(np.float64)
+        wv = g[grp].map(widths_d).to_numpy(np.float64)
+        lv = g[grp].map(lows_d).to_numpy(np.float64)
+        rng = np.clip(((v - lv) / wv).astype(np.int64), 0, nr - 1)
+        g["c"] = g["c"].astype("int64")
+        g["rng"] = rng
+        g["key"] = g[grp] + "|" + rng.astype(str)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).materialize()
+    sums = _partial_group_sum(parts, [grp, "rng"], {"tot": "c"}) \
+        .sort_values([grp, "rng"])
+    sums["off"] = sums.groupby(grp)["tot"].cumsum() - sums["tot"]
+    offs = {(r[grp], int(r["rng"])): int(r["off"])
+            for _, r in sums.iterrows()}
+    return agg, parts, offs
+
+
 def q_gini_by_priority(sf_dir: str):
     """Exact Gini concentration coefficient of o_totalprice per order
     priority — the inequality metric a curation pipeline reads to see
@@ -9075,54 +9123,18 @@ def q_gini_by_priority(sf_dir: str):
     count and C the count of strictly smaller values, so it needs only
     per-(group, value) counts plus a prefix count over the value
     domain. That prefix is the vocab_growth/shard_packing range-bucket
-    two-pass shape: (1) one scan emits per-batch (group, value, count)
-    partials tagged with a value-range id (ranges from a one-scan
-    min/max probe); (2) range subtotals (O(groups x ranges) rows) fold
-    into exclusive offsets on the driver; (3) ONE shuffle co-locates
-    each range's value partials, where an intra-range sort + cumsum is
-    bounded by the range, never the group. Ties are exact: the rank-sum
-    of a tied block is order-invariant, so no tie-break is needed on
-    either side."""
+    two-pass shape, shared with q_trimmed_mean as
+    :func:`_grouped_value_ranges`: per-batch (group, value, count)
+    partials tagged with a value-range id, range subtotals folded to
+    exclusive offsets (O(groups x ranges) driver rows), then ONE
+    shuffle co-locates each range, where an intra-range sort + cumsum
+    is bounded by the range, never the group. Ties are exact: the
+    rank-sum of a tied block is order-invariant, so no tie-break is
+    needed on either side."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    NR = 64  # value ranges per group (parallelism of the prefix pass)
-
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_orderpriority")["o_totalprice"].agg(
-            n="count", s="sum", lo="min", hi="max").reset_index()
-
-    agg = ds.map_batches(stats, batch_format="pandas",
-                         batch_size=65536).to_pandas() \
-        .groupby("o_orderpriority").agg(
-            n=("n", "sum"), s=("s", "sum"), lo=("lo", "min"),
-            hi=("hi", "max"))
-    widths = {g: max((r["hi"] - r["lo"]) / NR, 1e-12)
-              for g, r in agg.iterrows()}
-    lows = {g: float(r["lo"]) for g, r in agg.iterrows()}
-    w_ref = ray.put((widths, lows))
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        widths_d, lows_d = ray.get(w_ref)
-        g = df.groupby(["o_orderpriority", "o_totalprice"],
-                       as_index=False).size().rename(columns={"size": "c"})
-        v = g["o_totalprice"].to_numpy(np.float64)
-        wv = g["o_orderpriority"].map(widths_d).to_numpy(np.float64)
-        lv = g["o_orderpriority"].map(lows_d).to_numpy(np.float64)
-        rng = np.clip(((v - lv) / wv).astype(np.int64), 0, NR - 1)
-        g["c"] = g["c"].astype("int64")
-        g["rng"] = rng
-        g["key"] = g["o_orderpriority"] + "|" + rng.astype(str)
-        return g
-
-    parts = ds.map_batches(partial, batch_format="pandas",
-                           batch_size=65536).materialize()
-    # pass 2a: O(groups x NR) range subtotals -> exclusive offsets
-    sums = _partial_group_sum(parts, ["o_orderpriority", "rng"],
-                              {"tot": "c"})
-    sums = sums.sort_values(["o_orderpriority", "rng"])
-    sums["off"] = sums.groupby("o_orderpriority")["tot"].cumsum() \
-        - sums["tot"]
-    offs_ref = ray.put({(r["o_orderpriority"], int(r["rng"])): int(r["off"])
-                        for _, r in sums.iterrows()})
+    agg, parts, offs = _grouped_value_ranges(
+        ds, "o_orderpriority", "o_totalprice", 64)
+    offs_ref = ray.put(offs)
 
     def rank_sum(g: pd.DataFrame) -> pd.DataFrame:
         offs = ray.get(offs_ref)
@@ -9329,56 +9341,19 @@ def q_trimmed_mean(sf_dir: str):
     and because a tied block contributes only value x how-many-ranks-
     survive — never WHICH tied rows — the trimmed SUM needs only
     per-(group, value) counts plus each block's global rank interval:
-    exactly the gini_by_priority range-prefix decomposition. One scan
-    emits (group, value, count) partials tagged by value range; range
-    subtotals fold to exclusive offsets (O(groups x ranges) driver
-    rows); ONE shuffle co-locates ranges, where each block intersects
-    its rank interval [C+1, C+c] with the keep window (k, n-k] and
-    emits a 2-number partial (sum, kept). No global sort, no
-    group-sized driver state."""
+    the :func:`_grouped_value_ranges` range-prefix decomposition
+    shared with q_gini_by_priority. The per-range kernel intersects
+    each block's rank interval (C, C+c] with the keep window
+    (k, n-k] and emits a 2-number partial (sum, kept). No global
+    sort, no group-sized driver state."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    NR = 64
     TRIM = 0.05
-
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_orderpriority")["o_totalprice"].agg(
-            n="count", lo="min", hi="max").reset_index()
-
-    agg = ds.map_batches(stats, batch_format="pandas",
-                         batch_size=65536).to_pandas() \
-        .groupby("o_orderpriority").agg(
-            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
-    widths = {g: max((r["hi"] - r["lo"]) / NR, 1e-12)
-              for g, r in agg.iterrows()}
-    lows = {g: float(r["lo"]) for g, r in agg.iterrows()}
+    agg, parts, offs = _grouped_value_ranges(
+        ds, "o_orderpriority", "o_totalprice", 64)
     keep = {g: (int(np.floor(TRIM * r["n"])),
                 int(r["n"]) - int(np.floor(TRIM * r["n"])))
             for g, r in agg.iterrows()}  # keep ranks in (k, n-k]
-    w_ref = ray.put((widths, lows))
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        widths_d, lows_d = ray.get(w_ref)
-        g = df.groupby(["o_orderpriority", "o_totalprice"],
-                       as_index=False).size().rename(columns={"size": "c"})
-        v = g["o_totalprice"].to_numpy(np.float64)
-        wv = g["o_orderpriority"].map(widths_d).to_numpy(np.float64)
-        lv = g["o_orderpriority"].map(lows_d).to_numpy(np.float64)
-        rng = np.clip(((v - lv) / wv).astype(np.int64), 0, NR - 1)
-        g["c"] = g["c"].astype("int64")
-        g["rng"] = rng
-        g["key"] = g["o_orderpriority"] + "|" + rng.astype(str)
-        return g
-
-    parts = ds.map_batches(partial, batch_format="pandas",
-                           batch_size=65536).materialize()
-    sums = _partial_group_sum(parts, ["o_orderpriority", "rng"],
-                              {"tot": "c"})
-    sums = sums.sort_values(["o_orderpriority", "rng"])
-    sums["off"] = sums.groupby("o_orderpriority")["tot"].cumsum() \
-        - sums["tot"]
-    offs_ref = ray.put(
-        ({(r["o_orderpriority"], int(r["rng"])): int(r["off"])
-          for _, r in sums.iterrows()}, keep))
+    offs_ref = ray.put((offs, keep))
 
     def trim_sum(g: pd.DataFrame) -> pd.DataFrame:
         offs, keep_d = ray.get(offs_ref)
