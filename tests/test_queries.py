@@ -1,6 +1,8 @@
 """Driver-contract conformance at sf0.001: Ray query vs DuckDB oracle
 (the same comparison CORRECTNESS_r{N}.json records at sf0.01)."""
 import duckdb
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -1424,3 +1426,64 @@ def test_prefix_dups_edge_cases(ray_session, tmp_path):
     # both 'ab' rows qualify (prefix of abc), abc does (abcd), 'b'
     # does (ba x), '' does (everything); abcd/abce/ba x/zzz/q do not
     assert sorted(mine["doc_id"]) == [0, 1, 2, 4, 6]
+
+
+def test_rank_decomposition_degenerate_groups(ray_session, tmp_path):
+    """gini / trimmed_mean via _grouped_value_ranges on engineered
+    degenerate groups: one group whose values are ALL identical (range
+    width collapses to the 1e-12 floor, everything lands in range 0,
+    Gini must be exactly 0), a singleton group (n=1: trim keeps the one
+    row, Gini 0 by the rank-sum identity), and a heavy-tie group. Both
+    queries must still match their SQL mirrors bit-for-bit."""
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(1, 12, dtype=np.int64),
+        "o_custkey": np.ones(11, dtype=np.int64),
+        "o_orderstatus": ["O"] * 11,
+        "o_orderpriority": (["1-URGENT"] * 5      # all-equal values
+                            + ["2-HIGH"]          # singleton
+                            + ["3-MEDIUM"] * 5),  # ties at 10.0
+        "o_totalprice": [7.0] * 5 + [42.0] + [10.0, 10.0, 10.0, 1.0, 89.0],
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 11),
+    })
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    for name in ("gini_by_priority", "trimmed_mean"):
+        mine = _norm(Q.QUERIES[name](sf))
+        orc = _norm(con2.execute(Q.ORACLE_SQL[name]).df())
+        pd.testing.assert_frame_equal(mine, orc, check_dtype=False)
+    g = _norm(Q.QUERIES["gini_by_priority"](sf)) \
+        .set_index("o_orderpriority")["gini"]
+    assert g["1-URGENT"] == 0.0 and g["2-HIGH"] == 0.0
+
+
+def test_table_checksum_detects_single_row_change(ray_session, tmp_path):
+    """The anti-entropy fingerprint must differ when exactly one row's
+    price moves by one cent, and must be batch-order independent (two
+    different row orders of the same table fingerprint identically)."""
+    base = pd.DataFrame({
+        "o_orderkey": np.arange(1, 101, dtype=np.int64),
+        "o_custkey": np.ones(100, dtype=np.int64),
+        "o_orderstatus": ["O", "F"] * 50,
+        "o_orderpriority": ["1-URGENT", "5-LOW"] * 50,
+        "o_totalprice": np.linspace(10.0, 5000.0, 100),
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 100),
+    })
+    a, b, c = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "c")
+    for d in (a, b, c):
+        os.makedirs(d, exist_ok=True)
+    base.to_parquet(f"{a}/orders.parquet")
+    # same rows, reversed order -> identical fingerprint
+    base.iloc[::-1].reset_index(drop=True).to_parquet(f"{b}/orders.parquet")
+    # one cent on one row -> different sum (xor may or may not move)
+    mut = base.copy()
+    mut.loc[57, "o_totalprice"] += 0.01
+    mut.to_parquet(f"{c}/orders.parquet")
+    ca = Q.QUERIES["table_checksum"](a).iloc[0]
+    cb = Q.QUERIES["table_checksum"](b).iloc[0]
+    cc = Q.QUERIES["table_checksum"](c).iloc[0]
+    assert (ca["checksum_sum"], ca["checksum_xor"]) \
+        == (cb["checksum_sum"], cb["checksum_xor"])
+    assert ca["n_rows"] == cb["n_rows"] == cc["n_rows"] == 100
+    assert ca["checksum_sum"] != cc["checksum_sum"]
