@@ -9382,6 +9382,154 @@ def q_trimmed_mean(sf_dir: str):
         .sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword extraction: each document's top-3 terms by
+    (tf desc, df asc, token asc) with the tf-idf score attached — the
+    per-doc tagging pass a corpus curator runs after the corpus-level
+    q_tfidf_top_terms. Ranking uses ONLY integer-comparable keys (term
+    frequency, document frequency, token), never the float score, so
+    the cut is immune to ulp differences between log implementations;
+    the score itself is computed with math.log (glibc libm, the same
+    function DuckDB's LN calls) from a per-bucket {df: idf} map over
+    the bucket's few distinct df values. Shape: per-batch (doc, token,
+    tf) partials -> ONE by-token shuffle where the combine makes tf
+    global and df is the group's row count (a token lives in one
+    bucket) -> ONE by-doc shuffle for the per-doc top-3 (a doc lives
+    in one bucket, so the bucket cut IS global). Driver state: the
+    document count, one scalar."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    B = _pair_buckets()
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _token_frame(df.reset_index(drop=True))
+        g = t.groupby(["doc_id", "token"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        g["tf"] = g["tf"].astype("int64")
+        h = pd.util.hash_array(g["token"].to_numpy(dtype=object)) % B
+        return g.assign(_b=h.astype("int64"))
+
+    def df_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g.groupby(["doc_id", "token"], as_index=False)["tf"].sum()
+        dfreq = tf.groupby("token")["doc_id"].transform("size")
+        out = tf.assign(df=dfreq.astype("int64"))
+        return out.assign(_b2=out["doc_id"].astype("int64") % B)
+
+    def topk_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tf", "df", "token"],
+                          ascending=[True, False, True, True])
+        top = g.groupby("doc_id", as_index=False).head(3).copy()
+        top["rnk"] = top.groupby("doc_id").cumcount() + 1
+        idf = {d: math.log(n_docs / d) for d in top["df"].unique()}
+        top["score"] = (top["tf"] * top["df"].map(idf)).round(6)
+        return pd.DataFrame({
+            "doc_id": top["doc_id"].astype("int64"),
+            "token": top["token"],
+            "tf": top["tf"].astype("int64"),
+            "df": top["df"].astype("int64"),
+            "rnk": top["rnk"].astype("int64"),
+            "score": top["score"],
+        })
+
+    return ds.map_batches(tf_partial, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("_b").map_groups(df_bucket, batch_format="pandas") \
+        .groupby("_b2").map_groups(topk_doc, batch_format="pandas")
+
+
+# same tokenizer as the cms/top_tokens mirrors; rank keys are pure
+# integers so the WHERE rnk <= 3 cut matches bit-for-bit
+SQL_DOC_KEYWORDS = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS token
+  FROM norm WHERE length(nt) > 0
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+r AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df, t.token) AS rnk
+  FROM tf t JOIN dfq d USING (token)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS BIGINT) AS rnk,
+       ROUND(tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / df), 6)
+         AS score
+FROM r WHERE rnk <= 3
+"""
+
+
+def q_column_entropy(sf_dir: str):
+    """Shannon-entropy profile of the categorical columns of orders —
+    the information-content screen that pairs with
+    q_independence_stats (how much signal a column CARRIES vs how much
+    it SHARES): per column the distinct-value count, entropy in nats,
+    and the [0,1] normalized entropy H/ln(k). One scan melts both
+    columns into per-batch (col, val, n) partials over provably tiny
+    domains; the driver folds O(cols x values) rows and computes the
+    entropies with math.log (glibc libm, same as DuckDB's LN). Zero
+    shuffle."""
+    import math
+
+    COLS = ["o_orderstatus", "o_orderpriority"]
+    ds = _read(sf_dir, "orders", COLS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in COLS:
+            g = df.groupby(c, as_index=False).size() \
+                .rename(columns={c: "val", "size": "n"})
+            g.insert(0, "col_name", c)
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas() \
+        .groupby(["col_name", "val"], as_index=False)["n"].sum()
+    rows = []
+    for c, sub in parts.groupby("col_name"):
+        n = sub["n"].to_numpy(np.float64)
+        tot = n.sum()
+        p = n / tot
+        h = float(-sum(pi * math.log(pi) for pi in p))
+        k = len(sub)
+        rows.append((c, np.int64(k), round(h, 6),
+                     round(h / math.log(k), 6) if k > 1 else 0.0))
+    return pd.DataFrame(rows, columns=["col_name", "n_distinct",
+                                       "entropy", "norm_entropy"]) \
+        .sort_values("col_name").reset_index(drop=True)
+
+
+SQL_COLUMN_ENTROPY = """
+WITH c1 AS (SELECT o_orderstatus AS val, COUNT(*) AS n
+            FROM orders GROUP BY 1),
+t1 AS (SELECT val, n * 1.0 / SUM(n) OVER () AS p FROM c1),
+c2 AS (SELECT o_orderpriority AS val, COUNT(*) AS n
+       FROM orders GROUP BY 1),
+t2 AS (SELECT val, n * 1.0 / SUM(n) OVER () AS p FROM c2)
+SELECT 'o_orderstatus' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(SUM(-p * LN(p)), 6) AS entropy,
+       ROUND(SUM(-p * LN(p)) / LN(COUNT(*)), 6) AS norm_entropy
+FROM t1
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       ROUND(SUM(-p * LN(p)), 6),
+       ROUND(SUM(-p * LN(p)) / LN(COUNT(*)), 6)
+FROM t2
+"""
+
+
 # mirror: rank-based trim — any tie order yields the same trimmed
 # VALUE multiset, so row_number's arbitrary tie order is safe
 SQL_TRIMMED_MEAN = """
@@ -9538,6 +9686,8 @@ QUERIES = {
     "independence_stats": q_independence_stats,
     "table_checksum": q_table_checksum,
     "trimmed_mean": q_trimmed_mean,
+    "doc_keywords": q_doc_keywords,
+    "column_entropy": q_column_entropy,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -9681,4 +9831,6 @@ ORACLE_SQL = {
     "independence_stats": SQL_INDEPENDENCE_STATS,
     "table_checksum": SQL_TABLE_CHECKSUM,
     "trimmed_mean": SQL_TRIMMED_MEAN,
+    "doc_keywords": SQL_DOC_KEYWORDS,
+    "column_entropy": SQL_COLUMN_ENTROPY,
 }

@@ -110,6 +110,8 @@ SUBSET = [
     "independence_stats",
     "table_checksum",
     "trimmed_mean",
+    "doc_keywords",
+    "column_entropy",
 ]
 
 
