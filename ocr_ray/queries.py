@@ -9467,6 +9467,150 @@ FROM r WHERE rnk <= 3
 """
 
 
+def q_price_psi(sf_dir: str):
+    """Population Stability Index between two yearly slices of
+    o_totalprice (1996 as reference, 1997 as comparison) — THE
+    production model-monitoring drift metric: bin the comparison
+    population by the reference population's EXACT deciles and sum
+    (pa - pb) * ln(pa / pb) per bin (token-level drift is
+    q_distribution_drift; this is the numeric-distribution flavor).
+    The nine decile boundaries are exact order statistics of the
+    reference slice found with the :func:`_grouped_value_ranges`
+    decomposition — per-range (value, count) partials + exclusive
+    offsets locate each decile's range, ONE map_groups selects the
+    value at the local rank — then both slices bin in one stateless
+    pass against the nine broadcast floats (searchsorted side='right',
+    mirrored by the SQL edge-count subquery) and the driver folds 10
+    counts per slice. PSI terms use math.log (glibc libm, same as
+    DuckDB LN); bins empty on either side emit a 0.0 term (documented
+    convention, keeps the sum finite)."""
+    import math
+
+    y_a = (pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01"))
+    y_b = (pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01"))
+
+    def slice_ds(win):
+        return _read(sf_dir, "orders", ["o_totalprice", "o_orderdate"],
+                     filter=(pc.field("o_orderdate") >= pa.scalar(win[0]))
+                     & (pc.field("o_orderdate") < pa.scalar(win[1]))) \
+            .map_batches(lambda df: pd.DataFrame(
+                {"grp": "x", "v": df["o_totalprice"]
+                 .to_numpy(np.float64)}), batch_format="pandas",
+                batch_size=65536)
+
+    ref = slice_ds(y_a)
+    agg, parts, offs = _grouped_value_ranges(ref, "grp", "v", 64)
+    n_a = int(agg.loc["x", "n"])
+    ranks = [int(np.ceil(q * n_a)) for q in
+             (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)]
+    # locate each rank's range from the per-range totals the offsets
+    # already encode (offs is exclusive-prefix by construction)
+    rng_sorted = sorted(r for (_, r) in offs)
+    rng_off = np.array([offs[("x", r)] for r in rng_sorted], dtype=np.int64)
+    # side='left': rank rk belongs to range i iff off_i < rk <= off_i
+    # + total_i, so a rank equal to an offset is the LAST row of the
+    # PREVIOUS range
+    rank_rng = {rk: rng_sorted[int(np.searchsorted(
+        rng_off, rk, side="left")) - 1] for rk in ranks}
+    # {range: [(rank, rank - offset_of_range), ...]} — everything the
+    # per-range kernel needs, one small broadcast
+    want_ref = ray.put({r: sorted((rk, rk - offs[("x", r)])
+                                  for rk, rr in rank_rng.items()
+                                  if rr == r)
+                        for r in set(rank_rng.values())})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(want_ref)
+        r = int(g["rng"].iloc[0])
+        if r not in want:
+            return pd.DataFrame({"rk": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="float64")})
+        d = g.groupby("v", as_index=False)["c"].sum().sort_values("v")
+        cum = d["c"].cumsum().to_numpy(np.int64)
+        rows = [(rk, float(d["v"].iloc[int(np.searchsorted(cum, local))]))
+                for rk, local in want[r]]
+        return pd.DataFrame(rows, columns=["rk", "v"])
+
+    picked = parts.groupby("key").map_groups(
+        pick, batch_format="pandas").to_pandas()
+    bounds = picked.set_index("rk").loc[ranks, "v"].to_numpy(np.float64)
+    b_ref = ray.put(bounds)
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(b_ref)
+        idx = np.searchsorted(b, df["v"].to_numpy(np.float64),
+                              side="right")
+        return pd.DataFrame({"bin": np.arange(10, dtype=np.int64),
+                             "n": np.bincount(idx, minlength=10)
+                             .astype(np.int64)})
+
+    ca = ref.map_batches(bin_counts, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby("bin")["n"].sum()
+    cb = slice_ds(y_b).map_batches(bin_counts, batch_format="pandas",
+                                   batch_size=65536).to_pandas() \
+        .groupby("bin")["n"].sum()
+    na = ca.reindex(range(10), fill_value=0).to_numpy(np.int64)
+    nb = cb.reindex(range(10), fill_value=0).to_numpy(np.int64)
+    pa_ = na / na.sum()
+    pb_ = nb / nb.sum()
+    terms = [round((a - b) * math.log(a / b), 6) if a > 0 and b > 0
+             else 0.0 for a, b in zip(pa_, pb_)]
+    return pd.DataFrame({
+        "bin": np.arange(10, dtype=np.int64),
+        "n_ref": na, "n_cmp": nb,
+        "psi_term": terms,
+        "psi_total": round(float(sum(terms)), 6),
+    })
+
+
+# mirror: same decile edges (rn = ceil(q*n) order statistics of the
+# reference slice), same edge-count binning (count of edges <= v is
+# searchsorted side='right'), same 0.0 convention for one-sided bins
+SQL_PRICE_PSI = """
+WITH a AS (
+  SELECT o_totalprice AS v FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1997-01-01'
+),
+b AS (
+  SELECT o_totalprice AS v FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n FROM a),
+qs AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q),
+edges AS (SELECT v FROM r JOIN qs ON rn = CAST(CEIL(q * n) AS BIGINT)),
+abin AS (SELECT (SELECT COUNT(*) FROM edges e WHERE e.v <= a.v) AS bin
+         FROM a),
+bbin AS (SELECT (SELECT COUNT(*) FROM edges e WHERE e.v <= b.v) AS bin
+         FROM b),
+bins AS (SELECT unnest(range(10)) AS bin),
+ac AS (SELECT bin, COUNT(*) AS n FROM abin GROUP BY 1),
+bc AS (SELECT bin, COUNT(*) AS n FROM bbin GROUP BY 1),
+g AS (
+  SELECT bins.bin,
+         COALESCE(ac.n, 0) AS n_ref, COALESCE(bc.n, 0) AS n_cmp,
+         SUM(COALESCE(ac.n, 0)) OVER () AS ta,
+         SUM(COALESCE(bc.n, 0)) OVER () AS tb
+  FROM bins LEFT JOIN ac USING (bin) LEFT JOIN bc USING (bin)
+),
+t AS (
+  SELECT bin, n_ref, n_cmp,
+         CASE WHEN n_ref > 0 AND n_cmp > 0
+              THEN ROUND((n_ref*1.0/ta - n_cmp*1.0/tb)
+                         * LN((n_ref*1.0/ta) / (n_cmp*1.0/tb)), 6)
+              ELSE 0.0 END AS psi_term
+  FROM g
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cmp AS BIGINT) AS n_cmp, psi_term,
+       ROUND((SELECT SUM(psi_term) FROM t), 6) AS psi_total
+FROM t ORDER BY bin
+"""
+
+
 def q_column_entropy(sf_dir: str):
     """Shannon-entropy profile of the categorical columns of orders —
     the information-content screen that pairs with
@@ -9688,6 +9832,7 @@ QUERIES = {
     "trimmed_mean": q_trimmed_mean,
     "doc_keywords": q_doc_keywords,
     "column_entropy": q_column_entropy,
+    "price_psi": q_price_psi,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -9833,4 +9978,5 @@ ORACLE_SQL = {
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "doc_keywords": SQL_DOC_KEYWORDS,
     "column_entropy": SQL_COLUMN_ENTROPY,
+    "price_psi": SQL_PRICE_PSI,
 }

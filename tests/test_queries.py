@@ -112,6 +112,7 @@ SUBSET = [
     "trimmed_mean",
     "doc_keywords",
     "column_entropy",
+    "price_psi",
 ]
 
 
