@@ -9611,6 +9611,165 @@ FROM t ORDER BY bin
 """
 
 
+_SCREEN_PATTERNS = [
+    # (name, regex) — RE2-safe subset (no backreferences / lookaround)
+    # so DuckDB regexp_matches and Python re.search agree exactly
+    ("agg_then_sort", r"agg [a-z]+ sort"),
+    ("double_batch", r"batch batch"),
+    ("er_suffix_5plus", r"\b[a-z]{5,}er\b"),
+    ("has_join", r"\bjoin\b"),
+]
+
+
+def q_pattern_screen(sf_dir: str):
+    """Regex content screen over the corpus — the shape of every
+    PII / profanity / boilerplate pattern filter in a training-data
+    pipeline: how many documents match each pattern and the corpus
+    share. Patterns are compiled ONCE per task (closure over the
+    module list), each batch runs vectorized str.contains per pattern
+    and emits a <= |patterns|+1 row partial (plus a '__docs__'
+    denominator row); the driver folds O(patterns) counts. Zero
+    shuffle, scan cost |patterns| regex passes. The pattern set stays
+    in the RE2-compatible subset so the SQL mirror's regexp_matches
+    computes the identical predicate."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"]
+        rows = [("__docs__", np.int64(len(s)))]
+        for name, pat in _SCREEN_PATTERNS:
+            rows.append((name, np.int64(
+                s.str.contains(pat, regex=True).sum())))
+        return pd.DataFrame(rows, columns=["name", "n"])
+
+    p = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536).to_pandas() \
+        .groupby("name", as_index=False)["n"].sum()
+    tot = int(p.loc[p["name"] == "__docs__", "n"].iloc[0])
+    out = p.loc[p["name"] != "__docs__"].copy()
+    out["n_docs"] = out["n"].astype("int64")
+    out["share"] = out["n_docs"] / tot  # identical int ratio both sides
+    return out[["name", "n_docs", "share"]] \
+        .sort_values("name").reset_index(drop=True)
+
+
+SQL_PATTERN_SCREEN = r"""
+WITH pats AS (
+  SELECT * FROM (VALUES
+    ('agg_then_sort', 'agg [a-z]+ sort'),
+    ('double_batch', 'batch batch'),
+    ('er_suffix_5plus', '\b[a-z]{5,}er\b'),
+    ('has_join', '\bjoin\b')
+  ) AS t(name, pat)
+)
+SELECT p.name,
+       CAST(COUNT(*) FILTER (WHERE regexp_matches(d.text, p.pat))
+            AS BIGINT) AS n_docs,
+       COUNT(*) FILTER (WHERE regexp_matches(d.text, p.pat)) * 1.0
+         / COUNT(*) AS share
+FROM documents d CROSS JOIN pats p
+GROUP BY p.name ORDER BY p.name
+"""
+
+
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit across the schema's FK chain
+    (lineitem→orders, orders→customer, customer→nation) — the
+    constraint-validation pass a lake without enforced FKs runs after
+    every load. Per FK: child row count, distinct child keys, orphan
+    keys (child keys absent from the parent) and orphan rows. Shape
+    per FK: per-batch (key, n) child partials + tagged parent key
+    rows -> ONE shuffle bucketed by key where presence is a vectorized
+    isin per bucket (a key lives in one bucket, so bucket-local
+    absence IS global) -> O(buckets) count partials to the driver.
+    Nothing key-scale ever reaches the driver."""
+    B = _pair_buckets()
+    specs = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    rows = []
+    for fk_name, child_t, child_k, parent_t, parent_k in specs:
+        child = _read(sf_dir, child_t, [child_k])
+        parent = _read(sf_dir, parent_t, [parent_k])
+
+        def c_part(df: pd.DataFrame, _k=child_k) -> pd.DataFrame:
+            g = df.groupby(_k, as_index=False).size() \
+                .rename(columns={_k: "key", "size": "n"})
+            g["key"] = g["key"].astype("int64")
+            g["n"] = g["n"].astype("int64")
+            g["side"] = "c"
+            return g.assign(_b=g["key"] % B)
+
+        def p_part(df: pd.DataFrame, _k=parent_k) -> pd.DataFrame:
+            k = df[_k].astype("int64").drop_duplicates()
+            return pd.DataFrame({"key": k, "n": np.int64(0),
+                                 "side": "p", "_b": k % B})
+
+        def audit(g: pd.DataFrame) -> pd.DataFrame:
+            c = g.loc[g["side"] == "c"].groupby("key", as_index=False)[
+                "n"].sum()
+            pk = g.loc[g["side"] == "p", "key"].unique()
+            orphan = ~c["key"].isin(pk)
+            return pd.DataFrame({
+                "n_rows": [np.int64(c["n"].sum())],
+                "n_keys": [np.int64(len(c))],
+                "n_orphan_keys": [np.int64(orphan.sum())],
+                "n_orphan_rows": [np.int64(c.loc[orphan, "n"].sum())],
+            })
+
+        p = child.map_batches(c_part, batch_format="pandas",
+                              batch_size=65536) \
+            .union(parent.map_batches(p_part, batch_format="pandas")) \
+            .groupby("_b").map_groups(audit, batch_format="pandas") \
+            .to_pandas().sum()
+        rows.append((fk_name, np.int64(p["n_rows"]), np.int64(p["n_keys"]),
+                     np.int64(p["n_orphan_keys"]),
+                     np.int64(p["n_orphan_rows"])))
+    return pd.DataFrame(rows, columns=["fk", "n_rows", "n_keys",
+                                       "n_orphan_keys", "n_orphan_rows"]) \
+        .sort_values("fk").reset_index(drop=True)
+
+
+SQL_FK_INTEGRITY = """
+WITH l AS (
+  SELECT 'lineitem.l_orderkey->orders' AS fk,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+         CAST(COUNT(DISTINCT l_orderkey)
+              FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+           AS n_orphan_keys,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+           AS n_orphan_rows
+  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+),
+o AS (
+  SELECT 'orders.o_custkey->customer',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey)
+              FILTER (WHERE c_custkey IS NULL) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+),
+c AS (
+  SELECT 'customer.c_nationkey->nation',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+         CAST(COUNT(DISTINCT c_nationkey)
+              FILTER (WHERE n_nationkey IS NULL) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE n_nationkey IS NULL) AS BIGINT)
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT * FROM l UNION ALL SELECT * FROM o UNION ALL SELECT * FROM c
+ORDER BY fk
+"""
+
+
 def q_column_entropy(sf_dir: str):
     """Shannon-entropy profile of the categorical columns of orders —
     the information-content screen that pairs with
@@ -9833,6 +9992,8 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "column_entropy": q_column_entropy,
     "price_psi": q_price_psi,
+    "pattern_screen": q_pattern_screen,
+    "fk_integrity": q_fk_integrity,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -9979,4 +10140,6 @@ ORACLE_SQL = {
     "doc_keywords": SQL_DOC_KEYWORDS,
     "column_entropy": SQL_COLUMN_ENTROPY,
     "price_psi": SQL_PRICE_PSI,
+    "pattern_screen": SQL_PATTERN_SCREEN,
+    "fk_integrity": SQL_FK_INTEGRITY,
 }

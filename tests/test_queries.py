@@ -113,6 +113,8 @@ SUBSET = [
     "doc_keywords",
     "column_entropy",
     "price_psi",
+    "pattern_screen",
+    "fk_integrity",
 ]
 
 
