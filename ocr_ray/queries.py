@@ -9621,6 +9621,138 @@ _SCREEN_PATTERNS = [
 ]
 
 
+_BM25_TERMS = ["join", "spark", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval: the top-10 documents per query term under
+    the Robertson/Okapi score
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf = ln((N - df + 0.5)/(df + 0.5)) — the lexical-search baseline
+    every retrieval pipeline starts from (the ANN family covers the
+    dense side). One scan: each document is ONE row, so its length dl
+    and per-term tf are exact within the batch — batches emit only
+    candidate rows (docs containing a query term) plus a 3-number
+    stats partial (docs, tokens, per-term df); the driver folds
+    O(terms) numbers and broadcasts {term: idf} (math.log = glibc
+    libm = DuckDB LN) + avgdl. A second pass over the MATERIALIZED
+    candidates scores vectorized and prunes to a local top-10 per
+    term (the union of local top-10s provably contains the global
+    top-10), then ONE tiny by-term shuffle takes the global cut.
+    Scores are bit-identical doubles on both sides, so ordering by
+    raw score (tie-break doc_id) cannot diverge."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _token_frame(df.reset_index(drop=True))
+        dl = t.groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "dl"})
+        tf = t.loc[t["token"].isin(_BM25_TERMS)] \
+            .groupby(["doc_id", "token"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        cand = tf.merge(dl, on="doc_id")
+        out = pd.DataFrame({
+            "doc_id": cand["doc_id"].astype("int64"),
+            "term": cand["token"],
+            "tf": cand["tf"].astype("int64"),
+            "dl": cand["dl"].astype("int64"),
+        })
+        # stats rows ride the same frame: term='' rows carry
+        # (n_docs_with_tokens, total_tokens) and per-term df partials
+        stats = [("", np.int64(len(dl)), np.int64(dl["dl"].sum()))] + [
+            (f"df:{term}", np.int64((tf["token"] == term).sum()),
+             np.int64(0))
+            for term in _BM25_TERMS]
+        srows = pd.DataFrame(stats, columns=["term", "tf", "dl"])
+        srows.insert(0, "doc_id", np.int64(-1))
+        return pd.concat([out, srows], ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).materialize()
+    sp = parts.map_batches(
+        lambda df: df.loc[df["doc_id"] < 0],
+        batch_format="pandas").to_pandas()
+    n_docs = int(sp.loc[sp["term"] == "", "tf"].sum())
+    avgdl = float(sp.loc[sp["term"] == "", "dl"].sum()) / n_docs
+    idf = {t: math.log((n_docs - d + 0.5) / (d + 0.5))
+           for t, d in ((t, int(sp.loc[sp["term"] == f"df:{t}",
+                                       "tf"].sum()))
+                        for t in _BM25_TERMS)}
+    bc = ray.put((idf, avgdl))
+
+    def score_local(df: pd.DataFrame) -> pd.DataFrame:
+        idf_d, ad = ray.get(bc)
+        df = df.loc[df["doc_id"] >= 0].copy()
+        if df.empty:
+            return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        tf = df["tf"].to_numpy(np.float64)
+        dl = df["dl"].to_numpy(np.float64)
+        denom = tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / ad)
+        df["score"] = df["term"].map(idf_d).to_numpy(np.float64) \
+            * tf * (_BM25_K1 + 1.0) / denom
+        df = df.sort_values(["term", "score", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("term", as_index=False).head(10)[
+            ["term", "doc_id", "score"]]
+
+    def final_cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(10).copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["score"] = g["score"].round(6)
+        return g[["term", "doc_id", "rnk", "score"]]
+
+    return parts.map_batches(score_local, batch_format="pandas") \
+        .groupby("term").map_groups(final_cut, batch_format="pandas")
+
+
+# same tokenizer; identical double expression for the score, same
+# (score DESC, doc_id) order — idf/avgdl are ratios of the same ints
+SQL_BM25_SEARCH = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS token
+  FROM norm WHERE length(nt) > 0
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT COUNT(*) AS nd, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+          FROM dl),
+terms AS (SELECT unnest(['join', 'spark', 'window']) AS term),
+tf AS (
+  SELECT t.doc_id, t.token AS term, COUNT(*) AS tf
+  FROM tok t JOIN terms q ON t.token = q.term
+  GROUP BY 1, 2
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+         LN((s.nd - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+           AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfq d USING (term)
+  CROSS JOIN stats s
+),
+r AS (
+  SELECT term, doc_id, score,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT term, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rnk AS BIGINT) AS rnk, ROUND(score, 6) AS score
+FROM r WHERE rnk <= 10
+"""
+
+
 def q_pattern_screen(sf_dir: str):
     """Regex content screen over the corpus — the shape of every
     PII / profanity / boilerplate pattern filter in a training-data
@@ -9994,6 +10126,7 @@ QUERIES = {
     "price_psi": q_price_psi,
     "pattern_screen": q_pattern_screen,
     "fk_integrity": q_fk_integrity,
+    "bm25_search": q_bm25_search,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -10142,4 +10275,5 @@ ORACLE_SQL = {
     "price_psi": SQL_PRICE_PSI,
     "pattern_screen": SQL_PATTERN_SCREEN,
     "fk_integrity": SQL_FK_INTEGRITY,
+    "bm25_search": SQL_BM25_SEARCH,
 }

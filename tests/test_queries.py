@@ -115,6 +115,7 @@ SUBSET = [
     "price_psi",
     "pattern_screen",
     "fk_integrity",
+    "bm25_search",
 ]
 
 
