@@ -10003,6 +10003,218 @@ FROM r
 """
 
 
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle count + global clustering coefficient over
+    the part co-purchase graph (parts adjacent iff some order contains
+    both) — the graph-analytics primitive after PageRank and connected
+    components; community detection, spam/bot screens, and graph-
+    quality audits all start from it. The classic degree-ordered
+    orientation keeps every stage shuffle-bounded:
+
+    - edge build: basket_pairs' orderkey-bucketed distinct pair
+      expansion (baskets are bounded, so the a<b blowup is per-basket,
+      never corpus-quadratic), then a by-pair bucketed GLOBAL distinct;
+      the edge set is materialized ONCE and re-read by later stages;
+    - degrees: endpoint partials -> ONE by-node bucketed fold. The
+      degree table stays a Dataset (O(nodes) rows, never driver-side,
+      never broadcast — the part dim is catalog-bounded today but the
+      kernel must not care);
+    - orientation: each undirected edge points from its (deg, id)-
+      smaller endpoint to the larger, attaching degrees via two tagged
+      bucketed joins. Out-degree is then O(sqrt(2m)) REGARDLESS of
+      skew — a hub's edges point INTO it — so the per-node wedge
+      expansion cannot blow up on a hot node and total wedge rows are
+      bounded by m^1.5 (the optimal triangle-join bound);
+    - wedges + closure: bucket oriented edges by src, expand each
+      src's out-neighbors to (deg, id)-ordered pairs with the same
+      vectorized self-merge, then ONE by-pair bucketed semi-join of
+      wedges against oriented edges (a pair lives in exactly one
+      bucket on both sides). Each triangle is counted exactly once.
+
+    Output: one row — n_nodes, n_edges, n_wedges (undirected paths of
+    length 2, folded from per-batch sum C(deg,2) partials),
+    n_triangles, global_cc = 3T/W (same double expression both sides,
+    rounded 6)."""
+    B = _pair_buckets()
+    W = max(8, _cpus())
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def add_ob(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["l_orderkey"].astype("int64")
+        return pd.DataFrame({"o": o, "p": df["l_partkey"].astype("int64"),
+                             "_b": o % B})
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"])[["o", "p"]]
+        m = g.merge(g, on="o", suffixes=("_a", "_b"))
+        m = m.loc[m["p_a"] < m["p_b"], ["p_a", "p_b"]].drop_duplicates()
+        return m.rename(columns={"p_a": "u", "p_b": "v"})
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        # int64 wrap is deterministic; numpy % with a positive divisor
+        # is non-negative, so the bucket id is stable cross-process
+        with np.errstate(over="ignore"):
+            pb = (df["u"].to_numpy(np.int64) * np.int64(1_000_003)
+                  + df["v"].to_numpy(np.int64)) % B
+        return df.assign(_pb=pb.astype("int64"))
+
+    edges = (ds.map_batches(add_ob, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("_b").map_groups(pairs_bucket, batch_format="pandas")
+             .map_batches(add_pb, batch_format="pandas")
+             .groupby("_pb").map_groups(
+                 lambda g: g[["u", "v"]].drop_duplicates(),
+                 batch_format="pandas")
+             .materialize())
+    n_edges = edges.count()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.concat([df["u"], df["v"]]).value_counts()
+        return pd.DataFrame({"node": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pandas")
+           .map_batches(lambda df: df.assign(
+               _b=(df["node"] % B).astype("int64")), batch_format="pandas")
+           .groupby("_b").map_groups(
+               lambda g: g.groupby("node", as_index=False)["n"].sum(),
+               batch_format="pandas")
+           .materialize())
+    n_nodes = deg.count()
+    wp = deg.map_batches(
+        lambda df: pd.DataFrame({"w": [int(
+            (df["n"].to_numpy(np.int64)
+             * (df["n"].to_numpy(np.int64) - 1) // 2).sum())]}),
+        batch_format="pandas").to_pandas()
+    n_wedges = int(wp["w"].sum())
+
+    # ---- attach deg(u) then deg(v) via tagged bucketed joins
+    def d_prep(key_out: str):
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "_b": (df["node"] % B).astype("int64"),
+                "k": df["node"].astype("int64"),
+                "other": np.int64(-1), "dother": np.int64(-1),
+                "n": df["n"].astype("int64"), "side": "d"})
+        return prep
+
+    def eu_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_b": (df["u"] % B).astype("int64"),
+                             "k": df["u"].astype("int64"),
+                             "other": df["v"].astype("int64"),
+                             "dother": np.int64(-1),
+                             "n": np.int64(-1), "side": "e"})
+
+    def join_u(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["side"] == "d", ["k", "n"]]
+        e = g.loc[g["side"] == "e", ["k", "other"]]
+        m = e.merge(dim, on="k")
+        return pd.DataFrame({"u": m["k"], "v": m["other"], "du": m["n"]})
+
+    e_du = (edges.map_batches(eu_prep, batch_format="pandas")
+            .union(deg.map_batches(d_prep("u"), batch_format="pandas"))
+            .repartition(W)
+            .groupby("_b").map_groups(join_u, batch_format="pandas"))
+
+    def ev_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_b": (df["v"] % B).astype("int64"),
+                             "k": df["v"].astype("int64"),
+                             "other": df["u"].astype("int64"),
+                             "dother": df["du"].astype("int64"),
+                             "n": np.int64(-1), "side": "e"})
+
+    def join_v_orient(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g.loc[g["side"] == "d", ["k", "n"]]
+        e = g.loc[g["side"] == "e", ["k", "other", "dother"]]
+        m = e.merge(dim, on="k")
+        u = m["other"].to_numpy(np.int64)    # original u, deg in dother
+        v = m["k"].to_numpy(np.int64)        # original v, deg in n
+        du = m["dother"].to_numpy(np.int64)
+        dv = m["n"].to_numpy(np.int64)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pd.DataFrame({
+            "src": np.where(u_first, u, v),
+            "dst": np.where(u_first, v, u),
+            "ddst": np.where(u_first, dv, du)})
+
+    oe = (e_du.map_batches(ev_prep, batch_format="pandas")
+          .union(deg.map_batches(d_prep("v"), batch_format="pandas"))
+          .repartition(W)
+          .groupby("_b").map_groups(join_v_orient, batch_format="pandas")
+          .materialize())
+
+    # ---- wedges per src, closed against the oriented edge set
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst", "ddst"]]
+        m = g.merge(g, on="src", suffixes=("_a", "_b"))
+        keep = ((m["ddst_a"] < m["ddst_b"])
+                | ((m["ddst_a"] == m["ddst_b"])
+                   & (m["dst_a"] < m["dst_b"])))
+        m = m.loc[keep]
+        return pd.DataFrame({"x": m["dst_a"].to_numpy(np.int64),
+                             "y": m["dst_b"].to_numpy(np.int64),
+                             "side": "w"})
+
+    def oe_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"x": df["src"].astype("int64"),
+                             "y": df["dst"].astype("int64"),
+                             "side": "e"})
+
+    def pair_b(df: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            pb = (df["x"].to_numpy(np.int64) * np.int64(1_000_003)
+                  + df["y"].to_numpy(np.int64)) % B
+        return df.assign(_pb=pb.astype("int64"))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["side"] == "e", ["x", "y"]]
+        w = g.loc[g["side"] == "w", ["x", "y"]]
+        t = len(w.merge(e, on=["x", "y"]))
+        return pd.DataFrame({"t": [np.int64(t)]})
+
+    src_b = oe.map_batches(
+        lambda df: df.assign(_b=(df["src"] % B).astype("int64")),
+        batch_format="pandas")
+    tparts = (src_b.groupby("_b").map_groups(wedges, batch_format="pandas")
+              .map_batches(pair_b, batch_format="pandas")
+              .union(oe.map_batches(oe_pair, batch_format="pandas")
+                     .map_batches(pair_b, batch_format="pandas"))
+              .repartition(W)
+              .groupby("_pb").map_groups(close, batch_format="pandas")
+              .to_pandas())
+    n_tri = int(tparts["t"].sum())
+    cc = round(3.0 * n_tri / n_wedges, 6) if n_wedges else 0.0
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n_nodes], dtype="int64"),
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "n_wedges": pd.Series([n_wedges], dtype="int64"),
+        "n_triangles": pd.Series([n_tri], dtype="int64"),
+        "global_cc": pd.Series([cc], dtype="float64")})
+
+
+# mirror: a<b edges, triple join for triangles, sum C(deg,2) wedges;
+# 3.0*t/w is the same double expression on both sides
+SQL_TRIANGLE_COUNT = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey),
+deg AS (SELECT node, COUNT(*) AS n FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node),
+tri AS (SELECT COUNT(*) AS t FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+w AS (SELECT SUM(n * (n - 1) // 2) AS w FROM deg)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(w.w AS BIGINT) AS n_wedges,
+       CAST(tri.t AS BIGINT) AS n_triangles,
+       ROUND(3.0 * tri.t / w.w, 6) AS global_cc
+FROM w, tri
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -10127,6 +10339,7 @@ QUERIES = {
     "pattern_screen": q_pattern_screen,
     "fk_integrity": q_fk_integrity,
     "bm25_search": q_bm25_search,
+    "triangle_count": q_triangle_count,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -10276,4 +10489,5 @@ ORACLE_SQL = {
     "pattern_screen": SQL_PATTERN_SCREEN,
     "fk_integrity": SQL_FK_INTEGRITY,
     "bm25_search": SQL_BM25_SEARCH,
+    "triangle_count": SQL_TRIANGLE_COUNT,
 }

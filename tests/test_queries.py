@@ -116,6 +116,7 @@ SUBSET = [
     "pattern_screen",
     "fk_integrity",
     "bm25_search",
+    "triangle_count",
 ]
 
 
@@ -1493,3 +1494,42 @@ def test_table_checksum_detects_single_row_change(ray_session, tmp_path):
         == (cb["checksum_sum"], cb["checksum_xor"])
     assert ca["n_rows"] == cb["n_rows"] == cc["n_rows"] == 100
     assert ca["checksum_sum"] != cc["checksum_sum"]
+
+
+def test_triangle_count_hand_checked(ray_session, tmp_path):
+    """A 5-node graph with a known census. Orders are size-2 baskets,
+    so each order contributes exactly one edge; duplicate orders for
+    the same pair must collapse (edge set is distinct). Graph:
+    triangle {1,2,3} + path edge 3-4 + isolated edge built twice
+    (orders 5 and 6 both join 4-5).
+    deg: 1:2 2:2 3:3 4:2 5:1 -> wedges = 1+1+3+1+0 = 6; triangles = 1;
+    cc = 3*1/6 = 0.5."""
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 5)]
+    rows = []
+    for i, (a, b) in enumerate(pairs, start=1):
+        for p in (a, b):
+            rows.append((i, p))
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    li["l_quantity"] = 1.0
+    li["l_extendedprice"] = 1.0
+    li["l_discount"] = 0.0
+    li["l_tax"] = 0.0
+    li["l_returnflag"] = "N"
+    li["l_linestatus"] = "O"
+    li["l_shipdate"] = pd.to_datetime("2024-01-01")
+    li["l_suppkey"] = 0
+    li["l_linenumber"] = range(len(li))
+    sf = str(tmp_path)
+    li.to_parquet(f"{sf}/lineitem.parquet")
+    out = Q.QUERIES["triangle_count"](sf).iloc[0]
+    assert int(out["n_nodes"]) == 5
+    assert int(out["n_edges"]) == 5
+    assert int(out["n_wedges"]) == 6
+    assert int(out["n_triangles"]) == 1
+    assert out["global_cc"] == 0.5
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["triangle_count"]).df())
+    pd.testing.assert_frame_equal(
+        _norm(Q.QUERIES["triangle_count"](sf)), orc, check_dtype=False)
