@@ -10215,6 +10215,79 @@ FROM w, tri
 """
 
 
+def q_zipf_slope(sf_dir: str):
+    """Zipf power-law fit over the corpus token distribution — the
+    standard sanity check that a text corpus is natural-language-like
+    (and the knob behind vocabulary-size / tokenizer-budget planning):
+    OLS of ln(freq) on ln(rank) over the top-200 tokens, reporting
+    slope (Zipf exponent ~ -1 for natural text), intercept and R^2.
+
+    Scale shape: per-batch value_counts partials -> ONE bucketed
+    combine with a per-bucket top-200 prune on the pure-integer
+    (n desc, token asc) key (a token lives in exactly one bucket, so
+    the union of bucket-local top-200s provably contains the global
+    top-200 and the cut is ulp-immune); the driver regresses over 200
+    numbers. ln on both sides is the same glibc libm as DuckDB LN;
+    the only cross-row float folds are the four OLS sums over 200
+    well-conditioned terms, emitted at round-6 like every float
+    output in the catalog."""
+    V = 200
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(
+            r"[a-z0-9]+").explode().dropna()
+        c = toks.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(),
+                             "n": c.to_numpy().astype(np.int64)})
+
+    parts = ds.map_batches(counts, batch_format="pandas", batch_size=8192)
+    agg = _bucketed_combine(parts, ["token"], {"n": "sum"},
+                            topk=(V, ["n", "token"], [False, True]))
+    top = agg.sort_values(["n", "token"], ascending=[False, True]) \
+        .head(V).reset_index(drop=True)
+    v = len(top)
+    x = np.log(np.arange(1, v + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.float64))
+    xb, yb = x.mean(), y.mean()
+    sxy = ((x - xb) * (y - yb)).sum()
+    sxx = ((x - xb) ** 2).sum()
+    syy = ((y - yb) ** 2).sum()
+    slope = sxy / sxx
+    return pd.DataFrame({
+        "n_tokens": pd.Series([v], dtype="int64"),
+        "zipf_slope": pd.Series([round(slope, 6)], dtype="float64"),
+        "zipf_intercept": pd.Series([round(yb - slope * xb, 6)],
+                                    dtype="float64"),
+        "r2": pd.Series([round(sxy * sxy / (sxx * syy), 6)],
+                        dtype="float64")})
+
+
+# mirror: same tokenizer, same integer-key rank cut, same OLS sums
+SQL_ZIPF_SLOPE = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+      FROM c QUALIFY rnk <= 200),
+p AS (SELECT LN(rnk) AS x, LN(n) AS y FROM r),
+m AS (SELECT AVG(x) AS xb, AVG(y) AS yb FROM p),
+s AS (SELECT COUNT(*) AS v,
+             SUM((x - m.xb) * (y - m.yb)) AS sxy,
+             SUM((x - m.xb) * (x - m.xb)) AS sxx,
+             SUM((y - m.yb) * (y - m.yb)) AS syy,
+             ANY_VALUE(m.xb) AS xb, ANY_VALUE(m.yb) AS yb
+      FROM p, m)
+SELECT CAST(v AS BIGINT) AS n_tokens,
+       ROUND(sxy / sxx, 6) AS zipf_slope,
+       ROUND(yb - sxy / sxx * xb, 6) AS zipf_intercept,
+       ROUND(sxy * sxy / (sxx * syy), 6) AS r2
+FROM s
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -10340,6 +10413,7 @@ QUERIES = {
     "fk_integrity": q_fk_integrity,
     "bm25_search": q_bm25_search,
     "triangle_count": q_triangle_count,
+    "zipf_slope": q_zipf_slope,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -10490,4 +10564,5 @@ ORACLE_SQL = {
     "fk_integrity": SQL_FK_INTEGRITY,
     "bm25_search": SQL_BM25_SEARCH,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "zipf_slope": SQL_ZIPF_SLOPE,
 }

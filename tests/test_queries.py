@@ -117,6 +117,7 @@ SUBSET = [
     "fk_integrity",
     "bm25_search",
     "triangle_count",
+    "zipf_slope",
 ]
 
 
@@ -1533,3 +1534,13 @@ def test_triangle_count_hand_checked(ray_session, tmp_path):
     orc = _norm(con2.execute(Q.ORACLE_SQL["triangle_count"]).df())
     pd.testing.assert_frame_equal(
         _norm(Q.QUERIES["triangle_count"](sf)), orc, check_dtype=False)
+
+
+def test_zipf_slope_properties(ray_session):
+    """Natural-ish text must fit a decreasing power law: slope < 0,
+    R^2 in (0, 1]. The sf0.001 synthetic vocab is ~31 tokens, so the
+    top-200 cut returns the whole vocabulary there."""
+    out = Q.QUERIES["zipf_slope"](SF).iloc[0]
+    assert 10 <= int(out["n_tokens"]) <= 200
+    assert out["zipf_slope"] < -0.1
+    assert 0.0 < out["r2"] <= 1.0
