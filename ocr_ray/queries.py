@@ -10288,6 +10288,61 @@ FROM s
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential race): the 20 orders drawn with probability
+    proportional to o_totalprice — the primitive behind importance-
+    weighted data mixing when Bernoulli / uniform-hash sampling
+    (dataset_splits, source_hash_sample) isn't enough. Deterministic
+    and RNG-free: u = (md5(orderkey)[:13 hex] + 1) / 2^52 is an EXACT
+    dyadic rational in (0, 1] (52-bit numerator, power-of-two divisor
+    — both engines produce the identical double), and the race key
+    -ln(u)/w uses the same glibc libm LN as DuckDB, so keys are
+    bit-identical and the (key, orderkey) order cannot diverge.
+    Smallest-k keys win == P(selected) ∝ w, the A-ES result.
+
+    Scale shape: stateless per-batch key computation + LOCAL top-20
+    prune (the global top-20 is a subset of the union of local
+    top-20s), so at most 20 x batches rows reach the driver cut —
+    the corpus never shuffles. Same rows at any cluster size, batch
+    split, or resume order."""
+    K = 20
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["o_orderkey"].astype("int64")
+        u = np.array([(int(hashlib.md5(str(int(k)).encode())
+                           .hexdigest()[:13], 16) + 1)
+                      for k in keys], dtype=np.float64) / float(2 ** 52)
+        key = -np.log(u) / df["o_totalprice"].to_numpy(np.float64)
+        out = pd.DataFrame({"o_orderkey": keys, "key": key})
+        return out.sort_values(["key", "o_orderkey"]).head(K)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+    out = cand.sort_values(["key", "o_orderkey"]).head(K) \
+        .reset_index(drop=True)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["priority"] = out["key"].round(6)
+    return out[["o_orderkey", "rnk", "priority"]]
+
+
+# mirror: identical dyadic uniform and race key; QUALIFY top-20
+SQL_WEIGHTED_SAMPLE = """
+WITH p AS (
+  SELECT o_orderkey,
+         -LN((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                       1, 13)) AS BIGINT) + 1)
+             / 4503599627370496.0) / o_totalprice AS key
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(row_number() OVER (ORDER BY key, o_orderkey) AS BIGINT) AS rnk,
+       ROUND(key, 6) AS priority
+FROM p QUALIFY rnk <= 20
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -10414,6 +10469,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "triangle_count": q_triangle_count,
     "zipf_slope": q_zipf_slope,
+    "weighted_sample": q_weighted_sample,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -10565,4 +10621,5 @@ ORACLE_SQL = {
     "bm25_search": SQL_BM25_SEARCH,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "zipf_slope": SQL_ZIPF_SLOPE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }

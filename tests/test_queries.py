@@ -118,6 +118,7 @@ SUBSET = [
     "bm25_search",
     "triangle_count",
     "zipf_slope",
+    "weighted_sample",
 ]
 
 
@@ -1544,3 +1545,33 @@ def test_zipf_slope_properties(ray_session):
     assert 10 <= int(out["n_tokens"]) <= 200
     assert out["zipf_slope"] < -0.1
     assert 0.0 < out["r2"] <= 1.0
+
+
+def test_weighted_sample_split_invariant(ray_session, tmp_path):
+    """The A-ES race is stateless per row, so the sample must be
+    IDENTICAL whether the table arrives as one file in key order or
+    as seven shuffled shards — the resume/cluster-size determinism
+    the docstring promises. A massively heavy row must also win."""
+    rng = np.random.default_rng(11)
+    n = 5000
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(1, n + 1, dtype=np.int64),
+        "o_custkey": np.ones(n, dtype=np.int64),
+        "o_orderstatus": ["O"] * n,
+        "o_orderpriority": ["1-URGENT"] * n,
+        "o_totalprice": rng.uniform(1.0, 100.0, n),
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * n),
+    })
+    orders.loc[123, "o_totalprice"] = 1e12  # key -> ~0: must rank 1st
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a), os.makedirs(b)
+    orders.to_parquet(f"{a}/orders.parquet")
+    os.makedirs(f"{b}/orders.parquet")
+    perm = rng.permutation(n)
+    for i, chunk in enumerate(np.array_split(perm, 7)):
+        orders.iloc[chunk].reset_index(drop=True).to_parquet(
+            f"{b}/orders.parquet/part-{i}.parquet")
+    ra = Q.QUERIES["weighted_sample"](a)
+    rb = Q.QUERIES["weighted_sample"](b)
+    pd.testing.assert_frame_equal(ra, rb)
+    assert int(ra.iloc[0]["o_orderkey"]) == 124  # orderkey of row 123
