@@ -10343,6 +10343,119 @@ FROM p QUALIFY rnk <= 20
 """
 
 
+_COVERAGE_K = 8
+
+
+def q_coverage_selection(sf_dir: str):
+    """Greedy coverage-maximizing document selection (the facility-
+    location / max-cover coreset shape behind 'pick the K most
+    informative documents' data-selection recipes): K = 8 exact greedy
+    rounds, each picking the document adding the most NOT-yet-covered
+    distinct tokens (tie: doc_id asc), stopping early when no document
+    adds anything. Submodularity makes exact greedy a (1 - 1/e)
+    approximation of the optimal K-cover — the classic result the
+    selection literature builds on.
+
+    Scale shape: one streamed scan PER ROUND over the materialized
+    input; each batch computes per-doc marginal gains vectorized
+    (explode -> drop covered via isin -> group size) and emits ONLY its
+    local winner plus that winner's uncovered-token payload, so the
+    driver folds B candidate rows per round and never re-reads the
+    winning doc. Driver state is the covered-token set — bounded by
+    the union vocabulary of <= K documents, NOT the corpus vocabulary
+    — re-broadcast each round via ray.put. At true 100 TB scale the
+    round count, not the scan, is the cost: swap in stochastic/lazy
+    greedy by sampling candidate batches per round — the kernel is
+    unchanged."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    covered: set = set()
+    rows, cum = [], 0
+    for step in range(1, _COVERAGE_K + 1):
+        cov_ref = ray.put(covered)
+
+        def gains(df: pd.DataFrame, _cov=cov_ref) -> pd.DataFrame:
+            cov = ray.get(_cov)
+            ex = df["text"].str.lower().str.findall(
+                r"[a-z0-9]+").explode().dropna()
+            fr = pd.DataFrame({
+                "doc_id": df["doc_id"].reindex(ex.index).astype("int64"),
+                "token": ex}).drop_duplicates()
+            if cov:
+                fr = fr.loc[~fr["token"].isin(cov)]
+            if fr.empty:
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "gain": pd.Series([], dtype="int64"),
+                    "toks": pd.Series([], dtype="object")})
+            g = fr.groupby("doc_id", as_index=False).size() \
+                .rename(columns={"size": "gain"})
+            g = g.sort_values(["gain", "doc_id"],
+                              ascending=[False, True]).head(1)
+            wid = int(g["doc_id"].iloc[0])
+            toks = "\x1f".join(fr.loc[fr["doc_id"] == wid, "token"])
+            return pd.DataFrame({"doc_id": [np.int64(wid)],
+                                 "gain": g["gain"].astype("int64").values,
+                                 "toks": [toks]})
+
+        cands = ds.map_batches(gains, batch_format="pandas",
+                               batch_size=8192).to_pandas()
+        if "gain" not in cands.columns:  # all blocks empty: all covered
+            break
+        cands = cands.loc[cands["gain"] > 0]
+        if cands.empty:
+            break
+        w = cands.sort_values(["gain", "doc_id"],
+                              ascending=[False, True]).iloc[0]
+        covered.update(w["toks"].split("\x1f"))
+        cum += int(w["gain"])
+        rows.append((step, int(w["doc_id"]), int(w["gain"]), cum))
+    return pd.DataFrame(
+        rows, columns=["step", "doc_id", "new_tokens", "cum_coverage"]
+    ).astype({"step": "int64", "doc_id": "int64",
+              "new_tokens": "int64", "cum_coverage": "int64"})
+
+
+def _coverage_sql(k: int) -> str:
+    """Generate the chained-CTE mirror of q_coverage_selection's greedy
+    loop — one (select, covered) CTE pair per round (the pagerank
+    generated-iterative-oracle trick). A round whose candidate set is
+    empty yields no row, exactly like the Ray loop's early break."""
+    iters = []
+    for i in range(1, k + 1):
+        filt = ("" if i == 1
+                else f"WHERE token NOT IN (SELECT token FROM cov{i - 1})")
+        carry = ("" if i == 1
+                 else f"UNION SELECT token FROM cov{i - 1}")
+        iters.append(f"""s{i} AS (
+  SELECT doc_id, COUNT(DISTINCT token) AS gain
+  FROM tok {filt}
+  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+), cov{i} AS (
+  SELECT DISTINCT token FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM s{i})
+  {carry}
+), r{i} AS (SELECT {i} AS step, doc_id, gain FROM s{i})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM r{i}" for i in range(1, k + 1))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents)
+),
+{','.join(iters)}
+SELECT CAST(step AS BIGINT) AS step,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(gain AS BIGINT) AS new_tokens,
+       CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT) AS cum_coverage
+FROM ({unions})
+"""
+
+
+SQL_COVERAGE_SELECTION = _coverage_sql(_COVERAGE_K)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -10470,6 +10583,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "zipf_slope": q_zipf_slope,
     "weighted_sample": q_weighted_sample,
+    "coverage_selection": q_coverage_selection,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -10622,4 +10736,5 @@ ORACLE_SQL = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "zipf_slope": SQL_ZIPF_SLOPE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "coverage_selection": SQL_COVERAGE_SELECTION,
 }

@@ -119,6 +119,7 @@ SUBSET = [
     "triangle_count",
     "zipf_slope",
     "weighted_sample",
+    "coverage_selection",
 ]
 
 
@@ -1575,3 +1576,28 @@ def test_weighted_sample_split_invariant(ray_session, tmp_path):
     rb = Q.QUERIES["weighted_sample"](b)
     pd.testing.assert_frame_equal(ra, rb)
     assert int(ra.iloc[0]["o_orderkey"]) == 124  # orderkey of row 123
+
+
+def test_coverage_selection_hand_checked(ray_session, tmp_path):
+    """Greedy max-cover on a crafted corpus: doc 1 = {a b c d},
+    doc 2 = {a b c}, doc 3 = {d e f}, doc 4 = {g}. Greedy picks
+    1 (4 new), then 3 (+2: e f), then 4 (+1: g), then stops —
+    doc 2 adds nothing. Ties never arise; early-stop is exercised
+    because K=8 > useful rounds."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d", "a b c", "d e f", "g"],
+        "lang": ["en"] * 4, "source": ["s"] * 4,
+        "n_chars": [7, 5, 5, 1],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    out = Q.QUERIES["coverage_selection"](sf)
+    assert out[["step", "doc_id", "new_tokens", "cum_coverage"]] \
+        .to_records(index=False).tolist() \
+        == [(1, 1, 4, 4), (2, 3, 2, 6), (3, 4, 1, 7)]
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["coverage_selection"]).df())
+    pd.testing.assert_frame_equal(_norm(out), orc, check_dtype=False)
