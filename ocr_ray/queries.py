@@ -10456,6 +10456,173 @@ FROM ({unions})
 SQL_COVERAGE_SELECTION = _coverage_sql(_COVERAGE_K)
 
 
+_KCORE_K = 3
+_KCORE_MAX_ROUNDS = 16
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition (k = 3) of the thresholded part
+    co-purchase graph (edges = part pairs bought together in >= 2
+    orders) — the iterative PEELING shape, complementing pagerank's
+    fixed-iteration power method and dedup_clusters' hash-to-min:
+    repeatedly drop nodes of degree < k until a fixpoint; what
+    survives is the densely-connected core (community seeds,
+    recommendation backbones, graph-quality audits).
+
+    Scale shape: edges built once (basket-bounded pair expansion ->
+    by-pair bucketed count fold with the >= 2 support filter) and
+    materialized; each peel round is THREE bounded shuffles — one
+    by-node degree fold, then two by-endpoint semi-joins filtering the
+    edge list against the surviving node set (tagged-union buckets, a
+    key lives in exactly one bucket; the node set is never broadcast
+    or driver-materialized). The driver holds two scalars per round.
+    Convergence is data-dependent (unlike pagerank): the loop stops
+    the first round nothing drops and RAISES if _KCORE_MAX_ROUNDS
+    rounds don't reach the fixpoint, so the fixed-depth SQL mirror
+    (peeling is a no-op after convergence) can never silently
+    diverge. Output: (k, n_core_nodes, n_core_edges)."""
+    B = _pair_buckets()
+    W = max(8, _cpus())
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def add_ob(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["l_orderkey"].astype("int64")
+        return pd.DataFrame({"o": o, "p": df["l_partkey"].astype("int64"),
+                             "_b": o % B})
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"])[["o", "p"]]
+        m = g.merge(g, on="o", suffixes=("_a", "_b"))
+        m = m.loc[m["p_a"] < m["p_b"]]
+        out = m.groupby(["p_a", "p_b"], as_index=False).size() \
+            .rename(columns={"size": "n", "p_a": "u", "p_b": "v"})
+        return out
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            pb = (df["u"].to_numpy(np.int64) * np.int64(1_000_003)
+                  + df["v"].to_numpy(np.int64)) % B
+        return df.assign(_pb=pb.astype("int64"))
+
+    def fold_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["u", "v"], as_index=False)["n"].sum()
+        return out.loc[out["n"] >= 2, ["u", "v"]]
+
+    edges = (ds.map_batches(add_ob, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("_b").map_groups(pair_counts, batch_format="pandas")
+             .map_batches(add_pb, batch_format="pandas")
+             .groupby("_pb").map_groups(fold_pairs, batch_format="pandas")
+             .materialize())
+
+    def degrees(e: ray.data.Dataset) -> ray.data.Dataset:
+        def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = pd.concat([df["u"], df["v"]]).value_counts()
+            return pd.DataFrame({"node": c.index.to_numpy(np.int64),
+                                 "n": c.to_numpy(np.int64)})
+        return (e.map_batches(deg_partial, batch_format="pandas")
+                .map_batches(lambda df: df.assign(
+                    _b=(df["node"] % B).astype("int64")),
+                    batch_format="pandas")
+                .groupby("_b").map_groups(
+                    lambda g: g.groupby("node", as_index=False)["n"].sum(),
+                    batch_format="pandas")
+                .materialize())
+
+    def semi(e: ray.data.Dataset, col: str,
+             keep: ray.data.Dataset) -> ray.data.Dataset:
+        other = "v" if col == "u" else "u"
+
+        def e_prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"_b": (df[col] % B).astype("int64"),
+                                 "k": df[col].astype("int64"),
+                                 "other": df[other].astype("int64"),
+                                 "side": "e"})
+
+        def d_prep(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"_b": (df["node"] % B).astype("int64"),
+                                 "k": df["node"].astype("int64"),
+                                 "other": np.int64(-1), "side": "d"})
+
+        def flt(g: pd.DataFrame) -> pd.DataFrame:
+            ks = g.loc[g["side"] == "d", "k"]
+            e_ = g.loc[g["side"] == "e"]
+            e_ = e_.loc[e_["k"].isin(ks)]
+            uu = e_["k"] if col == "u" else e_["other"]
+            vv = e_["other"] if col == "u" else e_["k"]
+            return pd.DataFrame({"u": uu.to_numpy(np.int64),
+                                 "v": vv.to_numpy(np.int64)})
+
+        return (e.map_batches(e_prep, batch_format="pandas")
+                .union(keep.map_batches(d_prep, batch_format="pandas"))
+                .repartition(W)
+                .groupby("_b").map_groups(flt, batch_format="pandas"))
+
+    cur, converged, empty = edges, False, False
+    for _ in range(_KCORE_MAX_ROUNDS):
+        deg = degrees(cur)
+        n_all = deg.count()
+        kept = deg.map_batches(
+            lambda df: df.loc[df["n"] >= _KCORE_K, ["node"]],
+            batch_format="pandas").materialize()
+        n_keep = kept.count()
+        if n_keep == n_all:
+            converged = True
+            break
+        if n_keep == 0:
+            converged, empty = True, True
+            break
+        cur = semi(semi(cur, "u", kept), "v", kept).materialize()
+    if not converged:
+        raise RuntimeError(
+            f"kcore: no fixpoint within {_KCORE_MAX_ROUNDS} peel rounds — "
+            "raise _KCORE_MAX_ROUNDS (and regenerate SQL_KCORE) for this "
+            "graph")
+    if empty:
+        n_nodes, n_edges = 0, 0
+    else:
+        n_edges = cur.count()
+        n_nodes = degrees(cur).count() if n_edges else 0
+    return pd.DataFrame({
+        "k": pd.Series([_KCORE_K], dtype="int64"),
+        "n_core_nodes": pd.Series([n_nodes], dtype="int64"),
+        "n_core_edges": pd.Series([n_edges], dtype="int64")})
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Fixed-depth CTE mirror of the peel loop: peeling is idempotent
+    after the fixpoint, so `rounds` >= the true peel depth (which the
+    Ray side VERIFIES by raising) makes round `rounds` the core."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""n{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT u AS node FROM e{i - 1} UNION ALL SELECT v AS node FROM e{i - 1})
+  GROUP BY node HAVING COUNT(*) >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{i - 1}
+  WHERE u IN (SELECT node FROM n{i}) AND v IN (SELECT node FROM n{i})
+)""")
+    return f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+{','.join(steps)}
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT u AS node FROM e{rounds}
+          UNION SELECT v AS node FROM e{rounds})) AS n_core_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{rounds}) AS n_core_edges
+"""
+
+
+SQL_KCORE = _kcore_sql(_KCORE_K, _KCORE_MAX_ROUNDS)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -10584,6 +10751,7 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "weighted_sample": q_weighted_sample,
     "coverage_selection": q_coverage_selection,
+    "kcore": q_kcore,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -10737,4 +10905,5 @@ ORACLE_SQL = {
     "zipf_slope": SQL_ZIPF_SLOPE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "coverage_selection": SQL_COVERAGE_SELECTION,
+    "kcore": SQL_KCORE,
 }

@@ -120,6 +120,7 @@ SUBSET = [
     "zipf_slope",
     "weighted_sample",
     "coverage_selection",
+    "kcore",
 ]
 
 
@@ -1601,3 +1602,53 @@ def test_coverage_selection_hand_checked(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["coverage_selection"]).df())
     pd.testing.assert_frame_equal(_norm(out), orc, check_dtype=False)
+
+
+def test_kcore_hand_checked(ray_session, tmp_path):
+    """Graph (after the >=2-support threshold) = triangle {1,2,3}
+    + pendant chain 3-4, 4-5. k=3 peels 5 (deg 1), then 4 (deg 1),
+    leaving the triangle — but deg inside a triangle is 2 < 3, so the
+    3-core is EMPTY; rebuild with k via a second fixture where the
+    4-clique {1,2,3,4} survives. Each edge is planted in exactly 2
+    orders so the support filter keeps it; a decoy pair (5,6) appears
+    once and must be dropped by the threshold."""
+    def build(pairs, extra_once=()):
+        rows, oid = [], 0
+        for a, b in pairs:
+            for _ in range(2):  # support 2
+                oid += 1
+                rows += [(oid, a), (oid, b)]
+        for a, b in extra_once:
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+        li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+        for c, v in [("l_quantity", 1.0), ("l_extendedprice", 1.0),
+                     ("l_discount", 0.0), ("l_tax", 0.0),
+                     ("l_returnflag", "N"), ("l_linestatus", "O")]:
+            li[c] = v
+        li["l_shipdate"] = pd.to_datetime("2024-01-01")
+        li["l_suppkey"] = 0
+        li["l_linenumber"] = range(len(li))
+        return li
+
+    # fixture A: triangle + chain -> empty 3-core
+    sfa = str(tmp_path / "a")
+    os.makedirs(sfa)
+    build([(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)],
+          extra_once=[(5, 6)]).to_parquet(f"{sfa}/lineitem.parquet")
+    out = Q.QUERIES["kcore"](sfa).iloc[0]
+    assert (int(out["n_core_nodes"]), int(out["n_core_edges"])) == (0, 0)
+
+    # fixture B: 4-clique + pendant -> core = the clique (4 nodes, 6 edges)
+    sfb = str(tmp_path / "b")
+    os.makedirs(sfb)
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    build(clique + [(4, 9)]).to_parquet(f"{sfb}/lineitem.parquet")
+    out = Q.QUERIES["kcore"](sfb).iloc[0]
+    assert (int(out["n_core_nodes"]), int(out["n_core_edges"])) == (4, 6)
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sfb}/lineitem.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["kcore"]).df())
+    pd.testing.assert_frame_equal(_norm(Q.QUERIES["kcore"](sfb)), orc,
+                                  check_dtype=False)
