@@ -10623,6 +10623,131 @@ SELECT CAST({k} AS BIGINT) AS k,
 SQL_KCORE = _kcore_sql(_KCORE_K, _KCORE_MAX_ROUNDS)
 
 
+_MMR_K = 10
+_MMR_LAMBDA = 0.7
+
+
+def q_mmr_search(sf_dir: str):
+    """MMR (maximal-marginal-relevance) diversified top-10 retrieval
+    over the embedding column: greedy rounds picking
+    argmax lambda*cos(q, d) - (1-lambda)*max_{s in S} cos(d, s) —
+    the standard re-ranking that stops a dense retriever returning ten
+    near-duplicates (Carbonell & Goldstein '98), and the selection
+    shape RAG / eval-set builders use for diversity. Query = vec_id 0;
+    candidates = everything else.
+
+    Scale shape: per round ONE streamed scan — the query vector and
+    the <= K selected vectors (a (K, 64) float block, bounded by K, not
+    the corpus) broadcast via ray.put; each batch scores vectorized
+    (two matmuls) and emits only its LOCAL winner carrying its vector
+    payload, so the driver folds B rows per round and never re-reads
+    the winner. Scores are rounded to 9 decimals BEFORE the argmax on
+    both sides (the knn_bruteforce convention) so the
+    (score desc, vec_id) pick is ulp-immune."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    qrow = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                 filter=pc.field("vec_id") == 0).to_pandas()
+    qv = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    q_ref = ray.put(qv)
+    sel_ids: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    rows = []
+    for step in range(1, _MMR_K + 1):
+        sel_ref = ray.put((list(sel_ids),
+                           np.array(sel_vecs, dtype=np.float64)))
+
+        def local_best(df: pd.DataFrame, _q=q_ref,
+                       _s=sel_ref) -> pd.DataFrame:
+            qv_ = ray.get(_q)
+            ids_, sv = ray.get(_s)
+            keep = (df["vec_id"] != 0) & ~df["vec_id"].isin(ids_)
+            df = df.loc[keep]
+            if df.empty:
+                return pd.DataFrame({
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                    "vec": pd.Series([], dtype="object")})
+            V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sim_q = Vn @ qv_
+            if len(sv):
+                svn = sv / np.linalg.norm(sv, axis=1, keepdims=True)
+                sim_s = (Vn @ svn.T).max(axis=1)
+            else:
+                sim_s = np.zeros(len(V))
+            score = np.round(_MMR_LAMBDA * sim_q
+                             - (1.0 - _MMR_LAMBDA) * sim_s, 9)
+            out = pd.DataFrame({"vec_id": df["vec_id"].to_numpy(np.int64),
+                                "score": score,
+                                "vec": list(V)})
+            return out.sort_values(["score", "vec_id"],
+                                   ascending=[False, True]).head(1)
+
+        cands = ds.map_batches(local_best, batch_format="pandas",
+                               batch_size=4096).to_pandas()
+        if "score" not in cands.columns or cands.empty:
+            break
+        w = cands.sort_values(["score", "vec_id"],
+                              ascending=[False, True]).iloc[0]
+        sel_ids.append(int(w["vec_id"]))
+        sel_vecs.append(np.asarray(w["vec"], dtype=np.float64))
+        rows.append((step, int(w["vec_id"]), float(w["score"])))
+    return pd.DataFrame(rows, columns=["step", "vec_id", "mmr_score"]) \
+        .astype({"step": "int64", "vec_id": "int64",
+                 "mmr_score": "float64"})
+
+
+def _mmr_sql(k: int, lam: float) -> str:
+    """Generated chained-CTE mirror of the MMR greedy loop: per round,
+    score every remaining candidate with a correlated MAX over the
+    selected-so-far set (each pick CTE carries its vector), round to 9,
+    pick (score desc, vec_id)."""
+    steps = []
+    for i in range(1, k + 1):
+        if i == 1:
+            pen = "0.0"
+            notin = ""
+        else:
+            sel = " UNION ALL ".join(
+                f"SELECT ve FROM p{j}" for j in range(1, i))
+            pen = (f"COALESCE((SELECT MAX(list_cosine_similarity(c.ve, "
+                   f"s.ve)) FROM ({sel}) s), 0.0)")
+            notin = ("AND c.vec_id NOT IN ("
+                     + " UNION ALL ".join(
+                         f"SELECT vec_id FROM p{j}" for j in range(1, i))
+                     + ")")
+        steps.append(f"""sc{i} AS MATERIALIZED (
+  SELECT c.vec_id,
+         ROUND({lam!r} * list_cosine_similarity(c.ve, (SELECT qe FROM q))
+               - {1.0 - lam!r} * {pen}, 9) AS score,
+         c.ve
+  FROM cand c WHERE TRUE {notin}
+), p{i} AS MATERIALIZED (
+  SELECT vec_id, score, ve FROM sc{i}
+  ORDER BY score DESC, vec_id LIMIT 1
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, vec_id, score FROM p{i}"
+        for i in range(1, k + 1))
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+  WHERE vec_id <> 0
+),
+{','.join(steps)}
+SELECT CAST(step AS BIGINT) AS step,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       score AS mmr_score
+FROM ({unions})
+"""
+
+
+SQL_MMR_SEARCH = _mmr_sql(_MMR_K, _MMR_LAMBDA)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -10752,6 +10877,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "coverage_selection": q_coverage_selection,
     "kcore": q_kcore,
+    "mmr_search": q_mmr_search,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -10906,4 +11032,5 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "coverage_selection": SQL_COVERAGE_SELECTION,
     "kcore": SQL_KCORE,
+    "mmr_search": SQL_MMR_SEARCH,
 }
