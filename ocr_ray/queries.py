@@ -10748,6 +10748,177 @@ FROM ({unions})
 SQL_MMR_SEARCH = _mmr_sql(_MMR_K, _MMR_LAMBDA)
 
 
+_RRF_K = 60          # standard RRF damping constant (Cormack et al. '09)
+_RRF_TERM = "join"   # lexical query
+_RRF_QVEC = 0        # dense query = embedding of vec_id 0
+_RRF_DEPTH = 20      # per-system candidate depth fed into the fusion
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Reciprocal-rank-fusion hybrid retrieval: fuse a BM25 lexical
+    ranking (term 'join' over documents) with a dense cosine ranking
+    (query vector vec_id 0 over the aligned embeddings table) as
+    sum_systems 1/(K + rank), K=60 — the standard lexical+dense fusion
+    every hybrid RAG retriever runs (Cormack et al. SIGIR '09). Top-10
+    fused docs with their fused score.
+
+    Scale shape: each leg is one streamed scan emitting a local
+    top-DEPTH per batch (the union of local top-D provably contains the
+    global top-D since a doc's score is complete within its batch) plus,
+    on the lexical side, an O(1)-row stats partial (n_docs, total
+    tokens, df) the driver folds for idf/avgdl. The driver then fuses
+    two <= DEPTH-row rankings — never corpus-sized data. BM25 doubles
+    are bit-identical to the SQL mirror (same int ratios through libm
+    ln); dense sims are rounded to 9 before ranking (the knn
+    convention), so both systems' rank orders cannot diverge."""
+    import math
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def lex_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _token_frame(df.reset_index(drop=True))
+        dl = t.groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "dl"})
+        tf = t.loc[t["token"] == _RRF_TERM] \
+            .groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        cand = tf.merge(dl, on="doc_id")
+        out = pd.DataFrame({"doc_id": cand["doc_id"].astype("int64"),
+                            "tf": cand["tf"].astype("int64"),
+                            "dl": cand["dl"].astype("int64")})
+        # stats partials ride the same frame: doc_id=-1 carries
+        # (n_docs_with_tokens, total_tokens), doc_id=-2 carries (df, 0)
+        stats = pd.DataFrame({
+            "doc_id": np.array([-1, -2], dtype=np.int64),
+            "tf": np.array([len(dl), len(tf)], dtype=np.int64),
+            "dl": np.array([dl["dl"].sum(), 0], dtype=np.int64)})
+        return pd.concat([out, stats], ignore_index=True)
+
+    parts = docs.map_batches(lex_partial, batch_format="pandas",
+                             batch_size=65536).materialize()
+    sp = parts.map_batches(lambda df: df.loc[df["doc_id"] < 0],
+                           batch_format="pandas").to_pandas()
+    n_docs = int(sp.loc[sp["doc_id"] == -1, "tf"].sum())
+    avgdl = float(sp.loc[sp["doc_id"] == -1, "dl"].sum()) / n_docs
+    df_term = int(sp.loc[sp["doc_id"] == -2, "tf"].sum())
+    idf = math.log((n_docs - df_term + 0.5) / (df_term + 0.5))
+    bc = ray.put((idf, avgdl))
+
+    def lex_local(df: pd.DataFrame) -> pd.DataFrame:
+        idf_, ad = ray.get(bc)
+        df = df.loc[df["doc_id"] >= 0]
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        tf = df["tf"].to_numpy(np.float64)
+        dl = df["dl"].to_numpy(np.float64)
+        score = idf_ * tf * (_BM25_K1 + 1.0) \
+            / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / ad))
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "score": score})
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(_RRF_DEPTH)
+
+    lex = parts.map_batches(lex_local, batch_format="pandas").to_pandas() \
+        .sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .head(_RRF_DEPTH).reset_index(drop=True)
+    lex["rnk_l"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    qrow = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                 filter=pc.field("vec_id") == _RRF_QVEC).to_pandas()
+    qv = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    q_ref = ray.put(qv)
+
+    def dense_local(df: pd.DataFrame) -> pd.DataFrame:
+        sims = np.round(_normed_batch(df) @ ray.get(q_ref), 9)
+        out = pd.DataFrame({"doc_id": df["vec_id"].to_numpy(np.int64),
+                            "sim": sims})
+        return out.sort_values(["sim", "doc_id"],
+                               ascending=[False, True]).head(_RRF_DEPTH)
+
+    dense = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(dense_local, batch_format="pandas",
+                     batch_size=4096).to_pandas() \
+        .sort_values(["sim", "doc_id"], ascending=[False, True]) \
+        .head(_RRF_DEPTH).reset_index(drop=True)
+    dense["rnk_d"] = np.arange(1, len(dense) + 1, dtype=np.int64)
+
+    m = lex[["doc_id", "rnk_l"]].merge(dense[["doc_id", "rnk_d"]],
+                                       on="doc_id", how="outer")
+    rl = m["rnk_l"].to_numpy(np.float64)   # NaN where absent
+    rd = m["rnk_d"].to_numpy(np.float64)
+    rrf = np.where(np.isnan(rl), 0.0, 1.0 / (_RRF_K + rl)) \
+        + np.where(np.isnan(rd), 0.0, 1.0 / (_RRF_K + rd))
+    out = pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64),
+                        "rrf": rrf}) \
+        .sort_values(["rrf", "doc_id"], ascending=[False, True]) \
+        .head(10).reset_index(drop=True)
+    return pd.DataFrame({"doc_id": out["doc_id"],
+                         "rnk": np.arange(1, len(out) + 1, dtype=np.int64),
+                         "rrf_score": np.round(out["rrf"].to_numpy(), 9)})
+
+
+# same tokenizer/score expression as SQL_BM25_SEARCH; the fusion is
+# 1.0/(60+rank) summed lex-then-dense on both sides (identical doubles)
+SQL_HYBRID_RRF = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS token
+  FROM norm WHERE length(nt) > 0
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT COUNT(*) AS nd, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+          FROM dl),
+tf AS (
+  SELECT doc_id, COUNT(*) AS tf FROM tok WHERE token = 'join' GROUP BY 1
+),
+dfq AS (SELECT COUNT(*) AS df FROM tf),
+lex_scored AS (
+  SELECT tf.doc_id,
+         LN((s.nd - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+           AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfq d CROSS JOIN stats s
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk_l
+  FROM lex_scored QUALIFY rnk_l <= 20
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+dense_s AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9)
+           AS sim
+  FROM embeddings e CROSS JOIN q
+),
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk_d
+  FROM dense_s QUALIFY rnk_d <= 20
+),
+fused AS (
+  SELECT doc_id,
+         COALESCE(1.0 / (60 + l.rnk_l), 0.0)
+           + COALESCE(1.0 / (60 + d.rnk_d), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, rrf,
+         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rnk,
+       ROUND(rrf, 9) AS rrf_score
+FROM r WHERE rnk <= 10
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -10878,6 +11049,7 @@ QUERIES = {
     "coverage_selection": q_coverage_selection,
     "kcore": q_kcore,
     "mmr_search": q_mmr_search,
+    "hybrid_rrf": q_hybrid_rrf,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -11033,4 +11205,5 @@ ORACLE_SQL = {
     "coverage_selection": SQL_COVERAGE_SELECTION,
     "kcore": SQL_KCORE,
     "mmr_search": SQL_MMR_SEARCH,
+    "hybrid_rrf": SQL_HYBRID_RRF,
 }
