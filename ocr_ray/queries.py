@@ -10919,6 +10919,91 @@ FROM r WHERE rnk <= 10
 """
 
 
+def q_bpe_merge_pairs(sf_dir: str):
+    """BPE tokenizer-training round 0: the exact global top-10
+    character-pair merge candidates — for every token OCCURRENCE in the
+    corpus, every adjacent character bigram inside the token, summed
+    corpus-wide (Sennrich et al. ACL '16: the pair a BPE trainer would
+    merge first, plus the next nine). The op every from-scratch
+    tokenizer build starts with.
+
+    Scale shape: each batch first collapses its token occurrences with
+    value_counts (Zipf makes distinct-per-batch << occurrences), then
+    expands bigrams VECTORIZED by character offset (a <= max-token-len
+    loop of str.slice calls over shrinking row sets — never a loop over
+    rows) into a per-batch (pair, cnt) partial; one bounded
+    _bucketed_combine by pair hash with per-bucket top-10 pruning means
+    the driver folds <= buckets*10 rows, never the pair vocabulary.
+    Exact because every partial of a pair lands in one bucket and the
+    global top-10 is a subset of the per-bucket top-10 union."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split().explode().dropna()
+        empty = pd.DataFrame({"pair": pd.Series([], dtype="object"),
+                              "cnt": pd.Series([], dtype="int64")})
+        if toks.empty:
+            return empty
+        wf = toks.value_counts()
+        w = pd.Series(wf.index)
+        f = pd.Series(wf.to_numpy(np.int64))
+        lens = w.str.len()
+        chunks = []
+        for i in range(int(lens.max()) - 1):
+            m = lens >= i + 2
+            if not m.any():
+                break
+            chunks.append(pd.DataFrame({
+                "pair": w.loc[m].str.slice(i, i + 2).to_numpy(),
+                "cnt": f.loc[m].to_numpy()}))
+        if not chunks:
+            return empty
+        p = pd.concat(chunks, ignore_index=True) \
+            .groupby("pair", as_index=False)["cnt"].sum()
+        p["cnt"] = p["cnt"].astype("int64")
+        return p
+
+    parts = ds.map_batches(pair_partial, batch_format="pandas",
+                           batch_size=8192)
+    agg = _bucketed_combine(parts, ["pair"], {"cnt": "sum"},
+                            topk=(10, ["cnt", "pair"], [False, True]))
+    top = agg.sort_values(["cnt", "pair"], ascending=[False, True]) \
+        .head(10).reset_index(drop=True)
+    return pd.DataFrame({"pair": top["pair"],
+                         "cnt": top["cnt"].astype("int64"),
+                         "rnk": np.arange(1, len(top) + 1,
+                                          dtype=np.int64)})
+
+
+# same whitespace tokenizer as the bm25/token rows; substring and
+# pandas str.slice are both codepoint-based, so multibyte text agrees
+SQL_BPE_MERGE_PAIRS = r"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT unnest(string_split(nt, ' ')) AS w
+  FROM norm WHERE length(nt) > 0
+),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM (
+    SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+    FROM tok WHERE length(w) >= 2
+  )
+),
+agg AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY 1),
+r AS (
+  SELECT pair, cnt,
+         row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+  FROM agg
+)
+SELECT pair, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -11050,6 +11135,7 @@ QUERIES = {
     "kcore": q_kcore,
     "mmr_search": q_mmr_search,
     "hybrid_rrf": q_hybrid_rrf,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -11206,4 +11292,5 @@ ORACLE_SQL = {
     "kcore": SQL_KCORE,
     "mmr_search": SQL_MMR_SEARCH,
     "hybrid_rrf": SQL_HYBRID_RRF,
+    "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
 }
