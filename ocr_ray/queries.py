@@ -11004,6 +11004,131 @@ FROM r WHERE rnk <= 10
 """
 
 
+_LOGREG_LR = 0.5
+_LOGREG_ITERS = 5
+
+
+def q_logreg_train(sf_dir: str):
+    """Distributed logistic-regression training (full-batch gradient
+    descent, 5 iterations): learn P(o_orderpriority = '1-URGENT') from
+    o_totalprice — the iterative-ML representative (quality-classifier
+    training is THE data-pipeline model job) alongside the iterative
+    graph rows (pagerank, kcore). Per iteration ONE streamed scan emits
+    per-batch integer gradient partials; the driver folds O(batches)
+    rows, holds two weights, and broadcasts them back — the classic
+    parameter-server-less GD shape that scales to any corpus because
+    model state is O(features), data never leaves the cluster.
+
+    Bit-exact across engines via fixed-point gradients (the
+    _micro_revenue trick applied to training): the per-row residual
+    sigmoid(w.x) - y is quantized with FLOOR(r * 1e6) (floor, not
+    round — no tie ambiguity) to an int64, and the gradient is the
+    EXACT integer sum of r_int (and r_int * cents), folded as Python
+    ints driver-side / HUGEINT in the SQL mirror, so the weight
+    trajectory is an identical double sequence on both sides. The
+    sigmoid's exp goes through libm (math.exp per element — numpy's
+    SIMD exp strays ulps from the glibc libm DuckDB calls; swap to
+    np.exp when the gate is tolerance-style rather than bit-exact).
+    Features are exact ints: price cents (x = cents * 1e-8), bias 1."""
+    import math
+
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+
+    def feat(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        y = pc.cast(pc.equal(t["o_orderpriority"], "1-URGENT"), pa.int64())
+        return pa.table({"cents": cents, "y": y})
+
+    fds = ds.map_batches(feat, batch_format="pyarrow").materialize()
+    n = fds.count()
+    w0, w1 = 0.0, 0.0
+    rows = []
+    for it in range(1, _LOGREG_ITERS + 1):
+        ref = ray.put((w0, w1))
+
+        def grad(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            a, b = ray.get(_r)
+            c = df["cents"].to_numpy(np.int64)
+            yv = df["y"].to_numpy(np.int64)
+            z = a + b * (c * 1e-08)
+            s = np.array([1.0 / (1.0 + math.exp(-v)) for v in z],
+                         dtype=np.float64)
+            r = np.floor((s - yv) * 1000000.0).astype(np.int64)
+            return pd.DataFrame({
+                "g0": [int(r.sum())],
+                "g1": [int((r * c).sum())],
+                "m": [int(((z >= 0) == (yv == 1)).sum())]})
+
+        p = fds.map_batches(grad, batch_format="pandas",
+                            batch_size=8192).to_pandas()
+        # Python-int fold: per-batch partials fit int64, their sum at
+        # arbitrary scale may not
+        g0 = sum(int(v) for v in p["g0"])
+        g1 = sum(int(v) for v in p["g1"])
+        m = sum(int(v) for v in p["m"])
+        acc = float(m) / float(n)
+        w0 = w0 - _LOGREG_LR * (float(g0) / 1000000.0) / float(n)
+        w1 = w1 - _LOGREG_LR * ((float(g1) / 1000000.0)
+                                / 100000000.0) / float(n)
+        rows.append((it, round(w0, 9), round(w1, 9), round(acc, 9)))
+    return pd.DataFrame(rows, columns=["iter", "w0", "w1", "acc"]) \
+        .astype({"iter": "int64", "w0": "float64", "w1": "float64",
+                 "acc": "float64"})
+
+
+def _logreg_sql(iters: int, lr: float) -> str:
+    """Generated chained-CTE mirror of the fixed-point GD loop: each
+    iteration aggregates the same FLOOR-quantized residuals (exact
+    HUGEINT sums) and derives the next weights with the identical
+    double expression; acc is reported with the PRE-update weights,
+    matching the Ray loop."""
+    cte = ["""feat AS MATERIALIZED (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+)""", "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feat)",
+        "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"]
+    outs = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        z = (f"((SELECT w0 FROM it{p}) + (SELECT w1 FROM it{p})"
+             f" * (cents * 1e-08))")
+        cte.append(f"""g{i} AS MATERIALIZED (
+  SELECT CAST(SUM(r) AS DOUBLE) AS g0,
+         CAST(SUM(r * cents) AS DOUBLE) AS g1,
+         SUM(CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END) AS m
+  FROM (
+    SELECT cents, y, {z} AS z,
+           CAST(FLOOR((1.0 / (1.0 + EXP(-{z})) - y) * 1000000.0)
+                AS BIGINT) AS r
+    FROM feat)
+)""")
+        cte.append(f"""it{i} AS MATERIALIZED (
+  SELECT (SELECT w0 FROM it{p})
+           - {lr!r} * ((SELECT g0 FROM g{i}) / 1000000.0)
+             / (SELECT n FROM nn) AS w0,
+         (SELECT w1 FROM it{p})
+           - {lr!r} * (((SELECT g1 FROM g{i}) / 1000000.0)
+                       / 100000000.0)
+             / (SELECT n FROM nn) AS w1
+)""")
+        outs.append(f"SELECT {i} AS iter, (SELECT w0 FROM it{i}) AS w0,"
+                    f" (SELECT w1 FROM it{i}) AS w1,"
+                    f" CAST((SELECT m FROM g{i}) AS DOUBLE)"
+                    f" / (SELECT n FROM nn) AS acc")
+    unions = "\nUNION ALL\n".join(outs)
+    return f"""
+WITH {','.join(cte)}
+SELECT CAST(iter AS BIGINT) AS iter, ROUND(w0, 9) AS w0,
+       ROUND(w1, 9) AS w1, ROUND(acc, 9) AS acc
+FROM ({unions})
+"""
+
+
+SQL_LOGREG_TRAIN = _logreg_sql(_LOGREG_ITERS, _LOGREG_LR)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -11136,6 +11261,7 @@ QUERIES = {
     "mmr_search": q_mmr_search,
     "hybrid_rrf": q_hybrid_rrf,
     "bpe_merge_pairs": q_bpe_merge_pairs,
+    "logreg_train": q_logreg_train,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -11293,4 +11419,5 @@ ORACLE_SQL = {
     "mmr_search": SQL_MMR_SEARCH,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
+    "logreg_train": SQL_LOGREG_TRAIN,
 }
