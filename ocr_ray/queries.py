@@ -11129,6 +11129,54 @@ FROM ({unions})
 SQL_LOGREG_TRAIN = _logreg_sql(_LOGREG_ITERS, _LOGREG_LR)
 
 
+_REDACT_PAT = r"\b[a-z]{5,}er\b"   # RE2-safe PII-surrogate span pattern
+
+
+def q_span_redact(sf_dir: str):
+    """PII-shaped span extraction + redaction — the transform every
+    training-data pipeline runs before release: per document, find all
+    sensitive-span matches (the RE2-safe surrogate pattern stands in
+    for email/phone/SSN regexes; the synthetic corpus has no real PII),
+    count them, keep the first span for audit, and emit the md5 of the
+    text with every span replaced by [REDACTED]. One stateless
+    vectorized map over the stream (findall/replace are pandas str
+    kernels, hash per KEPT doc), rows out only for docs with >= 1
+    match, returned as a live Dataset — no driver materialization, so
+    the transform IS the 100 TB path (write_parquet the result).
+    Python re and DuckDB RE2 agree on this pattern class (no
+    lookaround/backrefs), both replace non-overlapping leftmost
+    matches, and md5 hex pins the full redacted text byte-for-byte."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def work(df: pd.DataFrame) -> pd.DataFrame:
+        spans = df["text"].str.findall(_REDACT_PAT)
+        n = spans.str.len().astype("int64")
+        keep = n > 0
+        red = df.loc[keep, "text"].str.replace(
+            _REDACT_PAT, "[REDACTED]", regex=True)
+        return pd.DataFrame({
+            "doc_id": df.loc[keep, "doc_id"].astype("int64"),
+            "n_spans": n.loc[keep],
+            "first_span": spans.loc[keep].str[0],
+            "redacted_md5": red.map(
+                lambda t: hashlib.md5(t.encode()).hexdigest()),
+        })
+
+    return ds.map_batches(work, batch_format="pandas", batch_size=8192)
+
+
+SQL_SPAN_REDACT = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '\b[a-z]{5,}er\b')) AS BIGINT)
+         AS n_spans,
+       regexp_extract_all(text, '\b[a-z]{5,}er\b')[1] AS first_span,
+       md5(regexp_replace(text, '\b[a-z]{5,}er\b', '[REDACTED]', 'g'))
+         AS redacted_md5
+FROM documents
+WHERE regexp_matches(text, '\b[a-z]{5,}er\b')
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -11262,6 +11310,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "logreg_train": q_logreg_train,
+    "span_redact": q_span_redact,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -11420,4 +11469,5 @@ ORACLE_SQL = {
     "hybrid_rrf": SQL_HYBRID_RRF,
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
     "logreg_train": SQL_LOGREG_TRAIN,
+    "span_redact": SQL_SPAN_REDACT,
 }
