@@ -11177,6 +11177,156 @@ WHERE regexp_matches(text, '\b[a-z]{5,}er\b')
 """
 
 
+_DSIR_TGT_LANG = "en"
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weighting (Xie et al., NeurIPS '23): score every
+    document by how much it resembles a TARGET distribution (here the
+    lang='en' slice) relative to the full corpus — per doc the sum over
+    token occurrences of ln p_tgt(w) - ln q_corpus(w) with add-0.5
+    smoothing over the shared vocabulary — then keep the top-20, the
+    importance-resampling selection step of data-curation pipelines.
+
+    Integer-exact across engines: each token's log-ratio is quantized
+    ONCE as S(w) = floor(score * 1e9) (libm ln via math.log = DuckDB
+    LN; floor has no tie ambiguity) and doc weights are EXACT int64
+    sums of tf * S(w), so no float accumulation order can diverge.
+
+    Scale shape: one scan emits per-batch (doc_id, token, tf) rows plus
+    per-token (c_all, c_tgt) stat partials riding the same frame
+    (doc_id = -1); the smoothing totals (vocab size V, occurrence
+    totals) come from an O(buckets) per-bucket reduction over the stat
+    rows — the driver folds 3 numbers per bucket, never the vocabulary.
+    Scoring is ONE bucketed shuffle co-locating each token's stats with
+    its occurrence rows (no vocab broadcast), per-doc partials then
+    fold through the standard bucketed combine with top-20 pruning."""
+    import math
+
+    B = _pair_buckets()
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        t = _token_frame(df)
+        if t.empty:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "c_tgt": pd.Series([], dtype="int64")})
+        tf = t.groupby(["doc_id", "token"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        is_tgt = df.set_index(df["doc_id"])["lang"] == _DSIR_TGT_LANG
+        t["is_tgt"] = is_tgt.reindex(t["doc_id"]).to_numpy()
+        st = t.groupby("token", as_index=False).agg(
+            tf=("doc_id", "size"), c_tgt=("is_tgt", "sum"))
+        st.insert(1, "doc_id", np.int64(-1))   # stat partials: tf=c_all
+        tf["c_tgt"] = np.int64(0)
+        out = pd.concat([tf[["token", "doc_id", "tf", "c_tgt"]],
+                         st[["token", "doc_id", "tf", "c_tgt"]]],
+                        ignore_index=True)
+        return out.astype({"doc_id": "int64", "tf": "int64",
+                           "c_tgt": "int64"})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=8192).materialize()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
+        return df.assign(_b=(h % B).astype("int64"))
+
+    # totals for the smoothing denominators: O(1) per bucket, exact ints
+    def bucket_totals(g: pd.DataFrame) -> pd.DataFrame:
+        st = g.loc[g["doc_id"] < 0]
+        return pd.DataFrame({"v": [np.int64(st["token"].nunique())],
+                             "all_tot": [np.int64(st["tf"].sum())],
+                             "tgt_tot": [np.int64(st["c_tgt"].sum())]})
+
+    bucketed = parts.map_batches(add_bucket, batch_format="pandas")
+    tot = bucketed.groupby("_b").map_groups(
+        bucket_totals, batch_format="pandas").to_pandas()
+    V = int(tot["v"].sum())
+    all_tot = int(tot["all_tot"].sum())
+    tgt_tot = int(tot["tgt_tot"].sum())
+    tref = ray.put((V, all_tot, tgt_tot))
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v, at, tt = ray.get(tref)
+        st = g.loc[g["doc_id"] < 0].groupby("token", as_index=False) \
+            .agg(c_all=("tf", "sum"), c_tgt=("c_tgt", "sum"))
+        # libm ln per DISTINCT bucket token for bit-parity with LN
+        st["s"] = np.array(
+            [int(math.floor((math.log((ct + 0.5) / (tt + 0.5 * v))
+                             - math.log((ca + 0.5) / (at + 0.5 * v)))
+                            * 1000000000.0))
+             for ca, ct in zip(st["c_all"], st["c_tgt"])],
+            dtype=np.int64)
+        occ = g.loc[g["doc_id"] >= 0].merge(st[["token", "s"]], on="token")
+        occ["wint"] = occ["tf"].to_numpy(np.int64) \
+            * occ["s"].to_numpy(np.int64)
+        out = occ.groupby("doc_id", as_index=False).agg(
+            wint=("wint", "sum"), n_tok=("tf", "sum"))
+        return out.astype({"doc_id": "int64", "wint": "int64",
+                           "n_tok": "int64"})
+
+    partials = bucketed.groupby("_b").map_groups(
+        score_bucket, batch_format="pandas")
+    agg = _bucketed_combine(partials, ["doc_id"],
+                            {"wint": "sum", "n_tok": "sum"},
+                            topk=(20, ["wint", "doc_id"], [False, True]))
+    top = agg.sort_values(["wint", "doc_id"], ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+    return pd.DataFrame({"doc_id": top["doc_id"].astype("int64"),
+                         "wint": top["wint"].astype("int64"),
+                         "n_tok": top["n_tok"].astype("int64"),
+                         "rnk": np.arange(1, len(top) + 1,
+                                          dtype=np.int64)})
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, unnest(string_split(nt, ' ')) AS w
+  FROM norm WHERE length(nt) > 0
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT w, COUNT(*) AS c_all,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+  FROM tok GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(c_all) AS BIGINT) AS all_tot,
+         CAST(SUM(c_tgt) AS BIGINT) AS tgt_tot,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM stats
+),
+sw AS (
+  SELECT w,
+         CAST(FLOOR((LN((c_tgt + 0.5) / (tgt_tot + 0.5 * v))
+                     - LN((c_all + 0.5) / (all_tot + 0.5 * v)))
+                    * 1000000000.0) AS BIGINT) AS s
+  FROM stats CROSS JOIN totals
+),
+dw AS (
+  SELECT tf.doc_id, SUM(tf.tf * sw.s) AS wint, SUM(tf.tf) AS n_tok
+  FROM tf JOIN sw ON tf.w = sw.w GROUP BY 1
+),
+r AS (
+  SELECT doc_id, wint, n_tok,
+         row_number() OVER (ORDER BY wint DESC, doc_id) AS rnk
+  FROM dw
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(wint AS BIGINT) AS wint,
+       CAST(n_tok AS BIGINT) AS n_tok, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 20
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -11311,6 +11461,7 @@ QUERIES = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "logreg_train": q_logreg_train,
     "span_redact": q_span_redact,
+    "dsir_weights": q_dsir_weights,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -11470,4 +11621,5 @@ ORACLE_SQL = {
     "bpe_merge_pairs": SQL_BPE_MERGE_PAIRS,
     "logreg_train": SQL_LOGREG_TRAIN,
     "span_redact": SQL_SPAN_REDACT,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }
