@@ -11327,6 +11327,77 @@ FROM r WHERE rnk <= 20
 """
 
 
+def q_contrastive_negatives(sf_dir: str):
+    """Deterministic negative sampling for contrastive training: for
+    each anchor (vec_id < 8) pick the 5 pseudo-random negatives whose
+    label differs from the anchor's — the batch-construction step of
+    every contrastive / triplet-loss embedding trainer, made
+    reproducible (and SQL-checkable) by ranking candidates with the
+    exact integer Lehmer key (vec_id * 48271) % 2147483647 (MINSTD)
+    instead of an RNG, tie-broken by vec_id. Pure int64 arithmetic on
+    both engines — no float, no hash-library dependence, no overflow
+    for vec_id < ~1.9e14.
+
+    Scale shape: the 8 (anchor, label) pairs broadcast once; each data
+    batch emits only its LOCAL 5 smallest-key negatives per anchor
+    (the global 5 are a subset of the per-batch union), then one tiny
+    by-anchor grouped cut — candidate volume is 5 * anchors per batch
+    regardless of corpus size."""
+    anchors = _read(sf_dir, "embeddings", ["vec_id", "label"],
+                    filter=pc.field("vec_id") < 8).to_pandas() \
+        .sort_values("vec_id")
+    a_ref = ray.put((anchors["vec_id"].to_numpy(np.int64),
+                     anchors["label"].to_numpy(np.int64)))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        qids, qlabs = ray.get(a_ref)
+        v = df["vec_id"].to_numpy(np.int64)
+        lab = df["label"].to_numpy(np.int64)
+        rk = (v * np.int64(48271)) % np.int64(2147483647)
+        qcol, vcol, rcol = [], [], []
+        for qid, ql in zip(qids, qlabs):
+            m = lab != ql
+            order = np.lexsort((v[m], rk[m]))[:5]
+            vcol.append(v[m][order])
+            rcol.append(rk[m][order])
+            qcol.append(np.full(len(order), qid, dtype=np.int64))
+        return pd.DataFrame({"qid": np.concatenate(qcol),
+                             "vec_id": np.concatenate(vcol),
+                             "rk": np.concatenate(rcol)})
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rk", "vec_id"]).head(5)
+        return pd.DataFrame({"qid": g["qid"].to_numpy(np.int64),
+                             "vec_id": g["vec_id"].to_numpy(np.int64),
+                             "rnk": np.arange(1, len(g) + 1,
+                                              dtype=np.int64)})
+
+    out = ds.map_batches(local, batch_format="pandas", batch_size=4096) \
+        .groupby("qid").map_groups(cut, batch_format="pandas").to_pandas()
+    return out.astype({"qid": "int64", "vec_id": "int64", "rnk": "int64"}) \
+        .sort_values(["qid", "rnk"]).reset_index(drop=True)
+
+
+SQL_CONTRASTIVE_NEGATIVES = """
+WITH a AS (
+  SELECT vec_id AS qid, label AS alab FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT a.qid, e.vec_id, (e.vec_id * 48271) % 2147483647 AS rk
+  FROM embeddings e JOIN a ON e.label <> a.alab
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY rk, vec_id) AS rnk
+  FROM c
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -11462,6 +11533,7 @@ QUERIES = {
     "logreg_train": q_logreg_train,
     "span_redact": q_span_redact,
     "dsir_weights": q_dsir_weights,
+    "contrastive_negatives": q_contrastive_negatives,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -11622,4 +11694,5 @@ ORACLE_SQL = {
     "logreg_train": SQL_LOGREG_TRAIN,
     "span_redact": SQL_SPAN_REDACT,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "contrastive_negatives": SQL_CONTRASTIVE_NEGATIVES,
 }
