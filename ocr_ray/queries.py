@@ -11398,6 +11398,95 @@ FROM r WHERE rnk <= 5
 """
 
 
+def q_price_trend_ols(sf_dir: str):
+    """Group-wise least-squares trend (is average order value drifting
+    over time per priority class?) from EXACT integer sufficient
+    statistics: each batch emits per-group int64 partials (n, Sx, Sy,
+    Sxy, Sxx) with x = days since 1995-01-01 and y = price cents, the
+    driver folds them with Python big-ints (no float accumulation, no
+    ordering sensitivity), and slope/intercept come out as integer
+    micro-units via truncating rational division — bit-identical to the
+    oracle's HUGEINT arithmetic (DuckDB ``//`` also truncates toward
+    zero). ONE streamed scan, zero shuffle, O(groups) driver state: the
+    closed-form-OLS shape that replaces a per-group regression fit at
+    any corpus size. Per-batch envelope: |x| <= ~2.6k days and y <=
+    ~$600k cents keep batch Sxy < 1e16, far inside int64; the unbounded
+    folds happen in Python ints so they can never wrap.
+
+    Slope is micro-cents/day, intercept micro-cents (both BIGINT):
+    integer outputs sidestep the HUGEINT->DOUBLE cast, which is not
+    guaranteed correctly rounded past 2^53 on the SQL side."""
+    from fractions import Fraction
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderdate", "o_totalprice"])
+    epoch = pd.Timestamp("1995-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["o_orderdate"] - epoch).dt.days.to_numpy(np.int64)
+        y = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+        })
+        return g.groupby("o_orderpriority", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    rows = []
+    for grp, sub in parts.groupby("o_orderpriority"):
+        n = int(sub["n"].sum())
+        sx = sum(int(v) for v in sub["sx"])
+        sy = sum(int(v) for v in sub["sy"])
+        sxy = sum(int(v) for v in sub["sxy"])
+        sxx = sum(int(v) for v in sub["sxx"])
+        den = n * sxx - sx * sx
+        if den == 0:
+            raise AssertionError(
+                f"price_trend_ols: degenerate x variance for {grp!r} — "
+                "all orders on one day; slope undefined")
+        # int(Fraction) truncates toward zero, matching DuckDB's
+        # HUGEINT // — floor division would differ on negative slopes
+        slope_micro = int(Fraction((n * sxy - sx * sy) * 1_000_000, den))
+        intercept_micro = int(Fraction((sy * sxx - sx * sxy) * 1_000_000,
+                                       den))
+        if max(abs(slope_micro), abs(intercept_micro)) >= 2**63:
+            raise AssertionError(
+                "price_trend_ols: output exceeds BIGINT — rescale units")
+        rows.append((grp, n, slope_micro, intercept_micro))
+    out = pd.DataFrame(
+        rows, columns=["o_orderpriority", "n", "slope_micro",
+                       "intercept_micro"])
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_PRICE_TREND_OLS = """
+WITH b AS (
+  SELECT o_orderpriority,
+         CAST(DATEDIFF('day', TIMESTAMP '1995-01-01',
+                       o_orderdate) AS BIGINT) AS x,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), s AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS HUGEINT)  AS n,
+         CAST(SUM(x) AS HUGEINT)    AS sx,
+         CAST(SUM(y) AS HUGEINT)    AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx
+  FROM b GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       CAST(((n * sxy - sx * sy) * 1000000)
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+       CAST(((sy * sxx - sx * sxy) * 1000000)
+            // (n * sxx - sx * sx) AS BIGINT) AS intercept_micro
+FROM s ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_topk": q_revenue_topk,
@@ -11534,6 +11623,7 @@ QUERIES = {
     "span_redact": q_span_redact,
     "dsir_weights": q_dsir_weights,
     "contrastive_negatives": q_contrastive_negatives,
+    "price_trend_ols": q_price_trend_ols,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -11695,4 +11785,5 @@ ORACLE_SQL = {
     "span_redact": SQL_SPAN_REDACT,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "contrastive_negatives": SQL_CONTRASTIVE_NEGATIVES,
+    "price_trend_ols": SQL_PRICE_TREND_OLS,
 }

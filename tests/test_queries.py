@@ -121,6 +121,7 @@ SUBSET = [
     "weighted_sample",
     "coverage_selection",
     "kcore",
+    "price_trend_ols",
 ]
 
 
@@ -1652,3 +1653,38 @@ def test_kcore_hand_checked(ray_session, tmp_path):
     orc = _norm(con2.execute(Q.ORACLE_SQL["kcore"]).df())
     pd.testing.assert_frame_equal(_norm(Q.QUERIES["kcore"](sfb)), orc,
                                   check_dtype=False)
+
+
+def test_price_trend_ols_recovers_planted_line(ray_session, tmp_path):
+    """Exact-recovery property: when y lies EXACTLY on a line in cents
+    (y = a + b*x), the integer OLS must return slope/intercept as the
+    exact micro-unit integers — including a negative slope, which
+    exercises the trunc-toward-zero division parity with DuckDB's
+    HUGEINT ``//`` (floor division would be off by one here)."""
+    epoch = pd.Timestamp("1995-01-01")
+    days_a = [0, 10, 20, 30]
+    days_b = [5, 15, 25]
+    rows = []
+    for d in days_a:  # priority A: y = 100000 + 250*d cents, rising
+        rows.append(("1-A", epoch + pd.Timedelta(days=d),
+                     (100000 + 250 * d) / 100.0))
+    for d in days_b:  # priority B: y = 500000 - 333*d cents, falling
+        rows.append(("2-B", epoch + pd.Timedelta(days=d),
+                     (500000 - 333 * d) / 100.0))
+    orders = pd.DataFrame(rows, columns=[
+        "o_orderpriority", "o_orderdate", "o_totalprice"])
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+
+    mine = Q.QUERIES["price_trend_ols"](sf)
+    a = mine[mine["o_orderpriority"] == "1-A"].iloc[0]
+    b = mine[mine["o_orderpriority"] == "2-B"].iloc[0]
+    assert (int(a["slope_micro"]), int(a["intercept_micro"])) == \
+        (250 * 1_000_000, 100000 * 1_000_000)
+    assert (int(b["slope_micro"]), int(b["intercept_micro"])) == \
+        (-333 * 1_000_000, 500000 * 1_000_000)
+
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["price_trend_ols"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
