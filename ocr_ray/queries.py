@@ -6558,6 +6558,227 @@ def q_pagerank(sf_dir: str):
 SQL_PAGERANK = _pagerank_sql(_PAGERANK_ITERS)
 
 
+# single source of truth for the Ray loop AND the generated SQL oracle
+_HITS_ROUNDS = 2
+
+
+def _hits_sql(r: int) -> str:
+    """Generate the iterative-CTE oracle for r full HITS rounds."""
+    iters = []
+    prev_h = "h0"
+    for i in range(1, r + 1):
+        iters.append(f"""a{i} AS (
+  SELECT p.s AS node, SUM(h.score) AS score
+  FROM pairs p JOIN {prev_h} h ON h.node = p.c GROUP BY p.s
+), h{i} AS (
+  SELECT p.c AS node, SUM(a.score) AS score
+  FROM pairs p JOIN a{i} a ON a.node = p.s GROUP BY p.c
+)""")
+        prev_h = f"h{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+h0 AS (
+  SELECT DISTINCT c AS node, CAST(1 AS HUGEINT) AS score FROM pairs
+),
+{','.join(iters)}
+SELECT * FROM (
+  SELECT 'A' AS node_type, CAST(node AS BIGINT) AS key,
+         CAST(score AS BIGINT) AS score
+  FROM a{r} ORDER BY score DESC, node LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'H' AS node_type, CAST(node AS BIGINT) AS key,
+         CAST(score AS BIGINT) AS score
+  FROM h{r} ORDER BY score DESC, node LIMIT 10
+)
+"""
+
+
+def q_hits_scores(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg) over the DIRECTED
+    customer -> supplier graph induced by orders |><| lineitem —
+    the link-analysis complement to :func:`q_pagerank` (which walks the
+    undirected graph). Customers are hubs, suppliers authorities:
+    auth(s) = sum of hub scores over in-links, hub(c) = sum of auth
+    scores over out-links, ``_HITS_ROUNDS`` full rounds from hub0 = 1.
+
+    The iterations are deliberately UNNORMALIZED: starting from the
+    all-ones hub vector, every intermediate score is a path COUNT — an
+    exact integer — so the whole fixpoint runs in int64 on the Ray side
+    and HUGEINT in the oracle, and the output comparison is bit-exact
+    integer equality instead of pagerank's round-to-6 float parity.
+    (Normalization only rescales, so the top-k ranking is the textbook
+    HITS ranking.) Growth envelope: each half-round multiplies scores
+    by at most the opposing max degree; a post-combine assert keeps
+    every score under 2^53 — at TPC-H-like degree distributions that
+    admits corpus scales far past sf100, and a violation raises (a red
+    driver row) instead of silently wrapping int64.
+
+    Distributed shape (the pagerank discipline): the distinct edge set
+    is built with ONE orderkey-bucketed join + pair-bucketed global
+    distinct and materialized ONCE in two static taggings (bucketed by
+    customer, bucketed by supplier); each half-round is then exactly
+    two bounded bucketed shuffles — (1) co-locate scores with edges by
+    the source node and emit per-bucket PARTIAL sums keyed by the
+    destination, (2) combine by destination. Score vectors live in the
+    object store (O(nodes) rows); the driver holds nothing but the loop
+    counter. Unions are coalesced to cluster-proportional width so
+    block counts cannot compound across rounds."""
+    B = _pair_buckets()
+    W = max(8, _cpus())
+    R = _HITS_ROUNDS
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(t["o_custkey"], pa.int64()),
+            "side": pa.array(["o"] * t.num_rows),
+        })
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
+             .group_by(["key", "val"]).aggregate([]))
+        key = d["key"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(d["val"], pa.int64()),
+            "side": pa.array(["l"] * d.num_rows),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == "o", ["key", "val"]].rename(
+            columns={"val": "c"})
+        l = g.loc[g["side"] == "l", ["key", "val"]].rename(
+            columns={"val": "s"})
+        p = o.merge(l, on="key")[["c", "s"]].drop_duplicates()
+        pb = ((p["c"].to_numpy() * np.int64(1000003))
+              ^ p["s"].to_numpy()) & (B - 1)
+        return pd.DataFrame({"pb": pb.astype("int32"),
+                             "c": p["c"].to_numpy(),
+                             "s": p["s"].to_numpy()})
+
+    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["c", "s"])[["c", "s"]]
+
+    edges = (
+        orders.map_batches(o_prep, batch_format="pyarrow")
+        .union(li.map_batches(l_prep, batch_format="pyarrow"))
+        .repartition(W)
+        .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+        .repartition(W)
+        .groupby("pb").map_groups(pair_distinct, batch_format="pandas")
+    )
+
+    # two static taggings of the edge set, materialized once: the
+    # c-keyed copy drives auth steps, the s-keyed copy hub steps
+    def tag_by_c(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy()
+        return pd.DataFrame({"bucket": (c & (B - 1)).astype("int32"),
+                             "node": c, "dst": df["s"].to_numpy(),
+                             "score": np.int64(-1), "side": "e"})
+
+    def tag_by_s(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy()
+        return pd.DataFrame({"bucket": (s & (B - 1)).astype("int32"),
+                             "node": s, "dst": df["c"].to_numpy(),
+                             "score": np.int64(-1), "side": "e"})
+
+    edges_c = edges.map_batches(tag_by_c, batch_format="pandas") \
+                   .repartition(W).materialize()
+    edges_s = edges.map_batches(tag_by_s, batch_format="pandas") \
+                   .repartition(W).materialize()
+
+    def hub_seed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["side"] == "e", ["bucket", "node"]] \
+                 .drop_duplicates()
+
+    def hub_seed_combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["node"].drop_duplicates().to_numpy()
+        return pd.DataFrame({"bucket": (c & (B - 1)).astype("int32"),
+                             "node": c, "dst": np.int64(-1),
+                             "score": np.int64(1), "side": "v"})
+
+    # hub0 = 1 per DISTINCT customer: edges_c blocks are partitioned by
+    # pair bucket, so a customer can span blocks — a per-batch distinct
+    # alone would seed hub0 = out-degree. Per-batch partial distinct +
+    # ONE bucketed combine gives the global distinct
+    hubs = (edges_c.map_batches(hub_seed, batch_format="pandas")
+            .groupby("bucket").map_groups(hub_seed_combine,
+                                          batch_format="pandas")
+            .materialize())
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        v = g.loc[g["side"] == "v", ["node", "score"]]
+        e = g.loc[g["side"] == "e", ["node", "dst"]]
+        m = e.merge(v, on="node")
+        out = m.groupby("dst", as_index=False)["score"].sum()
+        dst = out["dst"].to_numpy()
+        return pd.DataFrame({"bucket": (dst & (B - 1)).astype("int32"),
+                             "node": dst, "dst": np.int64(-1),
+                             "score": out["score"].to_numpy(),
+                             "side": "v"})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["score"].sum()
+        mx = int(out["score"].max()) if len(out) else 0
+        if mx >= 2**53:
+            raise AssertionError(
+                "hits_scores: score exceeds the 2^53 exactness envelope "
+                "— reduce _HITS_ROUNDS or rescale")
+        node = out["node"].to_numpy()
+        return pd.DataFrame({"bucket": (node & (B - 1)).astype("int32"),
+                             "node": node, "dst": np.int64(-1),
+                             "score": out["score"].to_numpy(),
+                             "side": "v"})
+
+    def half_step(scores, tagged_edges):
+        parts = (
+            tagged_edges.union(scores)
+            .groupby("bucket").map_groups(contrib, batch_format="pandas")
+        )
+        return (parts.repartition(W)
+                .groupby("bucket").map_groups(combine,
+                                              batch_format="pandas")
+                .materialize())
+
+    auths = None
+    for _ in range(R):
+        auths = half_step(hubs, edges_c)   # auth(s) = sum hub over in-links
+        hubs = half_step(auths, edges_s)   # hub(c) = sum auth over out-links
+
+    def topk(tag: str):
+        def cut(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"node_type": tag,
+                                "key": df["node"].astype("int64"),
+                                "score": df["score"].astype("int64")})
+            return out.sort_values(["score", "key"],
+                                   ascending=[False, True]).head(10)
+        return cut
+
+    # local top-10 per block under the oracle's (score DESC, key) total
+    # order, then a driver-side cut of the <= blocks*10 survivors
+    rows = pd.concat([
+        auths.map_batches(topk("A"), batch_format="pandas").to_pandas(),
+        hubs.map_batches(topk("H"), batch_format="pandas").to_pandas(),
+    ])
+    return (rows.sort_values(["node_type", "score", "key"],
+                             ascending=[True, False, True])
+            .groupby("node_type", as_index=False).head(10)
+            .reset_index(drop=True))
+
+
+SQL_HITS_SCORES = _hits_sql(_HITS_ROUNDS)
+
+
 _CHUNK_W = 32  # tokens per training context window
 _CHUNK_S = 24  # window stride (8-token overlap between windows)
 
@@ -11624,6 +11845,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "contrastive_negatives": q_contrastive_negatives,
     "price_trend_ols": q_price_trend_ols,
+    "hits_scores": q_hits_scores,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -11786,4 +12008,5 @@ ORACLE_SQL = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "contrastive_negatives": SQL_CONTRASTIVE_NEGATIVES,
     "price_trend_ols": SQL_PRICE_TREND_OLS,
+    "hits_scores": SQL_HITS_SCORES,
 }

@@ -1688,3 +1688,32 @@ def test_price_trend_ols_recovers_planted_line(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["price_trend_ols"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_hits_scores_hand_checked(ray_session, tmp_path):
+    """HITS on a 2x2 planted bipartite graph, path counts by hand:
+    c1 -> {s1, s2}, c2 -> {s1}. With hub0 = 1 and 2 unnormalized
+    rounds: auth1 = (s1:2, s2:1), hub1 = (c1:3, c2:2),
+    auth2 = (s1:5, s2:3), hub2 = (c1:8, c2:5). Also pins hub0 = 1 per
+    DISTINCT customer (duplicate lineitem rows for the same pair must
+    not inflate the seed — the bug class the bucketed seed combine
+    exists to prevent)."""
+    sf = str(tmp_path)
+    pd.DataFrame({"o_orderkey": [1, 2, 3],
+                  "o_custkey": [11, 11, 22]}).to_parquet(
+        f"{sf}/orders.parquet")
+    # order 1 (c11) -> s1 twice + s2; order 2 (c11) -> s1 again
+    # (duplicate pair via a second order); order 3 (c22) -> s1
+    pd.DataFrame({"l_orderkey": [1, 1, 1, 2, 3],
+                  "l_suppkey": [101, 101, 102, 101, 101]}).to_parquet(
+        f"{sf}/lineitem.parquet")
+    mine = Q.QUERIES["hits_scores"](sf)
+    got = {(r["node_type"], int(r["key"])): int(r["score"])
+           for _, r in mine.iterrows()}
+    assert got == {("A", 101): 5, ("A", 102): 3,
+                   ("H", 11): 8, ("H", 22): 5}
+    con2 = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["hits_scores"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
