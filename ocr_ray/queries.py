@@ -7325,6 +7325,96 @@ GROUP BY prev_type, next_type
 """
 
 
+# single source of truth for the Ray loop AND the generated SQL oracle
+_MARKOV_ITERS = 4
+_MARKOV_FP = 1_000_000_000_000  # fixed-point unit: 1e-12
+
+
+def _markov_sql(k: int) -> str:
+    """Generate the chained-CTE oracle for k fixed-point power
+    iterations of the event-type Markov chain (the SQL mirror of
+    q_markov_stationary's driver loop — one CTE per iteration)."""
+    iters = []
+    prev = "x0"
+    for i in range(1, k + 1):
+        iters.append(f"""x{i} AS (
+  SELECT c.b AS a, SUM((x.v * c.n) // t2.tot) AS v
+  FROM c JOIN {prev} x ON x.a = c.a JOIN tot t2 ON t2.a = c.a
+  WHERE c.b IN (SELECT a FROM tot)
+  GROUP BY c.b
+)""")
+        prev = f"x{i}"
+    return f"""
+WITH t AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type AS a, next_type AS b, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+), tot AS (
+  SELECT a, SUM(n) AS tot FROM c GROUP BY a
+), x0 AS (
+  SELECT a, CAST({_MARKOV_FP} AS HUGEINT)
+              // (SELECT COUNT(*) FROM tot) AS v
+  FROM tot
+),
+{','.join(iters)}
+SELECT a AS event_type, CAST(v AS BIGINT) AS stat_micro
+FROM x{k} ORDER BY a
+"""
+
+
+def q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain — which
+    states the user behavior stream spends its time in — via
+    ``_MARKOV_ITERS`` power iterations. The small-state iterative shape
+    that complements :func:`q_pagerank`'s large-state one: ALL the
+    corpus-sized work is the distributed transition-count estimate
+    (identical partial-then-combine shape to q_event_transitions: users
+    hash into buckets, one vectorized sort+shift per bucket, <=
+    n_types^2 partial rows out), and the iteration itself runs on the
+    driver over the O(S^2) count matrix — at 10^12 events S is still
+    ~tens, so iterating driver-side is the scale-CORRECT choice, not a
+    shortcut (a per-iteration shuffle would move nothing but overhead).
+
+    Exactness: the iteration is fixed-point integer arithmetic —
+    x_{k+1}(b) = sum_a (x_k(a) * n(a,b)) // tot(a) with x_0 =
+    FP // S in 1e-12 units — evaluated in Python big-ints (products
+    reach x*n ~ 1e12 * corpus-count, far past int64) and mirrored
+    HUGEINT-for-HUGEINT by the generated oracle, so the comparison is
+    bit-exact integer equality with zero float-accumulation surface.
+    Truncation leaks ~S units of mass per round on both sides
+    identically; states are the types with OUTGOING transitions, and
+    mass sent outside the state set drops — also on both sides.
+    Cited shape: reference has no iterative-chain analysis; this is
+    the training-data-pipeline stationary-usage profile."""
+    counts = q_event_transitions(sf_dir)[
+        ["prev_type", "next_type", "n_trans"]]
+    tot = {a: int(s) for a, s in
+           counts.groupby("prev_type")["n_trans"].sum().items()}
+    states = sorted(tot)
+    x = {a: _MARKOV_FP // len(states) for a in states}
+    triples = [(r["prev_type"], r["next_type"], int(r["n_trans"]))
+               for _, r in counts.iterrows()]
+    for _ in range(_MARKOV_ITERS):
+        nxt: dict[str, int] = {}
+        for a, b, n in triples:
+            if a in x and b in tot:
+                nxt[b] = nxt.get(b, 0) + (x[a] * n) // tot[a]
+        x = nxt
+    out = pd.DataFrame(sorted(x.items()),
+                       columns=["event_type", "stat_micro"])
+    if len(out) and int(out["stat_micro"].abs().max()) >= 2**63:
+        raise AssertionError("markov_stationary: output exceeds BIGINT")
+    out["stat_micro"] = out["stat_micro"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_MARKOV_STATIONARY = _markov_sql(_MARKOV_ITERS)
+
+
 def q_bigram_familiarity(sf_dir: str, _broadcast_max: int | None = None):
     """Bigram-LM familiarity: per document the sum over its ADJACENT
     token pairs of that bigram's GLOBAL corpus count — the 2-gram
@@ -11846,6 +11936,7 @@ QUERIES = {
     "contrastive_negatives": q_contrastive_negatives,
     "price_trend_ols": q_price_trend_ols,
     "hits_scores": q_hits_scores,
+    "markov_stationary": q_markov_stationary,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12009,4 +12100,5 @@ ORACLE_SQL = {
     "contrastive_negatives": SQL_CONTRASTIVE_NEGATIVES,
     "price_trend_ols": SQL_PRICE_TREND_OLS,
     "hits_scores": SQL_HITS_SCORES,
+    "markov_stationary": SQL_MARKOV_STATIONARY,
 }

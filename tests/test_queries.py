@@ -1717,3 +1717,30 @@ def test_hits_scores_hand_checked(ray_session, tmp_path):
         con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["hits_scores"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_markov_stationary_cycle_invariant(ray_session, tmp_path):
+    """On a deterministic 3-cycle A->B->C->A the uniform fixed-point
+    vector is exactly invariant under the integer iteration
+    ((x*n)//tot == x when n == tot), so after any number of rounds
+    every state holds exactly FP//3 — checked by hand and against the
+    generated chained-CTE oracle."""
+    seq = ["A", "B", "C", "A", "B", "C", "A"]
+    rows = []
+    for uid in (1, 2):  # two users exercise the user-bucket partials
+        for i, et in enumerate(seq):
+            rows.append((uid, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=i), uid * 100 + i, et))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["markov_stationary"](sf)
+    fp3 = Q._MARKOV_FP // 3
+    assert {(r["event_type"], int(r["stat_micro"]))
+            for _, r in mine.iterrows()} == {("A", fp3), ("B", fp3),
+                                             ("C", fp3)}
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["markov_stationary"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
