@@ -7544,6 +7544,85 @@ GROUP BY t.doc_id
 """
 
 
+_SKIPGRAM_W = 3    # max positional distance (word2vec window)
+_SKIPGRAM_K = 20   # pairs reported
+
+
+def q_skipgram_counts(sf_dir: str):
+    """Skip-gram co-occurrence counts — the word2vec/GloVe training
+    statistic: for every token position i, the ordered pair (tok[i],
+    tok[i+d]) for d = 1..``_SKIPGRAM_W``, counted corpus-wide, top
+    ``_SKIPGRAM_K`` pairs by (count DESC, tok_a, tok_b). Positional
+    (earlier token first), unlike :func:`q_token_pmi`'s doc-level
+    unordered co-occurrence — this is the windowed corpus you feed an
+    embedding trainer, that is the association statistic.
+
+    Shape: pure map-side pair emission — per batch ONE explode then W
+    shifted array comparisons (no per-pair Python, no per-doc loop;
+    the d-shifted equality of the doc-index array marks pairs that
+    stay inside one document) collapsed by a per-batch value_counts
+    (Zipf: distinct pairs << occurrences), then ONE bounded by-pair
+    bucketed combine with per-bucket top-K prune — the driver folds
+    <= buckets*K rows, never the pair vocabulary. Exact integer
+    counts; deterministic total order ties included on both sides."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # fresh RangeIndex: the shifted doc-boundary test below uses
+        # index equality, which needs one unique index value per doc
+        e = df["text"].reset_index(drop=True) \
+            .str.lower().str.split().explode().dropna()
+        arr = e.to_numpy(dtype=object)
+        idx = e.index.to_numpy()
+        frames = []
+        for d in range(1, _SKIPGRAM_W + 1):
+            if len(arr) <= d:
+                break
+            same = idx[d:] == idx[:-d]
+            frames.append(pd.DataFrame({"tok_a": arr[:-d][same],
+                                        "tok_b": arr[d:][same]}))
+        if not frames:
+            return pd.DataFrame({"tok_a": pd.Series([], dtype="object"),
+                                 "tok_b": pd.Series([], dtype="object"),
+                                 "n_cooc": pd.Series([], dtype="int64")})
+        p = pd.concat(frames, ignore_index=True)
+        out = p.groupby(["tok_a", "tok_b"], as_index=False).size() \
+            .rename(columns={"size": "n_cooc"})
+        out["n_cooc"] = out["n_cooc"].astype("int64")
+        return out
+
+    pairs = _bucketed_combine(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["tok_a", "tok_b"], {"n_cooc": "sum"},
+        topk=(_SKIPGRAM_K, ["n_cooc", "tok_a", "tok_b"],
+              [False, True, True]))
+    pairs["n_cooc"] = pairs["n_cooc"].astype("int64")
+    return pairs.sort_values(["n_cooc", "tok_a", "tok_b"],
+                             ascending=[False, True, True]) \
+        .head(_SKIPGRAM_K).reset_index(drop=True)
+
+
+SQL_SKIPGRAM_COUNTS = r"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+tok AS (
+  SELECT string_split(nt, ' ') AS t FROM norm WHERE length(nt) > 0
+),
+pairs AS (
+  SELECT t[i] AS tok_a, t[i + d] AS tok_b
+  FROM tok,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i),
+       LATERAL (SELECT unnest(generate_series(1, {W})) AS d)
+  WHERE i + d <= len(t)
+)
+SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_cooc
+FROM pairs GROUP BY tok_a, tok_b
+ORDER BY n_cooc DESC, tok_a, tok_b LIMIT {K}
+""".replace("{W}", str(_SKIPGRAM_W)).replace("{K}", str(_SKIPGRAM_K))
+
+
 _SEG_W = 16  # tokens per dedup segment ("line")
 
 
@@ -11937,6 +12016,7 @@ QUERIES = {
     "price_trend_ols": q_price_trend_ols,
     "hits_scores": q_hits_scores,
     "markov_stationary": q_markov_stationary,
+    "skipgram_counts": q_skipgram_counts,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -11954,7 +12034,7 @@ for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
            "SQL_CORPUS_FAMILIARITY", "SQL_VOCAB_GROWTH",
            "SQL_NGRAM_NOVELTY", "SQL_BIGRAM_FAMILIARITY",
            "SQL_SEGMENT_DEDUP", "SQL_DISTRIBUTION_DRIFT",
-           "SQL_CMS_TOKEN_COUNTS"):
+           "SQL_CMS_TOKEN_COUNTS", "SQL_SKIPGRAM_COUNTS"):
     # import-time assert: a reformatted literal would make the replace
     # a silent no-op and revert that oracle to RE2's narrower \s
     assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
@@ -12101,4 +12181,5 @@ ORACLE_SQL = {
     "price_trend_ols": SQL_PRICE_TREND_OLS,
     "hits_scores": SQL_HITS_SCORES,
     "markov_stationary": SQL_MARKOV_STATIONARY,
+    "skipgram_counts": SQL_SKIPGRAM_COUNTS,
 }

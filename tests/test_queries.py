@@ -1744,3 +1744,26 @@ def test_markov_stationary_cycle_invariant(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["markov_stationary"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_skipgram_counts_hand_checked(ray_session, tmp_path):
+    """Window-3 skip-grams on two tiny docs, counted by hand — pins the
+    positional (earlier, later) orientation, the distance cap, and
+    that pairs never cross a document boundary."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b a b", "b  a"],  # doubled space collapses
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["skipgram_counts"](sf)
+    got = {(r["tok_a"], r["tok_b"]): int(r["n_cooc"])
+           for _, r in mine.iterrows()}
+    # doc1 (a b a b): d1 ab,ba,ab; d2 aa,bb; d3 ab.  doc2 (b a): d1 ba
+    assert got == {("a", "b"): 3, ("b", "a"): 2,
+                   ("a", "a"): 1, ("b", "b"): 1}
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["skipgram_counts"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
