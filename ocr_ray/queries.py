@@ -1244,6 +1244,109 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_max_concurrency(sf_dir: str):
+    """Peak concurrent sessions (and the earliest instant it occurs) —
+    the sweep-line / interval-overlap statistic (capacity planning,
+    rate-limit sizing): sessions are the same gap>30min windows as
+    :func:`q_session_stats`; concurrency at instant t counts sessions
+    with t0 <= t <= t1. The classic answer is a GLOBAL ordered prefix
+    sum over +-1 endpoint deltas — un-Ray-shaped — so it runs as the
+    distributed prefix decomposition instead:
+
+    - shuffle 1 (by user bucket): vectorized sessionization, each
+      session emits two endpoint rows (t0,+1), (t1,-1) — intervals are
+      never split, a session spanning bins is carried by the offset
+      fold below;
+    - shuffle 2 (by UTC-day bin): each bin sorts its own endpoints
+      under the total order (t, d DESC) — starts before ends at the
+      same instant, so touching sessions count as overlapping — and
+      emits THREE numbers: its delta total, its local running max, and
+      the earliest t attaining it;
+    - driver fold, O(days) rows in bin order: offset_b = sum of earlier
+      totals; global max = max(offset_b + local_max_b); the earliest
+      qualifying bin's recorded argmax is the global argmax (earlier
+      bins never reach the global max by construction).
+
+    Exactness: pure integer deltas; at equal (t,d) the cumulative-sum
+    MULTISET of values is order-invariant (within a +1 run the max is
+    the run's last row, within a -1 run its first), so (max, earliest
+    t) is deterministic on both sides even where SQL peer order is
+    not."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return pd.DataFrame({"user_id": u, "ts": df["ts"], "_b": u % B})
+
+    def endpoints_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = (new_user
+               | (g["ts"].diff() > pd.Timedelta(minutes=30))).astype("int64")
+        g = g.assign(session_idx=brk.groupby(g["user_id"]).cumsum())
+        iv = g.groupby(["user_id", "session_idx"], as_index=False).agg(
+            t0=("ts", "min"), t1=("ts", "max"))
+        t = pd.concat([iv["t0"], iv["t1"]], ignore_index=True)
+        d = np.concatenate([np.ones(len(iv), dtype=np.int64),
+                            -np.ones(len(iv), dtype=np.int64)])
+        micros = t.astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({"bin": micros // (86_400 * 1_000_000),
+                             "t": t, "d": d})
+
+    def bin_sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "d"], ascending=[True, False])
+        c = g["d"].cumsum().to_numpy()
+        m = int(c.max())
+        at = g["t"].to_numpy()[int(np.argmax(c == m))]
+        return pd.DataFrame({"bin": [int(g["bin"].iloc[0])],
+                             "total": [int(g["d"].sum())],
+                             "local_max": [m], "at": [at]})
+
+    bins = (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_b").map_groups(endpoints_bucket,
+                                      batch_format="pandas")
+            .groupby("bin").map_groups(bin_sweep, batch_format="pandas")
+            .to_pandas()).sort_values("bin").reset_index(drop=True)
+    offset, gmax, gat = 0, None, None
+    for _, r in bins.iterrows():
+        peak = offset + int(r["local_max"])
+        if gmax is None or peak > gmax:
+            gmax, gat = peak, r["at"]
+        offset += int(r["total"])
+    return pd.DataFrame({"max_concurrent": pd.Series([gmax], dtype="int64"),
+                         "at_ts": [pd.Timestamp(gat)]})
+
+
+SQL_MAX_CONCURRENCY = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+           AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM d
+), iv AS (
+  SELECT user_id, session_idx, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM s GROUP BY user_id, session_idx
+), ep AS (
+  SELECT t0 AS t, 1 AS dd FROM iv
+  UNION ALL
+  SELECT t1 AS t, -1 AS dd FROM iv
+), r AS (
+  SELECT t, SUM(dd) OVER (ORDER BY t, dd DESC
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM ep
+)
+SELECT CAST(c AS BIGINT) AS max_concurrent, t AS at_ts
+FROM r ORDER BY c DESC, t LIMIT 1
+"""
+
+
 def q_customer_highvalue_counts(sf_dir: str):
     """LEFT OUTER join shape (every customer, count of >400k orders,
     zeros included): bucketed — the order side pre-aggregates per key
@@ -12017,6 +12120,7 @@ QUERIES = {
     "hits_scores": q_hits_scores,
     "markov_stationary": q_markov_stationary,
     "skipgram_counts": q_skipgram_counts,
+    "max_concurrency": q_max_concurrency,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12182,4 +12286,5 @@ ORACLE_SQL = {
     "hits_scores": SQL_HITS_SCORES,
     "markov_stationary": SQL_MARKOV_STATIONARY,
     "skipgram_counts": SQL_SKIPGRAM_COUNTS,
+    "max_concurrency": SQL_MAX_CONCURRENCY,
 }

@@ -1767,3 +1767,31 @@ def test_skipgram_counts_hand_checked(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["skipgram_counts"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_max_concurrency_hand_checked(ray_session, tmp_path):
+    """Planted sessions: user 1 spans midnight (23:50 -> 00:10, one
+    session — its +1 lands in day-bin 1 and its -1 in day-bin 2, so the
+    answer is only right if the cross-bin offset fold carries it);
+    user 2 is an instantaneous session at exactly 00:00; user 3 at
+    00:05; user 4 isolated the day before. Peak = 2 concurrent,
+    earliest at 00:00 (u2 opens while u1 is active; the later u3
+    overlap ties at 2 and must NOT displace the earlier instant)."""
+    rows = [
+        (1, "2024-01-01 23:50:00"), (1, "2024-01-02 00:10:00"),
+        (2, "2024-01-02 00:00:00"),
+        (3, "2024-01-02 00:05:00"),
+        (4, "2024-01-01 10:00:00"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["max_concurrency"](sf)
+    assert int(mine["max_concurrent"].iloc[0]) == 2
+    assert pd.Timestamp(mine["at_ts"].iloc[0]) == \
+        pd.Timestamp("2024-01-02 00:00:00")
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["max_concurrency"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
