@@ -1347,6 +1347,84 @@ FROM r ORDER BY c DESC, t LIMIT 1
 """
 
 
+def q_value_locf(sf_dir: str):
+    """Last-observation-carried-forward imputation — the time-series
+    backfill every feature pipeline needs: 'view' events don't report a
+    trusted value (the deterministic masking rule, applied identically
+    on both sides), so each masked row imputes the SAME user's most
+    recent unmasked value under the (ts, event_id) total order; masked
+    rows with no prior observation stay missing. Output is the per-user
+    imputation audit (masked / imputed counts and the exact imputed
+    mass) for users with at least one masked row.
+
+    Shape: users hash into ``_pair_buckets()`` groups (a user lives in
+    ONE bucket, so bucket-local LOCF is that user's global LOCF); each
+    bucket forward-fills thousands of users in one vectorized pass —
+    sort, NaN-mask, ``groupby(user).ffill()`` — then a C-level grouped
+    agg; the driver never sees event rows. Values are quantized to
+    exact integer cents BEFORE the fill (they ride the float column
+    losslessly: cents < 2^53), so ``sum_imputed_cents`` is an exact
+    int64 on both sides — no float-accumulation surface."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return df.assign(_b=u % B)
+
+    def locf_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        masked = g["event_type"].eq("view")
+        cents = np.floor(g["value"].to_numpy(np.float64) * 100.0 + 0.5)
+        obs = pd.Series(np.where(masked.to_numpy(), np.nan, cents),
+                        index=g.index)
+        filled = obs.groupby(g["user_id"]).ffill()
+        imputed = masked & filled.notna()
+        out = pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "n_masked": masked.astype("int64"),
+            "n_imputed": imputed.astype("int64"),
+            "sum_imputed_cents": np.where(
+                imputed.to_numpy(), filled.fillna(0).to_numpy(), 0.0),
+        }).groupby("user_id", as_index=False).sum()
+        out = out[out["n_masked"] > 0]
+        out["sum_imputed_cents"] = out["sum_imputed_cents"].astype("int64")
+        for c in ("n_masked", "n_imputed"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+           .groupby("_b").map_groups(locf_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_VALUE_LOCF = """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         event_type = 'view' AS masked,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), f AS (
+  SELECT user_id, masked,
+         last_value(CASE WHEN NOT masked THEN cents END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS filled
+  FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_masked,
+       CAST(SUM(CASE WHEN masked AND filled IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       CAST(COALESCE(SUM(CASE WHEN masked THEN filled END), 0) AS BIGINT)
+         AS sum_imputed_cents
+FROM f GROUP BY user_id
+HAVING SUM(CASE WHEN masked THEN 1 ELSE 0 END) > 0
+"""
+
+
 def q_customer_highvalue_counts(sf_dir: str):
     """LEFT OUTER join shape (every customer, count of >400k orders,
     zeros included): bucketed — the order side pre-aggregates per key
@@ -12121,6 +12199,7 @@ QUERIES = {
     "markov_stationary": q_markov_stationary,
     "skipgram_counts": q_skipgram_counts,
     "max_concurrency": q_max_concurrency,
+    "value_locf": q_value_locf,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12287,4 +12366,5 @@ ORACLE_SQL = {
     "markov_stationary": SQL_MARKOV_STATIONARY,
     "skipgram_counts": SQL_SKIPGRAM_COUNTS,
     "max_concurrency": SQL_MAX_CONCURRENCY,
+    "value_locf": SQL_VALUE_LOCF,
 }

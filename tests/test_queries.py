@@ -1795,3 +1795,35 @@ def test_max_concurrency_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["max_concurrency"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_value_locf_hand_checked(ray_session, tmp_path):
+    """LOCF edges: a masked row before any observation stays missing
+    (counted masked, not imputed); each masked row takes the LATEST
+    prior unmasked value, not the first; users with no masked rows emit
+    no row."""
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: view (no prior -> not imputed), buy 2.00,
+        # view (imputes 200), buy 5.00, view (imputes 500)
+        (1, t0, 1, "view", 9.99),
+        (1, t0 + pd.Timedelta(minutes=1), 2, "purchase", 2.00),
+        (1, t0 + pd.Timedelta(minutes=2), 3, "view", 9.99),
+        (1, t0 + pd.Timedelta(minutes=3), 4, "purchase", 5.00),
+        (1, t0 + pd.Timedelta(minutes=4), 5, "view", 9.99),
+        # user 2: never masked -> no output row
+        (2, t0, 6, "purchase", 1.00),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type", "value"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["value_locf"](sf)
+    assert len(mine) == 1
+    r = mine.iloc[0]
+    assert (int(r["user_id"]), int(r["n_masked"]), int(r["n_imputed"]),
+            int(r["sum_imputed_cents"])) == (1, 3, 2, 700)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["value_locf"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
