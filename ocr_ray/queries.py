@@ -1425,6 +1425,100 @@ HAVING SUM(CASE WHEN masked THEN 1 ELSE 0 END) > 0
 """
 
 
+def q_welch_ttest(sf_dir: str):
+    """Welch two-sample t-test (purchase vs signup event values) — the
+    A/B-significance statistic, computed from EXACT integer sufficient
+    statistics: one streamed scan emits per-group int64 partials
+    (n, sum_cents, sum_cents^2), the driver folds O(batches) tiny rows
+    with Python ints, and t plus the Welch–Satterthwaite df come out of
+    one closed-form float evaluation. Zero shuffle, O(1) driver state —
+    the two-sample-inference shape at any corpus size.
+
+    Exactness envelope: cents <= ~5.6e4 so cents^2 <= ~3.2e9 and even
+    sf100-scale totals stay under 2^53 — every input to the final float
+    expression is float64-EXACT on both sides, and the expression is
+    mirrored operation-for-operation in the oracle; round-6 absorbs the
+    (sub-ulp) division-order slack. A batch-mass guard raises before
+    int64 could wrap."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    A, Bt = "purchase", "signup"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for grp in (A, Bt):
+            v = df.loc[df["event_type"] == grp, "value"].to_numpy(np.float64)
+            c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            if len(c) and float(np.abs(c).max()) ** 2 * len(c) >= 2**62:
+                raise AssertionError(
+                    "welch_ttest: batch cents^2 mass near int64 — "
+                    "switch to hi/lo split accumulation")
+            rows.append((grp, len(c), int(c.sum()), int((c * c).sum())))
+        return pd.DataFrame(rows, columns=["grp", "n", "sx", "sxx"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    stats = {}
+    for grp, sub in parts.groupby("grp"):
+        n = int(sub["n"].sum())
+        sx = sum(int(v) for v in sub["sx"])
+        sxx = sum(int(v) for v in sub["sxx"])
+        if max(sx, sxx) >= 2**53:
+            raise AssertionError(
+                "welch_ttest: totals exceed the float64-exact envelope — "
+                "switch the final expression to Fraction arithmetic")
+        stats[grp] = (n, sx, sxx)
+    (n1i, sx1i, sxx1i), (n2i, sx2i, sxx2i) = stats[A], stats[Bt]
+    # evaluate the final expression in float64 in the SAME operation
+    # order as the oracle (all inputs are float64-exact integers)
+    n1, sx1, sxx1 = float(n1i), float(sx1i), float(sxx1i)
+    n2, sx2, sxx2 = float(n2i), float(sx2i), float(sxx2i)
+    m1, m2 = sx1 / n1, sx2 / n2
+    v1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+    v2 = (sxx2 - sx2 * sx2 / n2) / (n2 - 1)
+    a, b = v1 / n1, v2 / n2
+    t = (m1 - m2) / np.sqrt(a + b)
+    df_w = (a + b) ** 2 / (a * a / (n1 - 1) + b * b / (n2 - 1))
+    return pd.DataFrame({
+        "n_a": pd.Series([n1i], dtype="int64"),
+        "n_b": pd.Series([n2i], dtype="int64"),
+        "t_stat": [round(float(t), 6)],
+        "df_welch": [round(float(df_w), 6)],
+    })
+
+
+SQL_WELCH_TTEST = """
+WITH c AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'signup')
+), s AS (
+  SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(cents) AS DOUBLE) AS sx,
+         CAST(SUM(cents * cents) AS DOUBLE) AS sxx
+  FROM c GROUP BY grp
+), w AS (
+  SELECT
+    (SELECT n FROM s WHERE grp = 'purchase') AS n1,
+    (SELECT sx FROM s WHERE grp = 'purchase') AS sx1,
+    (SELECT sxx FROM s WHERE grp = 'purchase') AS sxx1,
+    (SELECT n FROM s WHERE grp = 'signup') AS n2,
+    (SELECT sx FROM s WHERE grp = 'signup') AS sx2,
+    (SELECT sxx FROM s WHERE grp = 'signup') AS sxx2
+), e AS (
+  SELECT n1, n2,
+         ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 AS a,
+         ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2 AS b,
+         sx1 / n1 - sx2 / n2 AS md
+  FROM w
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       ROUND(md / sqrt(a + b), 6) AS t_stat,
+       ROUND((a + b) * (a + b)
+             / (a * a / (n1 - 1) + b * b / (n2 - 1)), 6) AS df_welch
+FROM e
+"""
+
+
 def q_customer_highvalue_counts(sf_dir: str):
     """LEFT OUTER join shape (every customer, count of >400k orders,
     zeros included): bucketed — the order side pre-aggregates per key
@@ -12200,6 +12294,7 @@ QUERIES = {
     "skipgram_counts": q_skipgram_counts,
     "max_concurrency": q_max_concurrency,
     "value_locf": q_value_locf,
+    "welch_ttest": q_welch_ttest,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12367,4 +12462,5 @@ ORACLE_SQL = {
     "skipgram_counts": SQL_SKIPGRAM_COUNTS,
     "max_concurrency": SQL_MAX_CONCURRENCY,
     "value_locf": SQL_VALUE_LOCF,
+    "welch_ttest": SQL_WELCH_TTEST,
 }

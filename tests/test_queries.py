@@ -1827,3 +1827,25 @@ def test_value_locf_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["value_locf"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_welch_ttest_known_answer(ray_session, tmp_path):
+    """Welch t on tiny planted samples with a hand-computable answer:
+    purchase = [1.00, 2.00, 3.00] (mean 200c, var 10000c^2),
+    signup = [5.00, 5.00, 5.00, 5.00] (mean 500c, var 0) ->
+    t = (200-500)/sqrt(10000/3) = -3*sqrt(3), df -> n1-1 = 2."""
+    vals = [("purchase", 1.0), ("purchase", 2.0), ("purchase", 3.0),
+            ("signup", 5.0), ("signup", 5.0), ("signup", 5.0),
+            ("signup", 5.0)]
+    ev = pd.DataFrame(vals, columns=["event_type", "value"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["welch_ttest"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_a"]), int(r["n_b"])) == (3, 4)
+    assert abs(float(r["t_stat"]) - (-3.0 * np.sqrt(3.0))) < 1e-6
+    assert abs(float(r["df_welch"]) - 2.0) < 1e-6
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["welch_ttest"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
