@@ -1889,6 +1889,72 @@ FROM documents
 """
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-doc character Shannon entropy (nats) — the garbled-text /
+    binary-junk filter a curation pipeline runs right after extraction
+    (mojibake, base64 blobs and key-mash have entropy profiles far from
+    prose; repeated-character spam sits near zero). Computed as
+    H = ln(n) - (sum_c n_c ln n_c)/n from EXACT per-doc character
+    counts: one map-side pass — the batch's texts are flattened into a
+    single char array (C-level), doc ids ride along via np.repeat, and
+    one grouped value_counts yields every doc's histogram; no shuffle,
+    per-doc rows stream out. The ln-sum's term order differs between
+    pandas and SQL but each doc has <= alphabet-size terms, so the
+    round-6 output absorbs the ulp slack; the low_entropy flag compares
+    the ROUNDED value so both sides branch identically."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").tolist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        keep = lens > 0
+        ids = df["doc_id"].astype("int64").to_numpy()
+        chars = np.array(list("".join(texts)), dtype=object)
+        did = np.repeat(ids, lens)
+        cc = pd.DataFrame({"doc_id": did, "c": chars}) \
+            .groupby(["doc_id", "c"], as_index=False).size()
+        nc = cc["size"].to_numpy(np.float64)
+        cc["term"] = nc * np.log(nc)
+        agg = cc.groupby("doc_id", as_index=False).agg(
+            n_chars=("size", "sum"), s=("term", "sum"))
+        n = agg["n_chars"].to_numpy(np.float64)
+        h = np.round(np.log(n) - agg["s"].to_numpy(np.float64) / n, 6)
+        out = pd.DataFrame({
+            "doc_id": agg["doc_id"].astype("int64"),
+            "n_chars": agg["n_chars"].astype("int64"),
+            "h_char": h,
+            "low_entropy": h < 2.0,
+        })
+        # empty docs: defined as H = 0 and low (no char rows exist)
+        empty = ids[~keep]
+        if len(empty):
+            out = pd.concat([out, pd.DataFrame({
+                "doc_id": empty, "n_chars": np.int64(0),
+                "h_char": 0.0, "low_entropy": True})], ignore_index=True)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=8192)
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0
+), hist AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS nc
+  FROM ch GROUP BY doc_id, c
+), ent AS (
+  SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n_chars,
+         ROUND(ln(SUM(nc)) - SUM(nc * ln(nc)) / SUM(nc), 6) AS h_char
+  FROM hist GROUP BY doc_id
+)
+SELECT doc_id, n_chars, h_char, h_char < 2.0 AS low_entropy FROM ent
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), 0.0, TRUE
+FROM documents WHERE length(text) = 0
+"""
+
+
 def q_fingerprints(sf_dir: str):
     """Per-doc profile: winnowing fingerprints (rolling-hash sketch)
     + language-ID heuristic (stopword profiles) in one streamed pass.
@@ -12295,6 +12361,7 @@ QUERIES = {
     "max_concurrency": q_max_concurrency,
     "value_locf": q_value_locf,
     "welch_ttest": q_welch_ttest,
+    "char_entropy": q_char_entropy,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12463,4 +12530,5 @@ ORACLE_SQL = {
     "max_concurrency": SQL_MAX_CONCURRENCY,
     "value_locf": SQL_VALUE_LOCF,
     "welch_ttest": SQL_WELCH_TTEST,
+    "char_entropy": SQL_CHAR_ENTROPY,
 }

@@ -1849,3 +1849,31 @@ def test_welch_ttest_known_answer(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["welch_ttest"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_char_entropy_edges(ray_session, tmp_path):
+    """Entropy edges: uniform 4-char doc = ln(4); single repeated char
+    = 0 (flagged low); empty doc = 0 row present (flagged low);
+    a prose-ish doc clears the 2.0-nat flag threshold both sides."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["abcd", "aaaaaa", "",
+                 "the quick brown fox jumps over the lazy dog"],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["char_entropy"](sf).to_pandas() \
+        if hasattr(Q.QUERIES["char_entropy"](sf), "to_pandas") \
+        else Q.QUERIES["char_entropy"](sf)
+    mine = mine.sort_values("doc_id").reset_index(drop=True)
+    assert abs(float(mine.loc[0, "h_char"]) - round(np.log(4), 6)) < 1e-9
+    assert float(mine.loc[1, "h_char"]) == 0.0
+    assert bool(mine.loc[1, "low_entropy"])
+    assert int(mine.loc[2, "n_chars"]) == 0
+    assert bool(mine.loc[2, "low_entropy"])
+    assert not bool(mine.loc[3, "low_entropy"])
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["char_entropy"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
