@@ -1589,6 +1589,70 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)
 """
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplication audit — the curation dashboard row that
+    tells you WHICH feed is polluting the corpus (a crawl source with a
+    40% duplicate share gets throttled, not just deduped). A doc is a
+    duplicate occurrence when its exact text hash appears more than
+    once CORPUS-WIDE (all occurrences count, cross-source collisions
+    included on both sides).
+
+    Shape: per-batch (hash, source, n) partials collapse repeated texts
+    map-side; ONE by-hash bucketed shuffle (a hash lives in one bucket,
+    so bucket-local totals are global); inside each bucket the per-hash
+    total joins back to the (hash, source) rows vectorized and only
+    O(sources) partial counters leave; the driver folds buckets x
+    sources tiny rows. dup_share is the ratio of the SAME two integers
+    on both sides (one float division, no accumulation)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            h=[hashlib.md5(t.encode()).hexdigest() for t in df["text"]])
+        out = df.groupby(["h", "source"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def bucket_audit(g: pd.DataFrame) -> pd.DataFrame:
+        # g arrives (h, source)-aggregated; a hash lives entirely in
+        # this bucket, so the per-hash total here is the GLOBAL total
+        tot = g.groupby("h")["n"].transform("sum")
+        g = g.assign(dup=np.where(tot.to_numpy() > 1,
+                                  g["n"].to_numpy(), 0))
+        return g.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"), n_dup_docs=("dup", "sum"))
+
+    parts = _bucketed_combine(
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192),
+        ["h", "source"], {"n": "sum"},
+        prune=bucket_audit)
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_dup_docs=("n_dup_docs", "sum"))
+    for c in ("n_docs", "n_dup_docs"):
+        out[c] = out[c].astype("int64")
+    out["dup_share"] = out["n_dup_docs"].to_numpy(np.float64) \
+        / out["n_docs"].to_numpy(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH d AS (
+  SELECT source, md5(text) AS h FROM documents
+), hc AS (
+  SELECT h, COUNT(*) AS tot FROM d GROUP BY h
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN hc.tot > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN hc.tot > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_share
+FROM d JOIN hc USING (h)
+GROUP BY d.source
+"""
+
+
 def q_dataset_splits(sf_dir: str):
     """Deterministic corpus carving, one streamed pass, per-doc grain:
     train/val/test split assignment (hash-range on md5(text): 13/16
@@ -12362,6 +12426,7 @@ QUERIES = {
     "value_locf": q_value_locf,
     "welch_ttest": q_welch_ttest,
     "char_entropy": q_char_entropy,
+    "dup_rate_by_source": q_dup_rate_by_source,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12531,4 +12596,5 @@ ORACLE_SQL = {
     "value_locf": SQL_VALUE_LOCF,
     "welch_ttest": SQL_WELCH_TTEST,
     "char_entropy": SQL_CHAR_ENTROPY,
+    "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
 }

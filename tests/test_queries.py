@@ -1877,3 +1877,26 @@ def test_char_entropy_edges(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["char_entropy"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_dup_rate_by_source_cross_source(ray_session, tmp_path):
+    """Duplicate occurrences count ALL copies (including the 'first')
+    and cross-source collisions hit BOTH sources: text X appears in
+    src a twice and src b once -> a: 2/3 dup, b: 1/1 dup; unique text
+    Y in a -> not dup."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a", "a", "b", "a"],
+        "text": ["X", "X", "X", "Y"],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["dup_rate_by_source"](sf)
+    got = {r["source"]: (int(r["n_docs"]), int(r["n_dup_docs"]))
+           for _, r in mine.iterrows()}
+    assert got == {"a": (3, 2), "b": (1, 1)}
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["dup_rate_by_source"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
