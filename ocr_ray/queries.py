@@ -1653,6 +1653,108 @@ GROUP BY d.source
 """
 
 
+def q_mannwhitney_u(sf_dir: str):
+    """Mann–Whitney U rank-sum test (purchase vs signup values) — the
+    NONPARAMETRIC two-sample significance test (no normality
+    assumption), the robust sibling of :func:`q_welch_ttest`. The
+    textbook computation needs global ranks with tie averaging — an
+    all-to-all sort — but ranks only depend on the per-distinct-value
+    histogram, so it runs as: one streamed scan emitting per-batch
+    (cents, n_a, n_b) partials; one tiny fold over DISTINCT CENTS
+    (bounded by the value range — ~56k here, <= 1M for any
+    fixed-decimal range — NOT by corpus size, the curriculum_buckets
+    discipline); then an exact integer sweep in value order.
+
+    Tie-averaged ranks are half-integers, so the sweep carries 2*R1 =
+    sum_v n_a(v) * (2*cum_before(v) + n_v + 1) — EXACT int64 on both
+    sides (Python big-int fold; HUGEINT window mirror) — and emits
+    two_u = 2*R1 - n1*(n1+1) as a BIGINT. The normal-approximation z
+    with the tie-corrected variance is the one rounded float, mirrored
+    operation-for-operation."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    A, Bt = "purchase", "signup"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.loc[df["event_type"].isin([A, Bt])]
+        c = np.floor(sub["value"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({"cents": c,
+                          "is_a": (sub["event_type"] == A).to_numpy()})
+        out = g.groupby(["cents", "is_a"], as_index=False).size()
+        return pd.DataFrame({
+            "cents": out["cents"],
+            "n_a": np.where(out["is_a"], out["size"], 0).astype("int64"),
+            "n_b": np.where(out["is_a"], 0, out["size"]).astype("int64"),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+            .groupby("cents", as_index=False).agg(
+                n_a=("n_a", "sum"), n_b=("n_b", "sum"))
+            .sort_values("cents").reset_index(drop=True))
+    # the sweep runs in PYTHON BIG-INTS (object dtype): 2*R1 ~ n^2 and
+    # tie_sum ~ n^3 blow past int64 long before the histogram itself
+    # stops fitting on the driver
+    na = hist["n_a"].to_numpy(np.int64).astype(object)
+    nb = hist["n_b"].to_numpy(np.int64).astype(object)
+    nv = na + nb
+    n1, n2 = int(na.sum()), int(nb.sum())
+    n = n1 + n2
+    cum_before = np.concatenate([[0], np.cumsum(nv)[:-1]])
+    two_r1 = int((na * (2 * cum_before + nv + 1)).sum())
+    two_u = two_r1 - n1 * (n1 + 1)
+    if abs(two_u) >= 2**63:
+        raise AssertionError("mannwhitney_u: two_u exceeds BIGINT")
+    # tie-corrected variance: var = n1*n2/12 * ((n+1) - sum(t^3-t)/(n(n-1)))
+    tie_sum = int((nv ** 3 - nv).sum())
+    mu2 = float(n1) * float(n2)  # 2*mean(U) numerator pieces, float-exact
+    var = mu2 / 12.0 * ((n + 1) - tie_sum / (float(n) * (n - 1)))
+    z = (two_u / 2.0 - mu2 / 2.0) / np.sqrt(var)
+    return pd.DataFrame({
+        "n_a": pd.Series([n1], dtype="int64"),
+        "n_b": pd.Series([n2], dtype="int64"),
+        "two_u": pd.Series([two_u], dtype="int64"),
+        "z_stat": [round(float(z), 6)],
+    })
+
+
+SQL_MANNWHITNEY_U = """
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         event_type = 'purchase' AS is_a
+  FROM events WHERE event_type IN ('purchase', 'signup')
+), h AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS HUGEINT) AS nb
+  FROM c GROUP BY cents
+), sw AS (
+  SELECT na, nb, na + nb AS nv,
+         COALESCE(SUM(na + nb) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM h
+), agg AS (
+  SELECT SUM(na) AS n1, SUM(nb) AS n2,
+         SUM(na * (2 * cum_before + nv + 1)) AS two_r1,
+         SUM(nv * nv * nv - nv) AS tie_sum
+  FROM sw
+), e AS (
+  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u,
+         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) AS mu2,
+         CAST(n1 + n2 AS DOUBLE) AS n,
+         CAST(tie_sum AS DOUBLE) AS ties
+  FROM agg
+)
+SELECT n1 AS n_a, n2 AS n_b, two_u,
+       ROUND((two_u / 2.0 - mu2 / 2.0)
+             / sqrt(mu2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))), 6)
+         AS z_stat
+FROM e
+"""
+
+
 def q_dataset_splits(sf_dir: str):
     """Deterministic corpus carving, one streamed pass, per-doc grain:
     train/val/test split assignment (hash-range on md5(text): 13/16
@@ -12427,6 +12529,7 @@ QUERIES = {
     "welch_ttest": q_welch_ttest,
     "char_entropy": q_char_entropy,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "mannwhitney_u": q_mannwhitney_u,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12597,4 +12700,5 @@ ORACLE_SQL = {
     "welch_ttest": SQL_WELCH_TTEST,
     "char_entropy": SQL_CHAR_ENTROPY,
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+    "mannwhitney_u": SQL_MANNWHITNEY_U,
 }

@@ -1900,3 +1900,24 @@ def test_dup_rate_by_source_cross_source(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["dup_rate_by_source"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_mannwhitney_u_known_answer(ray_session, tmp_path):
+    """U on a tiny sample with ties, hand arithmetic:
+    A = [1.00, 2.00, 2.00], B = [2.00, 3.00]. Combined ranks:
+    100 -> 1; the three tied 200s share avg(2,3,4) = 3; 300 -> 5.
+    R1 = 1 + 3 + 3 = 7, so 2*R1 = 14 and two_u = 14 - 3*4 = 2
+    (U1 = 1). Direct cross-check: A beats B in 0 pairs and ties 2
+    (the two 2.00-vs-2.00 half-wins), U1 = 2 * 0.5 = 1. Matches."""
+    vals = [("purchase", 1.00), ("purchase", 2.00), ("purchase", 2.00),
+            ("signup", 2.00), ("signup", 3.00)]
+    ev = pd.DataFrame(vals, columns=["event_type", "value"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["mannwhitney_u"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_a"]), int(r["n_b"]), int(r["two_u"])) == (3, 2, 2)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["mannwhitney_u"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
