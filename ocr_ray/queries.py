@@ -1755,6 +1755,113 @@ FROM e
 """
 
 
+def q_als_user_factors(sf_dir: str):
+    """One ALS half-step of a rank-2 matrix factorization (implicit
+    recommender over the user x event_type interaction matrix) — the
+    distributed-linear-solve shape: item factors held FIXED (two
+    deterministic md5-digit components per event_type, so both engines
+    derive identical integers with no RNG or weight file), each user's
+    least-squares system (lambda*I + sum q_t q_t^T) x = sum q_t r_ut is
+    solved in closed form. Ratings r_ut are exact summed cents.
+
+    The 2x2 solve is EXACT RATIONAL arithmetic — x = adj(A) b / det(A)
+    with every entry an integer (lambda = 1 keeps A positive-definite,
+    det >= 1 by Cauchy–Schwarz) — emitted as truncating micro-unit
+    division: Fraction trunc-toward-zero here, HUGEINT ``//`` in the
+    oracle, bit-identical. No float enters at any point.
+
+    Shape: ONE user-bucketed shuffle (per batch: (user,item,cents)
+    partial sums; a user lives in one bucket, so bucket-local normal
+    equations are global); the 5-row item-factor table is computed
+    inline per task (O(items), cheaper than a broadcast round-trip);
+    per-bucket work is one vectorized grouped sum + row-wise integer
+    math. Driver sees only the per-user factor rows."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    B = _pair_buckets()
+    LAM = 1
+
+    def qvec(et: str) -> tuple[int, int]:
+        h = hashlib.md5(et.encode()).hexdigest()
+        return int(h[0], 16) + 1, int(h[1], 16) + 1
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                          "event_type": df["event_type"], "r": c})
+        out = g.groupby(["user_id", "event_type"], as_index=False)["r"].sum()
+        out["_b"] = out["user_id"] % B
+        return out
+
+    def solve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False)["r"].sum()
+        qs = {et: qvec(et) for et in g["event_type"].unique()}
+        q1 = g["event_type"].map(lambda e: qs[e][0]).to_numpy(np.int64)
+        q2 = g["event_type"].map(lambda e: qs[e][1]).to_numpy(np.int64)
+        r = g["r"].to_numpy(np.int64)
+        agg = pd.DataFrame({
+            "user_id": g["user_id"],
+            "a11": q1 * q1, "a12": q1 * q2, "a22": q2 * q2,
+            "b1": q1 * r, "b2": q2 * r,
+        }).groupby("user_id", as_index=False).sum()
+        # elementwise big-int math on object arrays (products pass 2^63
+        # at web-scale rating masses); trunc-toward-zero division via
+        # sign(n) * (|n| // det) with det > 0 — the HUGEINT // twin
+        a11 = agg["a11"].to_numpy(np.int64).astype(object) + LAM
+        a12 = agg["a12"].to_numpy(np.int64).astype(object)
+        a22 = agg["a22"].to_numpy(np.int64).astype(object) + LAM
+        b1 = agg["b1"].to_numpy(np.int64).astype(object)
+        b2 = agg["b2"].to_numpy(np.int64).astype(object)
+        det = a11 * a22 - a12 * a12
+        out = {"user_id": agg["user_id"].astype("int64")}
+        for col, num in (("x1_micro", (a22 * b1 - a12 * b2) * 1_000_000),
+                         ("x2_micro", (a11 * b2 - a12 * b1) * 1_000_000)):
+            q = abs(num) // det
+            x = np.where(num < 0, -q, q)
+            if len(x) and int(max(abs(v) for v in x)) >= 2**63:
+                raise AssertionError(
+                    "als_user_factors: factor exceeds BIGINT — rescale")
+            out[col] = x.astype(np.int64)
+        return pd.DataFrame(out)
+
+    out = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536)
+           .groupby("_b").map_groups(solve_bucket, batch_format="pandas")
+           .to_pandas())
+    for c in ("user_id", "x1_micro", "x2_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_ALS_USER_FACTORS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS HUGEINT) AS r
+  FROM events GROUP BY user_id, event_type
+), qf AS (
+  SELECT event_type,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(event_type), 1, 1)) AS HUGEINT) AS q1,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(event_type), 2, 1)) AS HUGEINT) AS q2
+  FROM (SELECT DISTINCT event_type FROM events)
+), ne AS (
+  SELECT user_id,
+         1 + SUM(q1 * q1) AS a11, SUM(q1 * q2) AS a12,
+         1 + SUM(q2 * q2) AS a22,
+         SUM(q1 * r) AS b1, SUM(q2 * r) AS b2
+  FROM r JOIN qf USING (event_type)
+  GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(((a22 * b1 - a12 * b2) * 1000000)
+            // (a11 * a22 - a12 * a12) AS BIGINT) AS x1_micro,
+       CAST(((a11 * b2 - a12 * b1) * 1000000)
+            // (a11 * a22 - a12 * a12) AS BIGINT) AS x2_micro
+FROM ne
+"""
+
+
 def q_dataset_splits(sf_dir: str):
     """Deterministic corpus carving, one streamed pass, per-doc grain:
     train/val/test split assignment (hash-range on md5(text): 13/16
@@ -12530,6 +12637,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "dup_rate_by_source": q_dup_rate_by_source,
     "mannwhitney_u": q_mannwhitney_u,
+    "als_user_factors": q_als_user_factors,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12701,4 +12809,5 @@ ORACLE_SQL = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "mannwhitney_u": SQL_MANNWHITNEY_U,
+    "als_user_factors": SQL_ALS_USER_FACTORS,
 }

@@ -1921,3 +1921,34 @@ def test_mannwhitney_u_known_answer(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["mannwhitney_u"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_als_user_factors_exact_solve(ray_session, tmp_path):
+    """Closed-form check: one user, one event_type with md5 digits
+    (q1, q2); rating r. Normal equations (I + qq^T) x = q r give
+    x = adj(A) b / det exactly — recompute with Fractions here and
+    compare the trunc-micro output, including a NEGATIVE component
+    (exercises trunc-toward-zero vs floor)."""
+    from fractions import Fraction
+    import hashlib as hl
+    et = "purchase"
+    h = hl.md5(et.encode()).hexdigest()
+    q1, q2 = int(h[0], 16) + 1, int(h[1], 16) + 1
+    ev = pd.DataFrame({"user_id": [7, 7], "event_type": [et, et],
+                       "value": [1.50, 2.50]})  # r = 400 cents
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    r = 400
+    a11, a12, a22 = 1 + q1 * q1, q1 * q2, 1 + q2 * q2
+    b1, b2 = q1 * r, q2 * r
+    det = a11 * a22 - a12 * a12
+    exp1 = int(Fraction((a22 * b1 - a12 * b2) * 10**6, det))
+    exp2 = int(Fraction((a11 * b2 - a12 * b1) * 10**6, det))
+    mine = Q.QUERIES["als_user_factors"](sf)
+    row = mine.iloc[0]
+    assert (int(row["user_id"]), int(row["x1_micro"]),
+            int(row["x2_micro"])) == (7, exp1, exp2)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["als_user_factors"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
