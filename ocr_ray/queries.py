@@ -1755,6 +1755,81 @@ FROM e
 """
 
 
+def q_ks_test(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic (purchase vs
+    signup value distributions) — the distribution-shift detector that
+    sees SHAPE differences the rank tests miss. Same distributed
+    sufficient statistic as :func:`q_mannwhitney_u`: a per-distinct-
+    cents histogram (bounded by the value RANGE, not the corpus), then
+    D = max_v |F_a(v) - F_b(v)| computed exactly as the INTEGER
+    d_num = max |cum_a(v) * n_b - cum_b(v) * n_a| with denominator
+    n_a * n_b — no float enters the max, so the argmax and the
+    statistic are bit-deterministic on both sides; the reported d_stat
+    is the one final rounded division of the same two integers."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    A, Bt = "purchase", "signup"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.loc[df["event_type"].isin([A, Bt])]
+        c = np.floor(sub["value"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({"cents": c,
+                          "is_a": (sub["event_type"] == A).to_numpy()})
+        out = g.groupby(["cents", "is_a"], as_index=False).size()
+        return pd.DataFrame({
+            "cents": out["cents"],
+            "n_a": np.where(out["is_a"], out["size"], 0).astype("int64"),
+            "n_b": np.where(out["is_a"], 0, out["size"]).astype("int64"),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+            .groupby("cents", as_index=False).agg(
+                n_a=("n_a", "sum"), n_b=("n_b", "sum"))
+            .sort_values("cents").reset_index(drop=True))
+    # big-int sweep: cum * n products pass 2^63 at web-scale counts
+    ca = np.cumsum(hist["n_a"].to_numpy(np.int64).astype(object))
+    cb = np.cumsum(hist["n_b"].to_numpy(np.int64).astype(object))
+    n1, n2 = int(ca[-1]), int(cb[-1])
+    d_num = int(max(abs(ca * n2 - cb * n1)))
+    if d_num >= 2**63:
+        raise AssertionError("ks_test: d_num exceeds BIGINT")
+    return pd.DataFrame({
+        "n_a": pd.Series([n1], dtype="int64"),
+        "n_b": pd.Series([n2], dtype="int64"),
+        "d_num": pd.Series([d_num], dtype="int64"),
+        "d_stat": [round(d_num / (float(n1) * float(n2)), 6)],
+    })
+
+
+SQL_KS_TEST = """
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         event_type = 'purchase' AS is_a
+  FROM events WHERE event_type IN ('purchase', 'signup')
+), h AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS HUGEINT) AS nb
+  FROM c GROUP BY cents
+), sw AS (
+  SELECT SUM(na) OVER w AS ca, SUM(nb) OVER w AS cb
+  FROM h WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+), t AS (
+  SELECT (SELECT SUM(na) FROM h) AS n1, (SELECT SUM(nb) FROM h) AS n2
+), m AS (
+  SELECT MAX(abs(ca * (SELECT n2 FROM t) - cb * (SELECT n1 FROM t)))
+           AS d_num
+  FROM sw
+)
+SELECT CAST(t.n1 AS BIGINT) AS n_a, CAST(t.n2 AS BIGINT) AS n_b,
+       CAST(m.d_num AS BIGINT) AS d_num,
+       ROUND(CAST(m.d_num AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) AS d_stat
+FROM m, t
+"""
+
+
 def q_als_user_factors(sf_dir: str):
     """One ALS half-step of a rank-2 matrix factorization (implicit
     recommender over the user x event_type interaction matrix) — the
@@ -12638,6 +12713,7 @@ QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "mannwhitney_u": q_mannwhitney_u,
     "als_user_factors": q_als_user_factors,
+    "ks_test": q_ks_test,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12810,4 +12886,5 @@ ORACLE_SQL = {
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "mannwhitney_u": SQL_MANNWHITNEY_U,
     "als_user_factors": SQL_ALS_USER_FACTORS,
+    "ks_test": SQL_KS_TEST,
 }

@@ -1952,3 +1952,22 @@ def test_als_user_factors_exact_solve(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["als_user_factors"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_ks_test_known_answer(ray_session, tmp_path):
+    """KS on disjoint supports = D = 1 exactly (d_num = n1*n2); and a
+    hand case with overlap: A=[1,2], B=[2,3] -> CDF gaps at v=1:
+    |1*2-0*2|=2, v=2: |2*2-1*2|=2, v=3: 0 -> d_num=2, D=0.5."""
+    ev = pd.DataFrame({
+        "event_type": ["purchase", "purchase", "signup", "signup"],
+        "value": [1.00, 2.00, 2.00, 3.00]})
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["ks_test"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_a"]), int(r["n_b"]), int(r["d_num"])) == (2, 2, 2)
+    assert abs(float(r["d_stat"]) - 0.5) < 1e-9
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["ks_test"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
