@@ -652,6 +652,100 @@ def q_distinct_flags(sf_dir: str):
 SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
+def q_wilson_conversion(sf_dir: str):
+    """Per-segment conversion rate (share of customers with >= 1
+    order) with the Wilson 95% score interval — the uncertainty-aware
+    dashboard row (a 3-customer segment at 100% must NOT outrank a
+    10k-customer segment at 90%; the Wilson lower bound is the
+    standard fix, and ranking by it is exactly the sort emitted here).
+
+    Shape: orders reduce to distinct custkeys (per-batch distinct
+    partials, a key lives in one bucket); ONE bucketed shuffle
+    co-locates them with the customer rows and per-bucket vectorized
+    isin emits O(segments) (n, k) partials; the driver folds a handful
+    of integers. The interval is a closed-form float expression over
+    two exact ints, mirrored operation-for-operation with z pinned to
+    1.96 on both sides; round-6 output."""
+    B = _pair_buckets()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_custkey"].drop_duplicates().astype("int64")
+        return pd.DataFrame({"_b": k % B, "key": k, "seg": "",
+                             "side": "o"})
+
+    def c_prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({"_b": k % B, "key": k,
+                             "seg": df["c_mktsegment"], "side": "c"})
+
+    def seg_counts(g: pd.DataFrame) -> pd.DataFrame:
+        active = set(g.loc[g["side"] == "o", "key"].to_numpy())
+        c = g.loc[g["side"] == "c"]
+        out = pd.DataFrame({
+            "seg": c["seg"],
+            "n": np.int64(1),
+            "k": c["key"].isin(active).astype("int64"),
+        }).groupby("seg", as_index=False).sum()
+        return out
+
+    parts = (orders.map_batches(o_prep, batch_format="pandas",
+                                batch_size=65536)
+             .union(cust.map_batches(c_prep, batch_format="pandas",
+                                     batch_size=65536))
+             .groupby("_b").map_groups(seg_counts, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("seg", as_index=False).agg(n=("n", "sum"),
+                                                   k=("k", "sum"))
+    z = 1.96
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    k = agg["k"].to_numpy(np.int64).astype(np.float64)
+    p = k / n
+    z2 = z * z
+    # float-op order mirrors the oracle exactly: (numerator -+ z*sqrt)
+    # THEN one division — term-wise division would drift a ulp
+    num = p + z2 / (2.0 * n)
+    rad = z * np.sqrt(p * (1.0 - p) / n + z2 / (4.0 * (n * n)))
+    den = 1.0 + z2 / n
+    out = pd.DataFrame({
+        "c_mktsegment": agg["seg"],
+        "n_customers": agg["n"].astype("int64"),
+        "n_active": agg["k"].astype("int64"),
+        "rate": np.round(p, 6),
+        "wilson_lo": np.round((num - rad) / den, 6),
+        "wilson_hi": np.round((num + rad) / den, 6),
+    })
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_WILSON_CONVERSION = """
+WITH a AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+), s AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN a.k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           AS k
+  FROM customer LEFT JOIN a ON a.k = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST(k AS BIGINT) AS n_active,
+       ROUND(k / n, 6) AS rate,
+       ROUND(((k / n + 1.96 * 1.96 / (2.0 * n))
+              - 1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                            + 1.96 * 1.96 / (4.0 * (n * n))))
+             / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+       ROUND(((k / n + 1.96 * 1.96 / (2.0 * n))
+              + 1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                            + 1.96 * 1.96 / (4.0 * (n * n))))
+             / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+FROM s
+"""
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti-join (customers with no HIGH-VALUE order, > 400k) with a
     BLOOM-FILTER pruning pass in front of the bucketed exact join — the
@@ -12714,6 +12808,7 @@ QUERIES = {
     "mannwhitney_u": q_mannwhitney_u,
     "als_user_factors": q_als_user_factors,
     "ks_test": q_ks_test,
+    "wilson_conversion": q_wilson_conversion,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12887,4 +12982,5 @@ ORACLE_SQL = {
     "mannwhitney_u": SQL_MANNWHITNEY_U,
     "als_user_factors": SQL_ALS_USER_FACTORS,
     "ks_test": SQL_KS_TEST,
+    "wilson_conversion": SQL_WILSON_CONVERSION,
 }

@@ -1971,3 +1971,31 @@ def test_ks_test_known_answer(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["ks_test"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_wilson_conversion_small_n_ordering(ray_session, tmp_path):
+    """The statistical point of the interval: a 2-customer segment at
+    100% conversion must have a LOWER Wilson lower bound than a
+    40-customer segment at 90% — and a never-converting segment's
+    bounds stay in [0, 1)."""
+    segs = (["TINY"] * 2) + (["BIG"] * 40) + (["DEAD"] * 3)
+    cust = pd.DataFrame({"c_custkey": range(1, len(segs) + 1),
+                         "c_mktsegment": segs})
+    active = list(range(1, 3)) + list(range(3, 39))  # TINY 2/2, BIG 36/40
+    orders = pd.DataFrame({"o_custkey": active * 2})  # dup orders per cust
+    sf = str(tmp_path)
+    cust.to_parquet(f"{sf}/customer.parquet")
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["wilson_conversion"](sf)
+    row = {r["c_mktsegment"]: r for _, r in mine.iterrows()}
+    assert (int(row["TINY"]["n_active"]), int(row["BIG"]["n_active"]),
+            int(row["DEAD"]["n_active"])) == (2, 36, 0)
+    assert float(row["TINY"]["rate"]) == 1.0
+    assert float(row["TINY"]["wilson_lo"]) < float(row["BIG"]["wilson_lo"])
+    assert 0.0 <= float(row["DEAD"]["wilson_lo"]) \
+        and float(row["DEAD"]["wilson_hi"]) < 1.0
+    con2 = duckdb.connect()
+    for t in ("customer", "orders"):
+        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["wilson_conversion"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
