@@ -652,6 +652,93 @@ def q_distinct_flags(sf_dir: str):
 SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
+def q_user_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event values — the
+    behavioral-regularity / bot-detection signal (a scripted client's
+    values repeat, phi -> 1; organic traffic decorrelates). For each
+    user's value series under the (ts, event_id) total order, the
+    lag-1 Pearson correlation of (x_t, x_{t+1}) pairs, computed from
+    EXACT integer cents moments (n, Sa, Sb, Saa, Sbb, Sab over the
+    shifted pair frame).
+
+    Shape: the one-shuffle user-bucket idiom — users hash into
+    ``_pair_buckets()`` groups, each bucket sorts thousands of users in
+    ONE vectorized pass and builds every user's shifted pairs with a
+    single boundary-safe shift; per-user moments come out of a C-level
+    grouped agg. Moments stay int64 (cents^2 <= ~3.1e9 x per-user
+    event counts — guard raises at 2^53); the correlation is ONE float
+    expression over six exact ints, mirrored operation-for-operation,
+    round-6. Users with < 3 events or zero variance on either side are
+    excluded on BOTH sides (the SQL HAVING mirrors the mask)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return df.assign(_b=u % B)
+
+    def corr_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        c = np.floor(g["value"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        same = u[1:] == u[:-1]
+        a, b = c[:-1][same], c[1:][same]
+        pf = pd.DataFrame({
+            "user_id": u[1:][same], "n": np.int64(1),
+            "sa": a, "sb": b, "saa": a * a, "sbb": b * b, "sab": a * b,
+        }).groupby("user_id", as_index=False).sum()
+        for col in ("saa", "sbb", "sab"):
+            if len(pf) and int(pf[col].abs().max()) >= 2**53:
+                raise AssertionError(
+                    "user_autocorr: moments exceed the float64-exact "
+                    "envelope — switch to big-int columns")
+        n = pf["n"].to_numpy(np.float64)
+        sa = pf["sa"].to_numpy(np.float64)
+        sb = pf["sb"].to_numpy(np.float64)
+        va = pf["saa"].to_numpy(np.float64) - sa * sa / n
+        vb = pf["sbb"].to_numpy(np.float64) - sb * sb / n
+        cov = pf["sab"].to_numpy(np.float64) - sa * sb / n
+        keep = (n >= 2) & (va > 0) & (vb > 0)
+        out = pd.DataFrame({
+            "user_id": pf["user_id"].astype("int64")[keep],
+            "n_pairs": pf["n"].astype("int64")[keep],
+            "phi": np.round(cov[keep] / np.sqrt(va[keep] * vb[keep]), 6),
+        })
+        return out
+
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+           .groupby("_b").map_groups(corr_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_AUTOCORR = """
+WITH p AS (
+  SELECT user_id,
+         lag(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a,
+         CAST(ROUND(value * 100) AS BIGINT) AS b
+  FROM events
+), m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+         CAST(SUM(a * a) AS DOUBLE) AS saa,
+         CAST(SUM(b * b) AS DOUBLE) AS sbb,
+         CAST(SUM(a * b) AS DOUBLE) AS sab
+  FROM p WHERE a IS NOT NULL
+  GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND((sab - sa * sb / n)
+             / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)), 6) AS phi
+FROM m
+WHERE n >= 2 AND saa - sa * sa / n > 0 AND sbb - sb * sb / n > 0
+"""
+
+
 def q_wilson_conversion(sf_dir: str):
     """Per-segment conversion rate (share of customers with >= 1
     order) with the Wilson 95% score interval — the uncertainty-aware
@@ -12809,6 +12896,7 @@ QUERIES = {
     "als_user_factors": q_als_user_factors,
     "ks_test": q_ks_test,
     "wilson_conversion": q_wilson_conversion,
+    "user_autocorr": q_user_autocorr,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -12983,4 +13071,5 @@ ORACLE_SQL = {
     "als_user_factors": SQL_ALS_USER_FACTORS,
     "ks_test": SQL_KS_TEST,
     "wilson_conversion": SQL_WILSON_CONVERSION,
+    "user_autocorr": SQL_USER_AUTOCORR,
 }

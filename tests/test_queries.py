@@ -1999,3 +1999,35 @@ def test_wilson_conversion_small_n_ordering(ray_session, tmp_path):
         con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["wilson_conversion"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_user_autocorr_edges(ray_session, tmp_path):
+    """A perfectly alternating user has phi = -1 exactly; a monotone
+    ramp has phi = +1 on its 3 pairs; a constant-value user (zero
+    variance) and a 2-event user (one pair, va or vb degenerate at
+    n=1... n_pairs=1 < 2) are EXCLUDED on both sides."""
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: 1,3,1,3,1 -> pairs alternate, phi = -1
+    for i, v in enumerate([1.0, 3.0, 1.0, 3.0, 1.0]):
+        rows.append((1, t0 + pd.Timedelta(minutes=i), i, "x", v))
+    # user 2: 1,2,3,4 -> phi = +1
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append((2, t0 + pd.Timedelta(minutes=i), 10 + i, "x", v))
+    # user 3: constant -> excluded; user 4: two events -> excluded
+    for i in range(4):
+        rows.append((3, t0 + pd.Timedelta(minutes=i), 20 + i, "x", 5.0))
+    rows.append((4, t0, 30, "x", 1.0))
+    rows.append((4, t0 + pd.Timedelta(minutes=1), 31, "x", 2.0))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type", "value"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["user_autocorr"](sf)
+    got = {int(r["user_id"]): float(r["phi"]) for _, r in mine.iterrows()}
+    assert set(got) == {1, 2}
+    assert got[1] == -1.0 and got[2] == 1.0
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["user_autocorr"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
