@@ -652,6 +652,78 @@ def q_distinct_flags(sf_dir: str):
 SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
+def q_source_lang_tvd(sf_dir: str):
+    """Per-source language-mix drift as EXACT total variation distance
+    from the corpus mixture — the curation monitor that flags a feed
+    whose language profile diverged (mis-routed crawl, broken lang-ID).
+    TVD(s) = 1/2 sum_l |n_s(l)/N_s - n(l)/N| is computed with the
+    common-denominator trick: the integer numerator
+    sum_l |n_s(l)*N - n(l)*N_s| is EXACT on both sides (Python big-ints
+    / HUGEINT — the cross products pass int64 at web scale), divided
+    once by 2*N_s*N for the reported round-6 float. Missing
+    (source, lang) cells contribute n(l)*N_s exactly (the full lang set
+    is crossed in on both sides).
+
+    Shape: pure map-side — per-batch (source, lang, n) partials; the
+    driver folds O(sources x langs) tiny rows (both cardinalities are
+    catalog-bounded, not corpus-bounded). Zero shuffle."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["source", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    c = (ds.map_batches(partial, batch_format="pandas",
+                        batch_size=65536).to_pandas()
+         .groupby(["source", "lang"], as_index=False)["n"].sum())
+    piv = c.pivot_table(index="source", columns="lang", values="n",
+                        fill_value=0, aggfunc="sum")
+    nl = {l: int(piv[l].sum()) for l in piv.columns}
+    nn = sum(nl.values())
+    rows = []
+    for src in piv.index:
+        ns = int(piv.loc[src].sum())
+        num = sum(abs(int(piv.loc[src, l]) * nn - nl[l] * ns)
+                  for l in piv.columns)
+        if num >= 2**63:
+            raise AssertionError("source_lang_tvd: numerator exceeds "
+                                 "BIGINT — emit (num, denom) split")
+        rows.append((src, ns, num,
+                     round(num / (2.0 * float(ns) * float(nn)), 6)))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "tvd_num",
+                                      "tvd"])
+    for col in ("n_docs", "tvd_num"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_LANG_TVD = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM documents GROUP BY source, lang
+), l AS (
+  SELECT lang, SUM(n) AS nl FROM c GROUP BY lang
+), s AS (
+  SELECT source, SUM(n) AS ns FROM c GROUP BY source
+), t AS (
+  SELECT SUM(n) AS nn FROM c
+)
+SELECT s.source,
+       CAST(s.ns AS BIGINT) AS n_docs,
+       CAST(SUM(abs(COALESCE(c.n, 0) * t.nn - l.nl * s.ns)) AS BIGINT)
+         AS tvd_num,
+       ROUND(CAST(SUM(abs(COALESCE(c.n, 0) * t.nn - l.nl * s.ns))
+                  AS DOUBLE)
+             / (2.0 * CAST(s.ns AS DOUBLE) * CAST(t.nn AS DOUBLE)), 6)
+         AS tvd
+FROM s CROSS JOIN l CROSS JOIN t
+LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+GROUP BY s.source, s.ns, t.nn
+"""
+
+
 def q_user_autocorr(sf_dir: str):
     """Per-user lag-1 autocorrelation of event values — the
     behavioral-regularity / bot-detection signal (a scripted client's
@@ -12897,6 +12969,7 @@ QUERIES = {
     "ks_test": q_ks_test,
     "wilson_conversion": q_wilson_conversion,
     "user_autocorr": q_user_autocorr,
+    "source_lang_tvd": q_source_lang_tvd,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13072,4 +13145,5 @@ ORACLE_SQL = {
     "ks_test": SQL_KS_TEST,
     "wilson_conversion": SQL_WILSON_CONVERSION,
     "user_autocorr": SQL_USER_AUTOCORR,
+    "source_lang_tvd": SQL_SOURCE_LANG_TVD,
 }

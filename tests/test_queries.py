@@ -2031,3 +2031,27 @@ def test_user_autocorr_edges(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["user_autocorr"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_source_lang_tvd_hand_checked(ray_session, tmp_path):
+    """Hand case: corpus = a{en:2, fr:2}, b{en:4}. Corpus mix
+    en:6/8, fr:2/8. TVD(a) = 1/2(|1/2-3/4| + |1/2-1/4|) = 1/4 with
+    exact numerator sum_l |n_a(l)*N - n(l)*N_a| = |2*8-6*4| + |2*8-2*4|
+    = 8 + 8 = 16 (16 / (2*4*8) = 0.25). TVD(b) covers the MISSING
+    (b, fr) cell: |4*8-6*4| + |0*8-2*4| = 8+8 = 16 -> 0.25."""
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "source": ["a"] * 4 + ["b"] * 4,
+        "lang": ["en", "en", "fr", "fr", "en", "en", "en", "en"],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["source_lang_tvd"](sf)
+    got = {r["source"]: (int(r["tvd_num"]), float(r["tvd"]))
+           for _, r in mine.iterrows()}
+    assert got == {"a": (16, 0.25), "b": (16, 0.25)}
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["source_lang_tvd"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
