@@ -652,6 +652,83 @@ def q_distinct_flags(sf_dir: str):
 SQL_DISTINCT_FLAGS = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
+def q_wide_orders(sf_dir: str):
+    """Star-join denormalization — the ETL materialization every
+    warehouse runs nightly: orders widened with customer name/segment
+    and nation name into one analytical table, returned as a LIVE
+    Dataset (``write_parquet`` on it IS the 100 TB path; nothing
+    order-scale ever sits on the driver).
+
+    Join strategy by dimension size, the star-schema discipline:
+    - customer (corpus-proportional) joins via ONE custkey-bucketed
+      shuffle — fact rows and their dimension rows co-locate, each
+      bucket merges vectorized;
+    - nation (catalog-bounded, 25 rows) joins as an in-task lookup —
+      the dim is read once per task from its single tiny parquet (no
+      shuffle, no broadcast round-trip needed at this size; a bigger
+      small-dim would use the ray.put + _BROADCAST_MAX_KEYS probe the
+      other joins use).
+    The nation map rides the CUSTOMER side before the shuffle, so the
+    second join costs zero extra exchanges — exactly one all-to-all
+    for a 3-table star."""
+    B = _pair_buckets()
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    nref = ray.put(nmap)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_custkey"].astype("int64")
+        return pd.DataFrame({
+            "_b": k % B, "key": k, "side": "o",
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_totalprice": df["o_totalprice"],
+            "c_name": "", "c_mktsegment": "", "n_name": "",
+        })
+
+    def c_prep(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nref)
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({
+            "_b": k % B, "key": k, "side": "c",
+            "o_orderkey": np.int64(-1), "o_totalprice": 0.0,
+            "c_name": df["c_name"],
+            "c_mktsegment": df["c_mktsegment"],
+            "n_name": df["c_nationkey"].astype("int64").map(nm),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == "o",
+                  ["key", "o_orderkey", "o_totalprice"]]
+        c = g.loc[g["side"] == "c",
+                  ["key", "c_name", "c_mktsegment", "n_name"]]
+        m = o.merge(c, on="key")
+        return pd.DataFrame({
+            "o_orderkey": m["o_orderkey"].astype("int64"),
+            "c_name": m["c_name"], "c_mktsegment": m["c_mktsegment"],
+            "n_name": m["n_name"],
+            "o_totalprice": m["o_totalprice"],
+        })
+
+    return (orders.map_batches(o_prep, batch_format="pandas",
+                               batch_size=65536)
+            .union(cust.map_batches(c_prep, batch_format="pandas",
+                                    batch_size=65536))
+            .groupby("_b").map_groups(join_bucket, batch_format="pandas"))
+
+
+SQL_WIDE_ORDERS = """
+SELECT o_orderkey, c_name, c_mktsegment, n_name, o_totalprice
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
 def q_source_lang_tvd(sf_dir: str):
     """Per-source language-mix drift as EXACT total variation distance
     from the corpus mixture — the curation monitor that flags a feed
@@ -12970,6 +13047,7 @@ QUERIES = {
     "wilson_conversion": q_wilson_conversion,
     "user_autocorr": q_user_autocorr,
     "source_lang_tvd": q_source_lang_tvd,
+    "wide_orders": q_wide_orders,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13146,4 +13224,5 @@ ORACLE_SQL = {
     "wilson_conversion": SQL_WILSON_CONVERSION,
     "user_autocorr": SQL_USER_AUTOCORR,
     "source_lang_tvd": SQL_SOURCE_LANG_TVD,
+    "wide_orders": SQL_WIDE_ORDERS,
 }

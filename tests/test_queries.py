@@ -2055,3 +2055,17 @@ def test_source_lang_tvd_hand_checked(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["source_lang_tvd"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_wide_orders_is_lazy_dataset_and_total(ray_session):
+    """The materialization op must return a LIVE Dataset (write path,
+    never driver-collected) whose row count equals orders (every order
+    has a customer, every customer a nation) with the widened schema."""
+    res = Q.QUERIES["wide_orders"](SF)
+    assert isinstance(res, ray.data.Dataset)
+    n_orders = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/orders.parquet'").fetchone()[0]
+    assert res.count() == n_orders
+    cols = set(res.schema().names)
+    assert cols == {"o_orderkey", "c_name", "c_mktsegment", "n_name",
+                    "o_totalprice"}
