@@ -1370,6 +1370,76 @@ FROM events
 """
 
 
+def q_price_skewness(sf_dir: str):
+    """Per-priority price skewness (population g1) from exact integer
+    raw moments — the third-moment statistic that needs the HI/LO
+    SPLIT-ACCUMULATION pattern the second-moment queries only gesture
+    at: cents^3 reaches ~1.25e23, so a direct int64 batch sum wraps
+    around 75 rows. Each batch instead splits c = q*1e4 + r and sums
+    the seven binomial components (q^3, q^2 r, q r^2, r^3, q^2, qr,
+    r^2 — each bounded ~1e17 per 65k-row batch, inside int64 with
+    margin); the driver reassembles S2 and S3 with Python big-ints, so
+    the moments are EXACT at any corpus size while the oracle's
+    HUGEINT SUM(c*c*c) is exact natively. One streamed scan, zero
+    shuffle, O(groups) driver state; g1 is one mirrored float
+    expression (libm pow both sides), round-6."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        q, r = c // 10_000, c % 10_000
+        g = pd.DataFrame({
+            "grp": df["o_orderpriority"], "n": np.int64(1), "s1": c,
+            "q2": q * q, "qr": q * r, "r2": r * r,
+            "q3": q * q * q, "q2r": q * q * r, "qr2": q * r * r,
+            "r3": r * r * r,
+        })
+        return g.groupby("grp", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    rows = []
+    for grp, sub in parts.groupby("grp"):
+        tot = {c: sum(int(v) for v in sub[c]) for c in sub.columns
+               if c != "grp"}
+        n = tot["n"]
+        s1 = tot["s1"]
+        s2 = tot["q2"] * 10**8 + 2 * tot["qr"] * 10**4 + tot["r2"]
+        s3 = (tot["q3"] * 10**12 + 3 * tot["q2r"] * 10**8
+              + 3 * tot["qr2"] * 10**4 + tot["r3"])
+        m = float(s1) / n
+        v = float(s2) / n - m ** 2.0
+        g1 = ((float(s3) / n - 3.0 * m * (float(s2) / n) + 2.0 * m ** 3.0)
+              / v ** 1.5)
+        rows.append((grp, n, round(g1, 6)))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n", "skew_g1"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_PRICE_SKEWNESS = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS c
+  FROM orders
+), s AS (
+  SELECT o_orderpriority, COUNT(*) AS n, SUM(c) AS s1,
+         SUM(c * c) AS s2, SUM(c * c * c) AS s3
+  FROM c GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       ROUND((CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+              + 2.0 * POWER(CAST(s1 AS DOUBLE) / n, 3.0))
+             / POWER(CAST(s2 AS DOUBLE) / n
+                     - POWER(CAST(s1 AS DOUBLE) / n, 2.0), 1.5), 6)
+         AS skew_g1
+FROM s
+"""
+
+
 def q_price_stddev_by_priority(sf_dir: str):
     """Sample stddev of o_totalprice per priority via Chan et al.'s
     parallel variance combine: each batch emits (n, mean, M2) per
@@ -13048,6 +13118,7 @@ QUERIES = {
     "user_autocorr": q_user_autocorr,
     "source_lang_tvd": q_source_lang_tvd,
     "wide_orders": q_wide_orders,
+    "price_skewness": q_price_skewness,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13225,4 +13296,5 @@ ORACLE_SQL = {
     "user_autocorr": SQL_USER_AUTOCORR,
     "source_lang_tvd": SQL_SOURCE_LANG_TVD,
     "wide_orders": SQL_WIDE_ORDERS,
+    "price_skewness": SQL_PRICE_SKEWNESS,
 }

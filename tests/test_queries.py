@@ -2069,3 +2069,30 @@ def test_wide_orders_is_lazy_dataset_and_total(ray_session):
     cols = set(res.schema().names)
     assert cols == {"o_orderkey", "c_name", "c_mktsegment", "n_name",
                     "o_totalprice"}
+
+
+def test_price_skewness_split_reassembly(ray_session, tmp_path):
+    """The hi/lo reassembly must equal the direct big-int moments on
+    values chosen to cross the split boundary (q and r both nonzero,
+    max-range cents), and the sign must be right: a long right tail
+    gives positive g1."""
+    vals = [100.00, 100.00, 100.00, 499999.99]  # right-skewed
+    orders = pd.DataFrame({
+        "o_orderpriority": ["P"] * 4, "o_totalprice": vals})
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["price_skewness"](sf)
+    r = mine.iloc[0]
+    cents = [round(v * 100) for v in vals]
+    n = len(cents)
+    s1, s2, s3 = (sum(c ** k for c in cents) for k in (1, 2, 3))
+    m = float(s1) / n
+    v = float(s2) / n - m ** 2.0
+    g1 = (float(s3) / n - 3.0 * m * (float(s2) / n) + 2.0 * m ** 3.0) \
+        / v ** 1.5
+    assert (int(r["n"]), float(r["skew_g1"])) == (4, round(g1, 6))
+    assert float(r["skew_g1"]) > 1.0
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["price_skewness"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
