@@ -1440,6 +1440,72 @@ FROM s
 """
 
 
+def q_geomean_prices(sf_dir: str):
+    """Per-priority geometric mean price via the fixed-point-log trick
+    (the dsir_weights discipline): each row contributes L(c) =
+    floor(ln(cents) * 1e9) — an INTEGER — so group sums are exact
+    int64 on both sides and the comparison surface is the integer
+    ``gm_fixed``, not an accumulated float (a float ln-sum would be
+    order-dependent; the geometric mean is the multiplicative-scale
+    average a pipeline uses for heavy-tailed prices). ln runs through
+    libm's scalar log (math.log == DuckDB LN bit-for-bit — verified;
+    numpy's vectorized log is NOT bit-identical) applied to per-batch
+    DISTINCT cents only, so the Python-loop cost is bounded by batch
+    cardinality, not rows. One streamed scan, zero shuffle; the
+    readable gm_dollars is one mirrored exp of the exact integer."""
+    import math
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        if len(c) and int(c.min()) <= 0:
+            raise AssertionError("geomean_prices: nonpositive cents")
+        uniq, inv = np.unique(c, return_inverse=True)
+        lq = np.array([math.floor(math.log(float(v)) * 1e9)
+                       for v in uniq], dtype=np.int64)
+        g = pd.DataFrame({"grp": df["o_orderpriority"],
+                          "n": np.int64(1), "s": lq[inv]})
+        return g.groupby("grp", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    rows = []
+    for grp, sub in parts.groupby("grp"):
+        n = int(sub["n"].sum())
+        s = sum(int(v) for v in sub["s"])
+        if abs(s) >= 2**53:
+            raise AssertionError(
+                "geomean_prices: gm_fixed exceeds the float64-exact "
+                "envelope — emit (s, n) and defer the exp")
+        gm = math.exp(float(s) / n / 1e9) / 100.0
+        rows.append((grp, n, s, round(gm, 4)))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n", "gm_fixed",
+                                      "gm_dollars"])
+    for c in ("n", "gm_fixed"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_GEOMEAN_PRICES = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(LN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 1e9)
+              AS BIGINT) AS l
+  FROM orders
+), s AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(l) AS BIGINT) AS gm_fixed
+  FROM c GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, gm_fixed,
+       ROUND(EXP(CAST(gm_fixed AS DOUBLE) / n / 1e9) / 100.0, 4)
+         AS gm_dollars
+FROM s
+"""
+
+
 def q_price_stddev_by_priority(sf_dir: str):
     """Sample stddev of o_totalprice per priority via Chan et al.'s
     parallel variance combine: each batch emits (n, mean, M2) per
@@ -13119,6 +13185,7 @@ QUERIES = {
     "source_lang_tvd": q_source_lang_tvd,
     "wide_orders": q_wide_orders,
     "price_skewness": q_price_skewness,
+    "geomean_prices": q_geomean_prices,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13297,4 +13364,5 @@ ORACLE_SQL = {
     "source_lang_tvd": SQL_SOURCE_LANG_TVD,
     "wide_orders": SQL_WIDE_ORDERS,
     "price_skewness": SQL_PRICE_SKEWNESS,
+    "geomean_prices": SQL_GEOMEAN_PRICES,
 }

@@ -2096,3 +2096,25 @@ def test_price_skewness_split_reassembly(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["price_skewness"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_geomean_prices_exact_fixed_point(ray_session, tmp_path):
+    """gm_fixed must be the exact integer sum of floor(ln(cents)*1e9)
+    and gm_dollars the exp of it: for [1.00, 100.00] cents are
+    [100, 10000], L = floor(ln(100)*1e9) + floor(ln(10000)*1e9),
+    geometric mean = 10.00 dollars (up to the 1e-9 quantization)."""
+    import math
+    orders = pd.DataFrame({"o_orderpriority": ["P", "P"],
+                           "o_totalprice": [1.00, 100.00]})
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["geomean_prices"](sf)
+    r = mine.iloc[0]
+    exp_fixed = (math.floor(math.log(100.0) * 1e9)
+                 + math.floor(math.log(10000.0) * 1e9))
+    assert int(r["gm_fixed"]) == exp_fixed
+    assert abs(float(r["gm_dollars"]) - 10.0) < 1e-3
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["geomean_prices"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
