@@ -50,6 +50,13 @@ BENCH_QUERIES = [
     "weighted_median",
     "gini_by_priority",
     "global_rank",
+    "hits_scores",
+    "markov_stationary",
+    "skipgram_counts",
+    "als_user_factors",
+    "max_concurrency",
+    "mannwhitney_u",
+    "wide_orders",
 ]
 
 
