@@ -1440,6 +1440,105 @@ FROM s
 """
 
 
+def q_revenue_changepoint(sf_dir: str):
+    """Single changepoint in mean order value over time (piecewise-
+    constant model) — the monitoring primitive behind 'when did this
+    metric shift?': order months are candidate boundaries; for each
+    boundary b the model fits one mean before and one after, and the
+    chosen b minimizes SSE_left + SSE_right. Classic offline CUSUM /
+    binary-segmentation step.
+
+    Distributed shape: ONE streamed scan emits per-MONTH integer
+    sufficient statistics (n, sum cents, and sum cents^2 via the hi/lo
+    split — cents^2 wraps int64 in under a hundred rows, the
+    price_skewness discipline); the driver folds O(months) rows and
+    sweeps prefix sums — candidate enumeration is over the TIME GRID,
+    never the data. Each side's SSE uses A = n*Syy - Sy^2 (EXACT via
+    Python big-ints / HUGEINT); the only floats are the final per-side
+    divisions, mirrored operation-for-operation, and the argmin tie
+    breaks on the smaller month on both sides. Output: boundary month,
+    per-side means (round-6) and the total SSE (round-4)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"]
+        m = (d.dt.year.to_numpy(np.int64) * 12
+             + (d.dt.month.to_numpy(np.int64) - 1))
+        c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        q, r = c // 10_000, c % 10_000
+        g = pd.DataFrame({"m": m, "n": np.int64(1), "sy": c,
+                          "q2": q * q, "qr": q * r, "r2": r * r})
+        return g.groupby("m", as_index=False).sum()
+
+    parts = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+             .groupby("m", as_index=False).sum().sort_values("m")
+             .reset_index(drop=True))
+    months = parts["m"].astype(int).tolist()
+    n_m = [int(v) for v in parts["n"]]
+    sy_m = [int(v) for v in parts["sy"]]
+    syy_m = [int(q2) * 10**8 + 2 * int(qr) * 10**4 + int(r2)
+             for q2, qr, r2 in zip(parts["q2"], parts["qr"], parts["r2"])]
+    N, SY, SYY = sum(n_m), sum(sy_m), sum(syy_m)
+    best = None
+    nl = yl = yyl = 0
+    for i in range(len(months) - 1):
+        nl += n_m[i]; yl += sy_m[i]; yyl += syy_m[i]
+        nr, yr, yyr = N - nl, SY - yl, SYY - yyl
+        sse = (float(nl * yyl - yl * yl) / nl
+               + float(nr * yyr - yr * yr) / nr)
+        key = (sse, months[i])
+        if best is None or key < best[0]:
+            best = (key, nl, yl, nr, yr)
+    (sse, bm), nl, yl, nr, yr = best
+    return pd.DataFrame({
+        "break_month": pd.Series([bm], dtype="int64"),
+        "n_before": pd.Series([nl], dtype="int64"),
+        "n_after": pd.Series([nr], dtype="int64"),
+        "mean_before": [round(float(yl) / nl / 100.0, 6)],
+        "mean_after": [round(float(yr) / nr / 100.0, 6)],
+        "sse": [round(sse, 4)],
+    })
+
+
+SQL_REVENUE_CHANGEPOINT = """
+WITH c AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS y
+  FROM orders
+), mo AS (
+  SELECT m, CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS sy,
+         SUM(y * y) AS syy
+  FROM c GROUP BY m
+), pre AS (
+  SELECT m,
+         SUM(n) OVER w AS nl, SUM(sy) OVER w AS yl,
+         SUM(syy) OVER w AS yyl,
+         (SELECT SUM(n) FROM mo) AS nt,
+         (SELECT SUM(sy) FROM mo) AS yt,
+         (SELECT SUM(syy) FROM mo) AS yyt
+  FROM mo WINDOW w AS (ORDER BY m ROWS UNBOUNDED PRECEDING)
+), cand AS (
+  SELECT m, nl, yl, nt - nl AS nr, yt - yl AS yr,
+         CAST(nl * yyl - yl * yl AS DOUBLE) / CAST(nl AS DOUBLE)
+         + CAST((nt - nl) * (yyt - yyl) - (yt - yl) * (yt - yl)
+                AS DOUBLE) / CAST(nt - nl AS DOUBLE) AS sse
+  FROM pre WHERE nl < nt
+)
+SELECT CAST(m AS BIGINT) AS break_month,
+       CAST(nl AS BIGINT) AS n_before,
+       CAST(nr AS BIGINT) AS n_after,
+       ROUND(CAST(yl AS DOUBLE) / CAST(nl AS DOUBLE) / 100.0, 6)
+         AS mean_before,
+       ROUND(CAST(yr AS DOUBLE) / CAST(nr AS DOUBLE) / 100.0, 6)
+         AS mean_after,
+       ROUND(sse, 4) AS sse
+FROM cand ORDER BY sse, m LIMIT 1
+"""
+
+
 def q_geomean_prices(sf_dir: str):
     """Per-priority geometric mean price via the fixed-point-log trick
     (the dsir_weights discipline): each row contributes L(c) =
@@ -13186,6 +13285,7 @@ QUERIES = {
     "wide_orders": q_wide_orders,
     "price_skewness": q_price_skewness,
     "geomean_prices": q_geomean_prices,
+    "revenue_changepoint": q_revenue_changepoint,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13365,4 +13465,5 @@ ORACLE_SQL = {
     "wide_orders": SQL_WIDE_ORDERS,
     "price_skewness": SQL_PRICE_SKEWNESS,
     "geomean_prices": SQL_GEOMEAN_PRICES,
+    "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
 }

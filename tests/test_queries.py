@@ -2118,3 +2118,28 @@ def test_geomean_prices_exact_fixed_point(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["geomean_prices"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_revenue_changepoint_planted_shift(ray_session, tmp_path):
+    """A planted level shift: 3 months at ~$10, then 3 months at ~$50
+    (with small within-month noise). The detector must place the
+    boundary at the last low month and recover both means."""
+    rows = []
+    for mo, base in [(1, 10.0), (2, 10.2), (3, 9.8),
+                     (4, 50.0), (5, 49.5), (6, 50.5)]:
+        for d in (5, 15, 25):
+            rows.append((pd.Timestamp(f"1995-{mo:02d}-{d:02d}"),
+                         base + d * 0.001))
+    orders = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["revenue_changepoint"](sf)
+    r = mine.iloc[0]
+    assert int(r["break_month"]) == 1995 * 12 + 2  # March 1995
+    assert (int(r["n_before"]), int(r["n_after"])) == (9, 9)
+    assert abs(float(r["mean_before"]) - 10.015) < 0.05
+    assert abs(float(r["mean_after"]) - 50.015) < 0.05
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["revenue_changepoint"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
