@@ -1539,6 +1539,69 @@ FROM cand ORDER BY sse, m LIMIT 1
 """
 
 
+def q_theilsen_trend(sf_dir: str):
+    """Theil–Sen robust trend of monthly mean order value — the
+    outlier-immune slope estimator (median of all pairwise
+    month-to-month slopes; up to ~29% contaminated months cannot move
+    it, unlike :func:`q_price_trend_ols`). Distributed shape: the ONLY
+    corpus-scale work is the per-month (n, sum-cents) integer partials
+    from one streamed scan; the driver enumerates pairs over the TIME
+    GRID (months^2/2 — dozens of months, thousands of pairs, O(grid)
+    not O(data)). Slopes are the same float expression over exact
+    integers on both sides; the median interpolation deliberately
+    mirrors DuckDB's quantile_cont formula lo + (hi-lo)*0.5 (numpy's
+    (lo+hi)/2 differs in the last ulp); round-6 output in
+    dollars/month."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"]
+        m = (d.dt.year.to_numpy(np.int64) * 12
+             + (d.dt.month.to_numpy(np.int64) - 1))
+        c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({"m": m, "n": np.int64(1), "sy": c})
+        return g.groupby("m", as_index=False).sum()
+
+    mo = (ds.map_batches(partial, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+          .groupby("m", as_index=False).sum().sort_values("m")
+          .reset_index(drop=True))
+    m = mo["m"].to_numpy(np.int64)
+    mean = mo["sy"].to_numpy(np.float64) / mo["n"].to_numpy(np.int64)
+    iu, ju = np.triu_indices(len(m), k=1)
+    slopes = np.sort((mean[ju] - mean[iu])
+                     / (m[ju] - m[iu]).astype(np.float64))
+    k = len(slopes)
+    h = (k - 1) * 0.5
+    lo, hi = slopes[int(np.floor(h))], slopes[int(np.ceil(h))]
+    med = lo + (hi - lo) * 0.5  # quantile_cont's exact interpolation
+    return pd.DataFrame({
+        "n_months": pd.Series([len(m)], dtype="int64"),
+        "n_pairs": pd.Series([k], dtype="int64"),
+        "slope_dollars_per_month": [round(float(med) / 100.0, 6)],
+    })
+
+
+SQL_THEILSEN_TREND = """
+WITH mo AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS mean
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT (b.mean - a.mean) / CAST(b.m - a.m AS DOUBLE) AS slope
+  FROM mo a JOIN mo b ON a.m < b.m
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mo) AS n_months,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5) / 100.0, 6)
+         AS slope_dollars_per_month
+FROM p
+"""
+
+
 def q_geomean_prices(sf_dir: str):
     """Per-priority geometric mean price via the fixed-point-log trick
     (the dsir_weights discipline): each row contributes L(c) =
@@ -13286,6 +13349,7 @@ QUERIES = {
     "price_skewness": q_price_skewness,
     "geomean_prices": q_geomean_prices,
     "revenue_changepoint": q_revenue_changepoint,
+    "theilsen_trend": q_theilsen_trend,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13466,4 +13530,5 @@ ORACLE_SQL = {
     "price_skewness": SQL_PRICE_SKEWNESS,
     "geomean_prices": SQL_GEOMEAN_PRICES,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
+    "theilsen_trend": SQL_THEILSEN_TREND,
 }

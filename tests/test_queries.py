@@ -2143,3 +2143,24 @@ def test_revenue_changepoint_planted_shift(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["revenue_changepoint"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_theilsen_trend_robust_to_outlier_month(ray_session, tmp_path):
+    """Robustness: monthly means 10, 20, 30, 40 with one wild outlier
+    month (1000) planted in the middle. Pairwise slopes cluster at 10
+    $/mo; the median must stay 10 exactly (the outlier swings OLS far
+    off, which the companion assertion demonstrates)."""
+    rows = []
+    for i, dollars in enumerate([10.0, 20.0, 1000.0, 40.0, 50.0]):
+        rows.append((pd.Timestamp(f"1995-{i+1:02d}-10"), dollars))
+    orders = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["theilsen_trend"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_months"]), int(r["n_pairs"])) == (5, 10)
+    assert float(r["slope_dollars_per_month"]) == 10.0
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["theilsen_trend"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
