@@ -729,6 +729,63 @@ JOIN nation ON n_nationkey = c_nationkey
 """
 
 
+def q_lang_rollup(sf_dir: str):
+    """Top-3 languages + an OTHER bucket — the long-tail rollup every
+    corpus report leads with (a 200-language table is unreadable; the
+    head plus a faithful remainder is the standard cut). One streamed
+    scan folds per-batch (lang, n) partials (distinct langs are
+    catalog-bounded); the driver ranks by (n DESC, lang) — determinism
+    ties included — and collapses the tail into OTHER whose count is
+    the exact integer remainder. share is the same two-integer ratio
+    both sides, round-6. rnk orders the report (OTHER pinned last)."""
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    c = (ds.map_batches(partial, batch_format="pandas",
+                        batch_size=65536).to_pandas()
+         .groupby("lang", as_index=False)["n"].sum()
+         .sort_values(["n", "lang"], ascending=[False, True])
+         .reset_index(drop=True))
+    total = int(c["n"].sum())
+    head = c.head(3)
+    rows = [(str(r["lang"]), i + 1, int(r["n"]))
+            for i, (_, r) in enumerate(head.iterrows())]
+    tail_n = total - int(head["n"].sum())
+    if tail_n > 0:
+        rows.append(("OTHER", 4, tail_n))
+    out = pd.DataFrame(rows, columns=["lang", "rnk", "n_docs"])
+    out["rnk"] = out["rnk"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["share"] = np.round(
+        out["n_docs"].to_numpy(np.float64) / np.float64(total), 6)
+    return out
+
+
+SQL_LANG_ROLLUP = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), r AS (
+  SELECT lang, n,
+         row_number() OVER (ORDER BY n DESC, lang) AS rk
+  FROM c
+), t AS (SELECT SUM(n) AS total FROM c),
+u AS (
+  SELECT lang, CAST(rk AS BIGINT) AS rnk, n FROM r WHERE rk <= 3
+  UNION ALL
+  SELECT 'OTHER', CAST(4 AS BIGINT), SUM(n) FROM r WHERE rk > 3
+  HAVING SUM(n) > 0
+)
+SELECT u.lang, u.rnk, CAST(u.n AS BIGINT) AS n_docs,
+       ROUND(CAST(u.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+FROM u CROSS JOIN t
+"""
+
+
 def q_source_lang_tvd(sf_dir: str):
     """Per-source language-mix drift as EXACT total variation distance
     from the corpus mixture — the curation monitor that flags a feed
@@ -13350,6 +13407,7 @@ QUERIES = {
     "geomean_prices": q_geomean_prices,
     "revenue_changepoint": q_revenue_changepoint,
     "theilsen_trend": q_theilsen_trend,
+    "lang_rollup": q_lang_rollup,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13531,4 +13589,5 @@ ORACLE_SQL = {
     "geomean_prices": SQL_GEOMEAN_PRICES,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
     "theilsen_trend": SQL_THEILSEN_TREND,
+    "lang_rollup": SQL_LANG_ROLLUP,
 }

@@ -2164,3 +2164,37 @@ def test_theilsen_trend_robust_to_outlier_month(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["theilsen_trend"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_lang_rollup_other_bucket(ray_session, tmp_path):
+    """Rollup edges: ties broken by lang name, OTHER = exact remainder,
+    and a corpus with <= 3 langs emits NO OTHER row."""
+    docs = pd.DataFrame({
+        "doc_id": range(10),
+        "lang": ["en"] * 4 + ["fr"] * 2 + ["de"] * 2 + ["es"] + ["it"],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["lang_rollup"](sf)
+    got = {r["lang"]: (int(r["rnk"]), int(r["n_docs"]))
+           for _, r in mine.iterrows()}
+    # de/fr tie at 2 -> de first alphabetically
+    assert got == {"en": (1, 4), "de": (2, 2), "fr": (3, 2),
+                   "OTHER": (4, 2)}
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["lang_rollup"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+    # <= 3 langs: no OTHER
+    sf2 = str(tmp_path) + "/b"
+    os.makedirs(sf2)
+    docs2 = pd.DataFrame({"doc_id": [1, 2], "lang": ["en", "fr"]})
+    docs2.to_parquet(f"{sf2}/documents.parquet")
+    m2 = Q.QUERIES["lang_rollup"](sf2)
+    assert "OTHER" not in set(m2["lang"])
+    con3 = duckdb.connect()
+    con3.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf2}/documents.parquet'")
+    orc2 = _norm(con3.execute(Q.ORACLE_SQL["lang_rollup"]).df())
+    pd.testing.assert_frame_equal(_norm(m2), orc2, check_dtype=False)
