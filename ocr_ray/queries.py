@@ -729,6 +729,73 @@ JOIN nation ON n_nationkey = c_nationkey
 """
 
 
+def q_incremental_agg(sf_dir: str):
+    """Incremental view maintenance — the nightly-ETL contract: the
+    per-event-type aggregate for the full month is produced by MERGING
+    a 'base' aggregate (events before the last calendar day) with a
+    'delta' aggregate (the last day only), never rescanning base rows
+    together with delta rows; a self-gating ``ivm_ok`` flag asserts the
+    merged result is IDENTICAL to a full recompute (a red row if merge
+    logic ever drifts). Both legs are one filtered streamed scan with
+    the filter pushed into the parquet read on the Ray side; counts and
+    cent-sums are exact int64, so merge = integer addition and equality
+    is bit-exact. The shape that matters at 100 TB: the base aggregate
+    is a tiny persisted artifact and each day's update touches ONLY the
+    delta partition."""
+    cutoff = pd.Timestamp("2024-01-30")
+
+    def agg_of(flt) -> pd.DataFrame:
+        ds = _read(sf_dir, "events", ["event_type", "ts", "value"],
+                   filter=flt)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+            g = pd.DataFrame({"event_type": df["event_type"],
+                              "n": np.int64(1), "cents": c})
+            return g.groupby("event_type", as_index=False).sum()
+
+        out = (ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+               .groupby("event_type", as_index=False).sum())
+        return out
+
+    base = agg_of(pc.field("ts") < cutoff.to_datetime64())
+    delta = agg_of(pc.field("ts") >= cutoff.to_datetime64())
+    merged = (pd.concat([base, delta], ignore_index=True)
+              .groupby("event_type", as_index=False).sum())
+    full = agg_of(None)
+    chk = merged.merge(full, on="event_type", how="outer",
+                       suffixes=("", "_f"))
+    ok = bool(((chk["n"] == chk["n_f"])
+               & (chk["cents"] == chk["cents_f"])).all()
+              and not chk.isna().any().any())
+    if not ok:
+        raise AssertionError("incremental_agg: merge != full recompute")
+    merged["n"] = merged["n"].astype("int64")
+    merged["cents"] = merged["cents"].astype("int64")
+    merged["ivm_ok"] = True
+    return merged.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_INCREMENTAL_AGG = """
+WITH base AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE ts < TIMESTAMP '2024-01-30' GROUP BY event_type
+), delta AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE ts >= TIMESTAMP '2024-01-30' GROUP BY event_type
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+)
+SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents, TRUE AS ivm_ok
+FROM u GROUP BY event_type
+"""
+
+
 def q_lang_rollup(sf_dir: str):
     """Top-3 languages + an OTHER bucket — the long-tail rollup every
     corpus report leads with (a 200-language table is unreadable; the
@@ -13408,6 +13475,7 @@ QUERIES = {
     "revenue_changepoint": q_revenue_changepoint,
     "theilsen_trend": q_theilsen_trend,
     "lang_rollup": q_lang_rollup,
+    "incremental_agg": q_incremental_agg,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13590,4 +13658,5 @@ ORACLE_SQL = {
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
     "theilsen_trend": SQL_THEILSEN_TREND,
     "lang_rollup": SQL_LANG_ROLLUP,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
 }

@@ -2198,3 +2198,28 @@ def test_lang_rollup_other_bucket(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf2}/documents.parquet'")
     orc2 = _norm(con3.execute(Q.ORACLE_SQL["lang_rollup"]).df())
     pd.testing.assert_frame_equal(_norm(m2), orc2, check_dtype=False)
+
+
+def test_incremental_agg_boundary_rows(ray_session, tmp_path):
+    """The base/delta boundary must be exclusive/inclusive exactly at
+    the cutoff instant: an event AT 2024-01-30 00:00:00 belongs to the
+    delta leg only (no double count, no drop) — the classic IVM
+    off-by-one. Merge must equal full recompute (ivm_ok gates it)."""
+    ev = pd.DataFrame({
+        "event_type": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-29 23:59:59",
+                              "2024-01-30 00:00:00",
+                              "2024-01-30 12:00:00"]),
+        "value": [1.00, 2.00, 3.00],
+    })
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["incremental_agg"](sf)
+    got = {r["event_type"]: (int(r["n"]), int(r["cents"]))
+           for _, r in mine.iterrows()}
+    assert got == {"a": (2, 300), "b": (1, 300)}
+    assert bool(mine["ivm_ok"].all())
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["incremental_agg"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
