@@ -729,6 +729,101 @@ JOIN nation ON n_nationkey = c_nationkey
 """
 
 
+def q_shard_rebalance(sf_dir: str):
+    """Shard-rebalance audit for growing a cluster 12 -> 13 shards —
+    the partitioning-policy decision quantified: naive ``key % S``
+    re-homes ~12/13 of the corpus (every shard's residues reshuffle),
+    while a CONSISTENT-HASH ring (8 virtual nodes per shard) moves only
+    ~1/13 — at 100 TB that is the difference between re-shipping the
+    corpus and topping up one shard. Both assignments are computed
+    per doc and compared; output is the exact moved counts.
+
+    Determinism without bigint hex parsing: ring and doc positions are
+    md5 HEX STRINGS — fixed-width hex compares lexicographically
+    exactly as the number it encodes, so both engines do plain string
+    comparison. Shape: the two rings (96/104 entries) are built
+    in-task (catalog-sized); per batch one vectorized searchsorted per
+    ring; O(1) count partials to the driver. Zero shuffle."""
+    S1, S2, V = 12, 13, 8
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def ring(s_count: int):
+        entries = sorted(
+            (hashlib.md5(f"{s}:{v}".encode()).hexdigest(), s)
+            for s in range(s_count) for v in range(V))
+        return (np.array([e[0] for e in entries]),
+                np.array([e[1] for e in entries], dtype=np.int64))
+
+    r1_pos, r1_shard = ring(S1)
+    r2_pos, r2_shard = ring(S2)
+
+    def assign(pos: np.ndarray, rpos, rshard) -> np.ndarray:
+        # successor on the ring: first vnode hash STRICTLY greater,
+        # wrapping to the smallest
+        idx = np.searchsorted(rpos, pos, side="right")
+        return rshard[np.where(idx == len(rpos), 0, idx)]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        pos = np.array([hashlib.md5(str(i).encode()).hexdigest()
+                        for i in ids])
+        c1 = assign(pos, r1_pos, r1_shard)
+        c2 = assign(pos, r2_pos, r2_shard)
+        k = ids.to_numpy()
+        return pd.DataFrame({
+            "n": [np.int64(len(ids))],
+            "moved_ring": [np.int64((c1 != c2).sum())],
+            "moved_mod": [np.int64((k % S1 != k % S2).sum())],
+        })
+
+    tot = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=8192).to_pandas().sum()
+    n = int(tot["n"])
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "moved_ring": pd.Series([int(tot["moved_ring"])], dtype="int64"),
+        "moved_mod": pd.Series([int(tot["moved_mod"])], dtype="int64"),
+        "ring_share": [round(int(tot["moved_ring"]) / float(n), 6)],
+        "mod_share": [round(int(tot["moved_mod"]) / float(n), 6)],
+    })
+
+
+SQL_SHARD_REBALANCE = """
+WITH r1 AS (
+  SELECT s, md5(s || ':' || v) AS pos
+  FROM generate_series(0, 11) AS t1(s),
+       generate_series(0, 7) AS t2(v)
+), r2 AS (
+  SELECT s, md5(s || ':' || v) AS pos
+  FROM generate_series(0, 12) AS t1(s),
+       generate_series(0, 7) AS t2(v)
+), d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pos FROM documents
+), a1 AS (
+  SELECT d.doc_id,
+         COALESCE(arg_min(r.s, r.pos) FILTER (WHERE r.pos > d.pos),
+                  arg_min(r.s, r.pos)) AS shard
+  FROM d CROSS JOIN r1 r GROUP BY d.doc_id
+), a2 AS (
+  SELECT d.doc_id,
+         COALESCE(arg_min(r.s, r.pos) FILTER (WHERE r.pos > d.pos),
+                  arg_min(r.s, r.pos)) AS shard
+  FROM d CROSS JOIN r2 r GROUP BY d.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN a1.shard <> a2.shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS moved_ring,
+       CAST(SUM(CASE WHEN a1.doc_id % 12 <> a1.doc_id % 13
+                     THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+       ROUND(CAST(SUM(CASE WHEN a1.shard <> a2.shard THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS ring_share,
+       ROUND(CAST(SUM(CASE WHEN a1.doc_id % 12 <> a1.doc_id % 13
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS mod_share
+FROM a1 JOIN a2 USING (doc_id)
+"""
+
+
 def q_incremental_agg(sf_dir: str):
     """Incremental view maintenance — the nightly-ETL contract: the
     per-event-type aggregate for the full month is produced by MERGING
@@ -13476,6 +13571,7 @@ QUERIES = {
     "theilsen_trend": q_theilsen_trend,
     "lang_rollup": q_lang_rollup,
     "incremental_agg": q_incremental_agg,
+    "shard_rebalance": q_shard_rebalance,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13659,4 +13755,5 @@ ORACLE_SQL = {
     "theilsen_trend": SQL_THEILSEN_TREND,
     "lang_rollup": SQL_LANG_ROLLUP,
     "incremental_agg": SQL_INCREMENTAL_AGG,
+    "shard_rebalance": SQL_SHARD_REBALANCE,
 }

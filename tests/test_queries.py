@@ -2223,3 +2223,24 @@ def test_incremental_agg_boundary_rows(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["incremental_agg"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_shard_rebalance_ring_moves_less(ray_session, tmp_path):
+    """The whole point of the ring: on a reasonably sized corpus the
+    consistent-hash move share must sit near 1/13 and FAR below the
+    mod-hash share (~12/13); both counts must match the oracle
+    exactly (string-hex ring comparison parity)."""
+    docs = pd.DataFrame({"doc_id": range(1, 2001)})
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["shard_rebalance"](sf)
+    r = mine.iloc[0]
+    assert int(r["n_docs"]) == 2000
+    assert float(r["ring_share"]) < 0.25          # ~1/13 expected
+    assert float(r["mod_share"]) > 0.8            # ~12/13 expected
+    assert float(r["ring_share"]) < float(r["mod_share"]) / 3
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["shard_rebalance"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
