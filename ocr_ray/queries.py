@@ -729,6 +729,189 @@ JOIN nation ON n_nationkey = c_nationkey
 """
 
 
+_ZORDER_FILES = 64
+_ZORDER_BITS = 8
+
+
+def _morton_sql(qc: str, qd: str) -> str:
+    """Generate the bit-interleave expression for two _ZORDER_BITS-bit
+    ints (the SQL twin of the numpy interleave in q_zorder_layout)."""
+    terms = []
+    for i in range(_ZORDER_BITS):
+        terms.append(f"((({qc} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({qd} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) data-layout audit — quantifies the 'prune at
+    the read' lever: the same orders rows are carved into
+    ``_ZORDER_FILES`` equal chunks under (a) plain date sort and (b)
+    Morton interleave of 8-bit-quantized (custkey, day); per file the
+    (min, max) zone-map of BOTH columns is taken and the expected
+    fraction of files a uniform point predicate touches is
+    sum(spans) / (files * range). Date sort prunes date predicates
+    perfectly but leaves custkey zone maps useless; Z-order trades a
+    little date locality for pruning on BOTH columns — the layout
+    decision this audit feeds.
+
+    Exactness/shape: quantizers are data-driven integer expressions
+    over exact MIN/MAX (one tiny partial-fold pass); file id =
+    floor(rank * F / N) with rank = cum_before(key) + within-key index
+    under the (key, o_orderkey) total order — NOT SQL's NTILE, whose
+    remainder rule differs; both sides use the same floor formula. The
+    within-key index needs a by-key shuffle (a key lives in one
+    bucket); cum_before comes from the key histogram, whose distinct
+    count is BOUNDED (day range / 2^16 Morton codes), the
+    curriculum_buckets discipline. Per-file zone maps fold as O(files)
+    partials. Two bounded shuffles per layout, integer-exact
+    throughout; the fracs are one mirrored division."""
+    F, BITS = _ZORDER_FILES, _ZORDER_BITS
+    B = _pair_buckets()
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate"])
+    epoch = pd.Timestamp("1995-01-01")
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "c": df["o_custkey"].astype("int64"),
+            "day": (df["o_orderdate"] - epoch).dt.days.astype("int64"),
+        })
+
+    rows = ds.map_batches(base, batch_format="pandas", batch_size=65536)
+
+    ext = rows.map_batches(
+        lambda df: pd.DataFrame({
+            "cmin": [df["c"].min()], "cmax": [df["c"].max()],
+            "dmin": [df["day"].min()], "dmax": [df["day"].max()],
+            "n": [np.int64(len(df))]}),
+        batch_format="pandas").to_pandas()
+    cmin, cmax = int(ext["cmin"].min()), int(ext["cmax"].max())
+    dmin, dmax = int(ext["dmin"].min()), int(ext["dmax"].max())
+    N = int(ext["n"].sum())
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        qc = (df["c"].to_numpy() - cmin) * 256 // (cmax - cmin + 1)
+        qd = (df["day"].to_numpy() - dmin) * 256 // (dmax - dmin + 1)
+        mkey = np.zeros(len(df), dtype=np.int64)
+        for i in range(BITS):
+            mkey |= ((qc >> i) & 1) << (2 * i + 1)
+            mkey |= ((qd >> i) & 1) << (2 * i)
+        out = []
+        for layout, key in (("date_sort", df["day"].to_numpy()),
+                            ("zorder", mkey)):
+            out.append(pd.DataFrame({
+                "layout": layout, "key": key,
+                "o_orderkey": df["o_orderkey"], "c": df["c"],
+                "day": df["day"],
+                "_b": (key % B).astype("int64"),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    tagged = rows.map_batches(keyed, batch_format="pandas",
+                              batch_size=65536)
+
+    # key histogram -> exclusive cumulative offsets per layout (distinct
+    # keys bounded by day range / 2^16 Morton codes — never corpus)
+    hist = (tagged.map_batches(
+        lambda df: df.groupby(["layout", "key"], as_index=False).size(),
+        batch_format="pandas").to_pandas()
+        .groupby(["layout", "key"], as_index=False)["size"].sum())
+    frames = []
+    for layout, sub in hist.groupby("layout"):
+        sub = sub.sort_values("key")
+        cum = np.concatenate([[0], np.cumsum(sub["size"].to_numpy())[:-1]])
+        frames.append(pd.DataFrame({
+            "layout": layout, "key": sub["key"].to_numpy(),
+            "off": cum.astype(np.int64)}))
+    off_ref = ray.put(pd.concat(frames, ignore_index=True))
+
+    def zone_maps(g: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized within-key sequencing: one sort, group-start
+        # flags, running-max of start indices — no per-key Python
+        g = g.sort_values(["layout", "key", "o_orderkey"]) \
+             .reset_index(drop=True)
+        new = ((g["layout"] != g["layout"].shift())
+               | (g["key"] != g["key"].shift())).to_numpy()
+        gi = np.arange(len(g), dtype=np.int64)
+        within = gi - np.maximum.accumulate(np.where(new, gi, 0))
+        g = g.assign(_w=within).merge(ray.get(off_ref),
+                                      on=["layout", "key"])
+        rank = g["off"].to_numpy() + g["_w"].to_numpy()
+        g = g.assign(f=rank * F // N)
+        return g.groupby(["layout", "f"], as_index=False).agg(
+            dlo=("day", "min"), dhi=("day", "max"),
+            clo=("c", "min"), chi=("c", "max"))
+
+    zm = (tagged.groupby("_b").map_groups(zone_maps,
+                                          batch_format="pandas")
+          .to_pandas()
+          .groupby(["layout", "f"], as_index=False).agg(
+              dlo=("dlo", "min"), dhi=("dhi", "max"),
+              clo=("clo", "min"), chi=("chi", "max")))
+    out = []
+    for layout, sub in zm.groupby("layout"):
+        dspan = int((sub["dhi"] - sub["dlo"] + 1).sum())
+        cspan = int((sub["chi"] - sub["clo"] + 1).sum())
+        out.append((layout, dspan, cspan,
+                    round(dspan / (float(F) * (dmax - dmin + 1)), 6),
+                    round(cspan / (float(F) * (cmax - cmin + 1)), 6)))
+    res = pd.DataFrame(out, columns=["layout", "day_span_sum",
+                                     "cust_span_sum", "day_touch_frac",
+                                     "cust_touch_frac"])
+    for col in ("day_span_sum", "cust_span_sum"):
+        res[col] = res[col].astype("int64")
+    return res.sort_values("layout").reset_index(drop=True)
+
+
+SQL_ZORDER_LAYOUT = f"""
+WITH b AS (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS c,
+         CAST(DATEDIFF('day', TIMESTAMP '1995-01-01',
+                       o_orderdate) AS BIGINT) AS day
+  FROM orders
+), r AS (
+  SELECT MIN(c) AS cmin, MAX(c) AS cmax, MIN(day) AS dmin,
+         MAX(day) AS dmax, COUNT(*) AS n
+  FROM b
+), q AS (
+  SELECT o_orderkey, c, day, cmin, cmax, dmin, dmax, n,
+         (c - cmin) * 256 // (cmax - cmin + 1) AS qc,
+         (day - dmin) * 256 // (dmax - dmin + 1) AS qd
+  FROM b CROSS JOIN r
+), m AS (
+  SELECT *, {_morton_sql('qc', 'qd')} AS mkey FROM q
+), fa AS (
+  SELECT 'date_sort' AS layout, c, day, cmin, cmax, dmin, dmax,
+         ((row_number() OVER (ORDER BY day, o_orderkey) - 1) * {_ZORDER_FILES})
+           // n AS f
+  FROM m
+  UNION ALL
+  SELECT 'zorder', c, day, cmin, cmax, dmin, dmax,
+         ((row_number() OVER (ORDER BY mkey, o_orderkey) - 1) * {_ZORDER_FILES})
+           // n AS f
+  FROM m
+), zm AS (
+  SELECT layout, f, MIN(day) AS dlo, MAX(day) AS dhi,
+         MIN(c) AS clo, MAX(c) AS chi,
+         MIN(cmin) AS cmin, MIN(cmax) AS cmax,
+         MIN(dmin) AS dmin, MIN(dmax) AS dmax
+  FROM fa GROUP BY layout, f
+)
+SELECT layout,
+       CAST(SUM(dhi - dlo + 1) AS BIGINT) AS day_span_sum,
+       CAST(SUM(chi - clo + 1) AS BIGINT) AS cust_span_sum,
+       ROUND(CAST(SUM(dhi - dlo + 1) AS DOUBLE)
+             / ({_ZORDER_FILES}.0 * (MIN(dmax) - MIN(dmin) + 1)), 6)
+         AS day_touch_frac,
+       ROUND(CAST(SUM(chi - clo + 1) AS DOUBLE)
+             / ({_ZORDER_FILES}.0 * (MIN(cmax) - MIN(cmin) + 1)), 6)
+         AS cust_touch_frac
+FROM zm GROUP BY layout
+"""
+
+
 def q_shard_rebalance(sf_dir: str):
     """Shard-rebalance audit for growing a cluster 12 -> 13 shards —
     the partitioning-policy decision quantified: naive ``key % S``
@@ -13572,6 +13755,7 @@ QUERIES = {
     "lang_rollup": q_lang_rollup,
     "incremental_agg": q_incremental_agg,
     "shard_rebalance": q_shard_rebalance,
+    "zorder_layout": q_zorder_layout,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13756,4 +13940,5 @@ ORACLE_SQL = {
     "lang_rollup": SQL_LANG_ROLLUP,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "shard_rebalance": SQL_SHARD_REBALANCE,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
 }

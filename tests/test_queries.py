@@ -2244,3 +2244,32 @@ def test_shard_rebalance_ring_moves_less(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["shard_rebalance"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_zorder_layout_prunes_both_columns(ray_session, tmp_path):
+    """The layout trade: with custkey deliberately decorrelated from
+    date, date-sorted files have near-perfect day zone maps but useless
+    custkey ones (touch frac ~1); Z-order must bring custkey pruning
+    far below that while keeping day pruning well under full scan."""
+    n = 4096
+    i = np.arange(n)
+    orders = pd.DataFrame({
+        "o_orderkey": i + 1,
+        "o_custkey": (i * 37) % n + 1,          # decorrelated permutation
+        "o_orderdate": pd.Timestamp("1995-01-01")
+        + pd.to_timedelta(i // 8, unit="D"),    # 512 distinct days
+    })
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["zorder_layout"](sf)
+    row = {r["layout"]: r for _, r in mine.iterrows()}
+    ds_, zo = row["date_sort"], row["zorder"]
+    assert float(ds_["day_touch_frac"]) < 0.05       # near 1/64
+    assert float(ds_["cust_touch_frac"]) > 0.6       # near-useless maps
+    assert float(zo["cust_touch_frac"]) < 0.5
+    assert float(zo["day_touch_frac"]) < 0.5
+    assert float(zo["cust_touch_frac"]) < float(ds_["cust_touch_frac"]) / 2
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["zorder_layout"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
