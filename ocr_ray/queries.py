@@ -729,6 +729,86 @@ JOIN nation ON n_nationkey = c_nationkey
 """
 
 
+def q_data_contract(sf_dir: str):
+    """Data-contract gate — the multi-invariant quality check a
+    pipeline runs before promoting a snapshot: each rule is one
+    pruned streamed scan emitting only (checked, violations) integer
+    partials (zero shuffle, O(rules) driver state), and the snapshot
+    'passes' when every rule's ok flag is TRUE. Rules span tables and
+    invariant kinds: positivity, domain range, derived-column
+    consistency (n_chars must equal length(text) — the check that
+    catches a broken ingest writer), and a pinned categorical domain.
+    Violation COUNTS (not just flags) are the exact comparison surface,
+    so the oracle red-flags an engine that miscounts even when both
+    agree the rule failed."""
+    LANGS = {"de", "en", "es", "fr", "zh"}
+    rules = []
+
+    def count_rule(name, table, cols, viol_fn):
+        ds = _read(sf_dir, table, cols)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            v = viol_fn(df)
+            return pd.DataFrame({"n": [np.int64(len(df))],
+                                 "bad": [np.int64(int(v.sum()))]})
+
+        t = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas().sum()
+        rules.append((name, int(t["n"]), int(t["bad"])))
+
+    count_rule("orders_price_positive", "orders", ["o_totalprice"],
+               lambda df: ~(df["o_totalprice"] > 0))
+    count_rule("orders_date_in_range", "orders", ["o_orderdate"],
+               lambda df: ~df["o_orderdate"].between(
+                   pd.Timestamp("1990-01-01"), pd.Timestamp("2005-12-31")))
+    count_rule("documents_nchars_consistent", "documents",
+               ["n_chars", "text"],
+               lambda df: df["n_chars"].astype("int64")
+               != df["text"].str.len().astype("int64"))
+    count_rule("documents_lang_in_domain", "documents", ["lang"],
+               lambda df: ~df["lang"].isin(LANGS))
+    count_rule("events_value_nonnegative", "events", ["value"],
+               lambda df: ~(df["value"] >= 0))
+    out = pd.DataFrame(rules, columns=["rule", "n_checked",
+                                       "n_violations"])
+    for c in ("n_checked", "n_violations"):
+        out[c] = out[c].astype("int64")
+    out["ok"] = out["n_violations"] == 0
+    return out.sort_values("rule").reset_index(drop=True)
+
+
+SQL_DATA_CONTRACT = """
+WITH u AS (
+  SELECT 'orders_price_positive' AS rule,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders_date_in_range', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1990-01-01'
+                       AND TIMESTAMP '2005-12-31' THEN 0 ELSE 1 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'documents_nchars_consistent', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+              AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'documents_lang_in_domain', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN lang IN ('de','en','es','fr','zh')
+                       THEN 0 ELSE 1 END) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'events_value_nonnegative', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+  FROM events
+)
+SELECT rule, n_checked, n_violations, n_violations = 0 AS ok FROM u
+"""
+
+
 _ZORDER_FILES = 64
 _ZORDER_BITS = 8
 
@@ -13756,6 +13836,7 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "shard_rebalance": q_shard_rebalance,
     "zorder_layout": q_zorder_layout,
+    "data_contract": q_data_contract,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -13941,4 +14022,5 @@ ORACLE_SQL = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "shard_rebalance": SQL_SHARD_REBALANCE,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "data_contract": SQL_DATA_CONTRACT,
 }

@@ -2273,3 +2273,39 @@ def test_zorder_layout_prunes_both_columns(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["zorder_layout"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_data_contract_counts_planted_violations(ray_session, tmp_path):
+    """Violation COUNTS are the contract: plant one bad row per rule
+    and assert each rule reports exactly its own violation (and only
+    clean rules flag ok)."""
+    sf = str(tmp_path)
+    pd.DataFrame({
+        "o_totalprice": [10.0, -5.0, 20.0],         # one nonpositive
+        "o_orderdate": pd.to_datetime(
+            ["1995-06-01", "1996-06-01", "1970-01-01"]),  # one pre-1990
+    }).to_parquet(f"{sf}/orders.parquet")
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["abc", "defg"],
+        "n_chars": [3, 99],                          # one inconsistent
+        "lang": ["en", "xx"],                        # one out of domain
+        "source": ["s", "s"],
+    }).to_parquet(f"{sf}/documents.parquet")
+    pd.DataFrame({"value": [1.0, 0.0, 2.0]}).to_parquet(
+        f"{sf}/events.parquet")                      # all clean
+    mine = Q.QUERIES["data_contract"](sf)
+    got = {r["rule"]: (int(r["n_violations"]), bool(r["ok"]))
+           for _, r in mine.iterrows()}
+    assert got == {
+        "orders_price_positive": (1, False),
+        "orders_date_in_range": (1, False),
+        "documents_nchars_consistent": (1, False),
+        "documents_lang_in_domain": (1, False),
+        "events_value_nonnegative": (0, True),
+    }
+    con2 = duckdb.connect()
+    for t in ("orders", "documents", "events"):
+        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["data_contract"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
