@@ -729,6 +729,90 @@ JOIN nation ON n_nationkey = c_nationkey
 """
 
 
+def q_revenue_anomalies(sf_dir: str):
+    """Rolling z-score anomaly scan over the daily revenue series —
+    the ops-monitoring primitive (which days broke pattern?): a day is
+    anomalous when its total deviates from the trailing 7-day window
+    (strictly prior days) by more than 2 sample standard deviations.
+    ALL corpus-scale work is the per-day exact integer (n, cents,
+    cents^2-free) fold from one streamed scan; the rolling pass runs on
+    the driver over the bounded DAY GRID (the changepoint discipline —
+    O(days), never O(rows)).
+
+    Exactness: window mean/std are computed from exact integer daily
+    totals via the same float expression as the oracle (window SUM of
+    BIGINT, not SQL's AVG/STDDEV aggregates, whose internal
+    accumulation differs); the z threshold compares the ROUNDED z so
+    both sides flag identical days. Days with fewer than 7 prior days
+    or zero window variance are excluded identically (HAVING
+    mirror)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    epoch = pd.Timestamp("1995-01-01")
+    W, Z = 7, 2.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["o_orderdate"] - epoch).dt.days.astype("int64")
+        c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({"day": d, "cents": c})
+        return g.groupby("day", as_index=False).sum()
+
+    daily = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+             .groupby("day", as_index=False)["cents"].sum()
+             .sort_values("day").reset_index(drop=True))
+    days = daily["day"].to_numpy(np.int64)
+    cents = [int(v) for v in daily["cents"]]
+    rows = []
+    for i in range(len(days)):
+        # trailing window = the W prior OBSERVED days (gaps skipped on
+        # both sides: the oracle's ROWS window does the same)
+        if i < W:
+            continue
+        win = cents[i - W:i]
+        s1, s2 = sum(win), sum(v * v for v in win)
+        mean = float(s1) / W
+        var = (float(s2) - float(s1) * float(s1) / W) / (W - 1)
+        if var <= 0:
+            continue
+        z = (float(cents[i]) - mean) / np.sqrt(var)
+        if abs(round(z, 6)) > Z:
+            rows.append((int(days[i]), cents[i], round(z, 6)))
+    out = pd.DataFrame(rows, columns=["day", "day_cents", "z"])
+    for c in ("day", "day_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_REVENUE_ANOMALIES = """
+WITH d AS (
+  SELECT CAST(DATEDIFF('day', TIMESTAMP '1995-01-01',
+                       o_orderdate) AS BIGINT) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT day, cents,
+         SUM(cents) OVER win AS s1,
+         SUM(cents * cents) OVER win AS s2,
+         COUNT(*) OVER win AS k
+  FROM d
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT day, cents,
+         ROUND((CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / 7)
+               / sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7)
+                      / 6), 6) AS z
+  FROM w
+  WHERE k = 7
+    AND (CAST(s2 AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7) / 6 > 0
+)
+SELECT day, CAST(cents AS BIGINT) AS day_cents, z
+FROM z WHERE abs(z) > 2.0
+"""
+
+
 def q_data_contract(sf_dir: str):
     """Data-contract gate — the multi-invariant quality check a
     pipeline runs before promoting a snapshot: each rule is one
@@ -13837,6 +13921,7 @@ QUERIES = {
     "shard_rebalance": q_shard_rebalance,
     "zorder_layout": q_zorder_layout,
     "data_contract": q_data_contract,
+    "revenue_anomalies": q_revenue_anomalies,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14023,4 +14108,5 @@ ORACLE_SQL = {
     "shard_rebalance": SQL_SHARD_REBALANCE,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "data_contract": SQL_DATA_CONTRACT,
+    "revenue_anomalies": SQL_REVENUE_ANOMALIES,
 }

@@ -2309,3 +2309,25 @@ def test_data_contract_counts_planted_violations(ray_session, tmp_path):
         con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["data_contract"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_revenue_anomalies_planted_spike(ray_session, tmp_path):
+    """A flat-ish series with one planted 10x spike: only the spike day
+    may flag (the early days with < 7 priors are excluded), and the
+    spike's z must be large positive."""
+    rows = []
+    for d in range(12):
+        base = 100.0 + (d % 3)  # mild variation so window var > 0
+        price = 1000.0 if d == 9 else base
+        rows.append((pd.Timestamp("1995-01-01") + pd.Timedelta(days=d),
+                     price))
+    orders = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["revenue_anomalies"](sf)
+    assert list(mine["day"]) == [9]
+    assert float(mine["z"].iloc[0]) > 100.0
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["revenue_anomalies"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
