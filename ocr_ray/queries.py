@@ -5450,6 +5450,90 @@ def _knn_lsh_ann(sf_dir: str):
     return _grouped_topk(cands, 5)
 
 
+def _knn_int8_ann(sf_dir: str) -> pd.DataFrame:
+    """Scalar-int8-quantized ANN: per-dimension (min, max) from one
+    tiny stats fold, every vector stored as uint8 codes (8x memory /
+    object-store reduction at 10^12 vectors — the storage decision this
+    variant demonstrates), search = dequantize-per-batch + the same
+    local-top-5 matmul prune as brute force. Queries quantize through
+    the SAME codec so ranking error is symmetric."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ext = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [np.stack(df["embedding"].to_numpy()).min(axis=0)],
+             "hi": [np.stack(df["embedding"].to_numpy()).max(axis=0)]}),
+        batch_format="pandas").to_pandas()
+    lo = np.stack(ext["lo"].to_numpy()).min(axis=0).astype(np.float64)
+    hi = np.stack(ext["hi"].to_numpy()).max(axis=0).astype(np.float64)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+
+    def quant(m: np.ndarray) -> np.ndarray:
+        codes = np.clip(np.round((m - lo) / scale), 0, 255)
+        return lo + codes * scale  # dequantized reconstruction
+
+    # RAW query rows (filter pushdown), quantized through the same
+    # raw-space codec as the data side, normalized after reconstruction
+    qdf = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < 8).to_pandas().sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy()
+    qd = quant(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    qd = qd / np.linalg.norm(qd, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qd, lo, scale))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qdq, lo_, scale_ = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = np.clip(np.round((m - lo_) / scale_), 0, 255)
+        md = lo_ + codes * scale_
+        md = md / np.linalg.norm(md, axis=1, keepdims=True)
+        sims = np.round(md @ qdq.T, 9)
+        vids = df["vec_id"].to_numpy()
+        k = min(5, len(vids))
+        qcol, vcol, scol = [], [], []
+        for j, qid in enumerate(qids_):
+            order = np.lexsort((vids, -sims[:, j]))[:k]
+            qcol.append(np.full(k, qid, dtype=np.int64))
+            vcol.append(vids[order].astype(np.int64))
+            scol.append(sims[order, j])
+        return pd.DataFrame({"qid": np.concatenate(qcol),
+                             "vec_id": np.concatenate(vcol),
+                             "sim": np.concatenate(scol)})
+
+    cands = ds.map_batches(score, batch_format="pandas", batch_size=4096)
+    return _grouped_topk(cands, 5)
+
+
+def q_knn_int8(sf_dir: str):
+    """Catalog surface for the int8 scalar-quantized ANN wrapped in the
+    self-gating recall oracle (the knn_lsh pattern): the quantized
+    search runs in full, its avg recall vs the exact kernel is asserted
+    in-query (8-bit reconstruction is tight, so the bound is higher
+    than the LSH row's), and the SQL-checkable exact rows + constant
+    flag are what the driver hashes."""
+    return _ann_recall_gate(sf_dir, _knn_int8_ann(sf_dir), 0.8,
+                            "int8_recall_ok")
+
+
+SQL_KNN_INT8 = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, TRUE AS int8_recall_ok
+FROM r WHERE rank <= 5
+"""
+
+
 def q_knn_lsh(sf_dir: str):
     """Catalog surface for the LSH ANN (_knn_lsh_ann) wrapped in the
     self-gating recall oracle (_ann_recall_gate): the ANN path runs in
@@ -13922,6 +14006,7 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "data_contract": q_data_contract,
     "revenue_anomalies": q_revenue_anomalies,
+    "knn_int8": q_knn_int8,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14109,4 +14194,5 @@ ORACLE_SQL = {
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "data_contract": SQL_DATA_CONTRACT,
     "revenue_anomalies": SQL_REVENUE_ANOMALIES,
+    "knn_int8": SQL_KNN_INT8,
 }

@@ -2331,3 +2331,16 @@ def test_revenue_anomalies_planted_spike(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["revenue_anomalies"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_knn_int8_recall_vs_bruteforce(ray_session):
+    """The quantized ANN's own rows (pre-gate) must overlap the exact
+    top-5 well above the 0.8 gate on the fixture corpus — 8-bit
+    reconstruction is tight."""
+    exact = Q.QUERIES["knn_bruteforce"](SF)
+    ann = Q._knn_int8_ann(SF)
+    ex = exact.groupby("qid")["vec_id"].apply(set)
+    an = ann.groupby("qid")["vec_id"].apply(set)
+    recalls = [len(ex[q] & an.get(q, set())) / len(ex[q])
+               for q in ex.index]
+    assert sum(recalls) / len(recalls) >= 0.8
