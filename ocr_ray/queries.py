@@ -1367,6 +1367,74 @@ GROUP BY s.source, s.ns, t.nn
 """
 
 
+def q_ooo_inversions(sf_dir: str):
+    """Out-of-order accounting — the watermark/late-data statistic a
+    streaming ingester needs: within each user's stream, how many PAIRS
+    arrive inverted (later event_id but earlier timestamp)? event_id is
+    the arrival sequence, ts the event time; inversions = pairs (i, j)
+    with event_id_i < event_id_j but ts_i > ts_j. Zero inversions means
+    per-user arrival order is already time order (no reorder buffer
+    needed); the share calibrates watermark slack.
+
+    Shape: the user-bucket shuffle; per user the exact inversion count
+    is one vectorized upper-triangle comparison. Per-user streams are
+    assumed session-bounded (<= ~4k events — documented cap, a raise
+    not a wrong answer, and the O(n log n) BIT variant is the noted
+    upgrade path if a corpus breaks it); pair totals are exact ints.
+    Users with < 2 events emit n_pairs = 0 rows on both sides."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return df.assign(_b=u % B)
+
+    def inv_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"])
+        rows = []
+        for uid, sub in g.groupby("user_id"):
+            n = len(sub)
+            if n > 4096:
+                raise AssertionError(
+                    "ooo_inversions: per-user stream exceeds the "
+                    "documented 4k pairwise cap — switch to the BIT "
+                    "merge-count variant")
+            ts = sub["ts"].to_numpy()
+            # rows are in arrival (event_id) order; an inversion is a
+            # later arrival with an EARLIER timestamp
+            inv = int((ts[:, None] > ts[None, :])[
+                np.triu_indices(n, k=1)].sum()) if n > 1 else 0
+            rows.append((int(uid), n * (n - 1) // 2, inv))
+        out = pd.DataFrame(rows, columns=["user_id", "n_pairs",
+                                          "n_inversions"])
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+           .groupby("_b").map_groups(inv_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_OOO_INVERSIONS = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+p AS (
+  SELECT a.user_id, COUNT(*) AS inv
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.ts > b.ts
+  GROUP BY a.user_id
+), n AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(u.user_id AS BIGINT) AS user_id,
+       CAST(n.cnt * (n.cnt - 1) // 2 AS BIGINT) AS n_pairs,
+       CAST(COALESCE(p.inv, 0) AS BIGINT) AS n_inversions
+FROM u JOIN n USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 def q_user_autocorr(sf_dir: str):
     """Per-user lag-1 autocorrelation of event values — the
     behavioral-regularity / bot-detection signal (a scripted client's
@@ -14007,6 +14075,7 @@ QUERIES = {
     "data_contract": q_data_contract,
     "revenue_anomalies": q_revenue_anomalies,
     "knn_int8": q_knn_int8,
+    "ooo_inversions": q_ooo_inversions,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14195,4 +14264,5 @@ ORACLE_SQL = {
     "data_contract": SQL_DATA_CONTRACT,
     "revenue_anomalies": SQL_REVENUE_ANOMALIES,
     "knn_int8": SQL_KNN_INT8,
+    "ooo_inversions": SQL_OOO_INVERSIONS,
 }

@@ -2344,3 +2344,27 @@ def test_knn_int8_recall_vs_bruteforce(ray_session):
     recalls = [len(ex[q] & an.get(q, set())) / len(ex[q])
                for q in ex.index]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ooo_inversions_hand_checked(ray_session, tmp_path):
+    """Hand case: user 1 arrivals (event_id order) carry ts
+    [10:00, 10:05, 10:01] -> only pair (2,3) is inverted (10:05 came
+    before the 10:01 event) -> 1 of 3. User 2 in-order -> 0.
+    Single-event user 3 -> 0 pairs row."""
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:05",
+                              "2024-01-01 10:01", "2024-01-01 09:00",
+                              "2024-01-01 09:30", "2024-01-01 08:00"]),
+    })
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["ooo_inversions"](sf)
+    got = {int(r["user_id"]): (int(r["n_pairs"]), int(r["n_inversions"]))
+           for _, r in mine.iterrows()}
+    assert got == {1: (3, 1), 2: (1, 0), 3: (0, 0)}
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["ooo_inversions"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
