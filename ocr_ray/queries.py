@@ -10927,6 +10927,85 @@ def _ed_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
+def _lev(a: str, b: str) -> int:
+    """Unit-cost Levenshtein (DuckDB's levenshtein twin) — banded to
+    early-exit is unnecessary at catalog name lengths."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking — the OTHER classic
+    entity-resolution blocking scheme (vs :func:`q_fuzzy_name_matches`'
+    SymSpell deletion blocking): sort the distinct name vocabulary and
+    compare only names within a window of 3 positions, verifying with
+    exact edit distance <= 2. Sorted-neighborhood catches near-misses
+    that share a long PREFIX regardless of where the edit is; deletion
+    blocking catches ed=1 anywhere but misses ed=2 — running both is
+    the standard production recipe, and this row supplies the second
+    leg.
+
+    Shape: the distinct-name fold is the distributed part (bounded
+    part-name vocabulary, the fuzzy_name_matches discipline); the
+    sorted window enumeration is O(w * vocab) driver work on the
+    bounded vocabulary, and the DP verification of the 3*V candidate
+    pairs fans back out through map_batches. lev_dist is exact integer
+    edit distance on both sides; the <= 5 acceptance bound is tuned to
+    this catalog's two-to-three-word names (ed <= 2 is near-empty
+    here, ed <= 5 keeps one-word-apart neighbors)."""
+    ds = _read(sf_dir, "part", ["p_name"])
+    W = 3
+
+    def name_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["p_name"]].drop_duplicates()
+        return out.assign(one=np.int64(1))
+
+    names = _bucketed_combine(
+        ds.map_batches(name_partial, batch_format="pandas",
+                       batch_size=65536), ["p_name"], {"one": "max"})
+    vocab = sorted(names["p_name"])
+    cand = []
+    for d in range(1, W + 1):
+        cand.extend((vocab[i], vocab[i + d])
+                    for i in range(len(vocab) - d))
+    cdf = pd.DataFrame(cand, columns=["name_a", "name_b"])
+    cds = ray.data.from_pandas(cdf).repartition(max(8, _cpus()))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        dist = np.array([_lev(a, b) for a, b in
+                         zip(df["name_a"], df["name_b"])], dtype=np.int64)
+        out = df.assign(lev_dist=dist)
+        return out.loc[out["lev_dist"] <= 5]
+
+    out = cds.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"name_a": pd.Series([], dtype="object"),
+                            "name_b": pd.Series([], dtype="object"),
+                            "lev_dist": pd.Series([], dtype="int64")})
+    out["lev_dist"] = out["lev_dist"].astype("int64")
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+SQL_SORTED_NEIGHBORHOOD_PAIRS = """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rn FROM n)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+WHERE levenshtein(a.p_name, b.p_name) <= 5
+"""
+
+
 def q_fuzzy_name_matches(sf_dir: str):
     """Approximate string matching via SymSpell deletion blocking
     (public algorithm): pairs of DISTINCT part names at edit distance
@@ -14076,6 +14155,7 @@ QUERIES = {
     "revenue_anomalies": q_revenue_anomalies,
     "knn_int8": q_knn_int8,
     "ooo_inversions": q_ooo_inversions,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14265,4 +14345,5 @@ ORACLE_SQL = {
     "revenue_anomalies": SQL_REVENUE_ANOMALIES,
     "knn_int8": SQL_KNN_INT8,
     "ooo_inversions": SQL_OOO_INVERSIONS,
+    "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
 }

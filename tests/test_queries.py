@@ -2368,3 +2368,23 @@ def test_ooo_inversions_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["ooo_inversions"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_sorted_neighborhood_vs_symspell_coverage(ray_session, tmp_path):
+    """The blocking-strategy contrast: 'alpha bolt' vs 'alpha colt'
+    (ed 1, adjacent in sort) is caught; 'zz aa' vs 'aa zz' (ed 4 but
+    far apart in the sorted vocabulary) is NOT — the documented
+    windowed-blocking miss. Exact lev values match the oracle."""
+    names = ["alpha bolt", "alpha colt", "aa zz", "zz aa", "mid gear"]
+    part = pd.DataFrame({"p_name": names * 2})  # dups collapse
+    sf = str(tmp_path)
+    part.to_parquet(f"{sf}/part.parquet")
+    mine = Q.QUERIES["sorted_neighborhood_pairs"](sf)
+    pairs = {(r["name_a"], r["name_b"]): int(r["lev_dist"])
+             for _, r in mine.iterrows()}
+    assert pairs[("alpha bolt", "alpha colt")] == 1
+    assert ("aa zz", "zz aa") not in pairs
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW part AS SELECT * FROM '{sf}/part.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["sorted_neighborhood_pairs"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
