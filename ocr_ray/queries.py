@@ -3359,6 +3359,60 @@ FROM d GROUP BY detected_type, reject_reason
 """
 
 
+def q_token_burstiness(sf_dir: str):
+    """Token burstiness (Church–Gale): for the top-20 tokens by corpus
+    frequency, cf / df — the mean occurrences per CONTAINING document.
+    Near 1.0 the token spreads evenly (function-word-like); high values
+    mark topical/bursty terms that cluster in few documents — the
+    statistic separating stopword-ish noise from content terms when
+    building filter lists. ONE pass emits fused per-batch partials of
+    BOTH counts (cf via value_counts, df via per-doc distinct — a doc
+    lives in one batch row, so both are batch-exact); one bucketed
+    combine with a per-bucket top-20-by-cf prune bounds what reaches
+    the driver. burstiness is the same two-integer ratio both sides,
+    round-6."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+") \
+            .explode().dropna()
+        cf = toks.value_counts()
+        dfc = (pd.DataFrame({"d": toks.index, "t": toks.to_numpy()})
+               .drop_duplicates()["t"].value_counts())
+        out = pd.DataFrame({"token": cf.index.to_numpy(),
+                            "cf": cf.to_numpy().astype(np.int64)})
+        out["df"] = out["token"].map(dfc).astype("int64")
+        return out
+
+    top = _bucketed_combine(
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192),
+        ["token"], {"cf": "sum", "df": "sum"},
+        topk=(20, ["cf", "token"], [False, True]))
+    top = top.sort_values(["cf", "token"], ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+    for c in ("cf", "df"):
+        top[c] = top[c].astype("int64")
+    top["burstiness"] = np.round(
+        top["cf"].to_numpy(np.float64) / top["df"].to_numpy(np.int64), 6)
+    return top
+
+
+SQL_TOKEN_BURSTINESS = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS token
+  FROM documents
+), s AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM t GROUP BY token
+)
+SELECT token, cf, df,
+       ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+FROM s ORDER BY cf DESC, token LIMIT 20
+"""
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus-wide token frequency top-20: per-batch partial counts
     (value_counts inside map_batches) -> cluster-side bucketed combine
@@ -14156,6 +14210,7 @@ QUERIES = {
     "knn_int8": q_knn_int8,
     "ooo_inversions": q_ooo_inversions,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "token_burstiness": q_token_burstiness,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14346,4 +14401,5 @@ ORACLE_SQL = {
     "knn_int8": SQL_KNN_INT8,
     "ooo_inversions": SQL_OOO_INVERSIONS,
     "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
+    "token_burstiness": SQL_TOKEN_BURSTINESS,
 }

@@ -2388,3 +2388,25 @@ def test_sorted_neighborhood_vs_symspell_coverage(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW part AS SELECT * FROM '{sf}/part.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["sorted_neighborhood_pairs"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_token_burstiness_hand_checked(ray_session, tmp_path):
+    """cf/df by hand: 'x' appears 4 times in 2 docs -> 2.0 (bursty);
+    'the' once per doc in 3 docs -> 1.0 (even spread)."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the x x", "the x x", "the y"],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["token_burstiness"](sf)
+    got = {r["token"]: (int(r["cf"]), int(r["df"]),
+                        float(r["burstiness"]))
+           for _, r in mine.iterrows()}
+    assert got["x"] == (4, 2, 2.0)
+    assert got["the"] == (3, 3, 1.0)
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["token_burstiness"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
