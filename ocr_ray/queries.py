@@ -10734,6 +10734,67 @@ LIMIT 30
 """
 
 
+def q_basket_triples(sf_dir: str):
+    """Frequent-itemset mining at k=3 (the A-Priori step above
+    :func:`q_basket_pairs`): top-10 part TRIPLES most often bought
+    together in one order. Baskets are bounded (TPC-H ~4-7 items), so
+    each orderkey bucket expands its baskets' distinct part sets into
+    a<b<c triples with one chained hash self-merge — O(items^3) per
+    basket, never corpus-cubic; per-triple partials fold through the
+    by-triple bucketed combine where the top-10 prune is sound (a
+    triple lives in one bucket). With UNBOUNDED baskets the classic
+    A-Priori lever applies instead — broadcast the frequent-pair set
+    from q_basket_pairs and drop candidate triples containing an
+    infrequent pair BEFORE the shuffle; the bounded-basket direct
+    expansion keeps this row exact and cheap here."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["l_orderkey"].astype("int64")
+        return pd.DataFrame({"o": o, "p": df["l_partkey"].astype("int64"),
+                             "_b": o % B})
+
+    def triples_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"])[["o", "p"]]
+        m = g.merge(g, on="o", suffixes=("_a", "_b"))
+        m = m.loc[m["p_a"] < m["p_b"]]
+        m = m.merge(g.rename(columns={"p": "p_c"}), on="o")
+        m = m.loc[m["p_b"] < m["p_c"]]
+        out = m.groupby(["p_a", "p_b", "p_c"], as_index=False).size() \
+            .rename(columns={"size": "n_orders", "p_a": "part_a",
+                             "p_b": "part_b", "p_c": "part_c"})
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    partials = ds.map_batches(add_bucket, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("_b").map_groups(triples_bucket, batch_format="pandas")
+    out = _bucketed_combine(
+        partials, ["part_a", "part_b", "part_c"], {"n_orders": "sum"},
+        topk=(10, ["n_orders", "part_a", "part_b", "part_c"],
+              [False, True, True, True]))
+    for c in ("part_a", "part_b", "part_c", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["n_orders", "part_a", "part_b", "part_c"],
+                           ascending=[False, True, True, True]) \
+        .head(10).reset_index(drop=True)
+
+
+SQL_BASKET_TRIPLES = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+)
+SELECT CAST(a.p AS BIGINT) AS part_a, CAST(b.p AS BIGINT) AS part_b,
+       CAST(c.p AS BIGINT) AS part_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+         JOIN d c ON b.o = c.o AND b.p < c.p
+GROUP BY a.p, b.p, c.p
+ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 10
+"""
+
+
 def q_basket_pairs(sf_dir: str):
     """Market-basket pair mining: the top-20 part pairs most often
     bought together in one order (frequent-itemset mining at k=2, the
@@ -14211,6 +14272,7 @@ QUERIES = {
     "ooo_inversions": q_ooo_inversions,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "token_burstiness": q_token_burstiness,
+    "basket_triples": q_basket_triples,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14402,4 +14464,5 @@ ORACLE_SQL = {
     "ooo_inversions": SQL_OOO_INVERSIONS,
     "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
     "token_burstiness": SQL_TOKEN_BURSTINESS,
+    "basket_triples": SQL_BASKET_TRIPLES,
 }

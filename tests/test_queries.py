@@ -2410,3 +2410,24 @@ def test_token_burstiness_hand_checked(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["token_burstiness"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_basket_triples_hand_checked(ray_session, tmp_path):
+    """Triples by hand: orders {1,2,3}, {1,2,3,4}, {1,2} -> (1,2,3)
+    appears in 2 orders, every other triple once, pairs-only orders
+    contribute nothing; duplicate lineitem rows collapse."""
+    rows = [(1, 1), (1, 2), (1, 3), (1, 3),
+            (2, 1), (2, 2), (2, 3), (2, 4),
+            (3, 1), (3, 2)]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    sf = str(tmp_path)
+    li.to_parquet(f"{sf}/lineitem.parquet")
+    mine = Q.QUERIES["basket_triples"](sf)
+    got = {(int(r["part_a"]), int(r["part_b"]), int(r["part_c"])):
+           int(r["n_orders"]) for _, r in mine.iterrows()}
+    assert got[(1, 2, 3)] == 2
+    assert got[(1, 2, 4)] == 1 and got[(2, 3, 4)] == 1
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["basket_triples"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
