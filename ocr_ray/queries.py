@@ -10734,6 +10734,117 @@ LIMIT 30
 """
 
 
+def q_association_rules(sf_dir: str):
+    """Association rules over the co-purchase pairs — the recommender
+    output stage: for pairs with support >= 3 orders, both directed
+    rules A -> B with confidence = n(AB)/n(A) and lift =
+    n(AB) * N / (n(A) * n(B)), top-10 by (lift, rule) deterministic.
+    Shape: the basket_pairs machinery supplies pair counts (one
+    orderkey-bucketed expansion + one by-pair combine); item supports
+    are a per-batch distinct fold; N is one count. The driver joins
+    O(pruned pairs) x O(1) lookups — lift/confidence are float ratios
+    of EXACT integers, mirrored expression-for-expression, round-6.
+
+    The support floor makes the pruned pair set complete (every pair
+    with n >= 3 survives the per-bucket prune trivially — the prune
+    keeps all rows, only the driver cut applies the floor), so the
+    top-10-by-lift is exact, not heuristic."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    B = _pair_buckets()
+    MINSUP = 3
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["l_orderkey"].astype("int64")
+        return pd.DataFrame({"o": o, "p": df["l_partkey"].astype("int64"),
+                             "_b": o % B})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE pass per orderkey bucket emits all three statistics as a
+        # tagged long frame. Baskets are disjoint across buckets, so
+        # the bucket's basket COUNT is final; item and pair rows are
+        # PARTIALS (a part/pair occurs in orders across buckets) —
+        # items fold in the driver's catalog-bounded groupby, pairs in
+        # the by-pair bucketed combine
+        g = g.drop_duplicates(["o", "p"])[["o", "p"]]
+        m = g.merge(g, on="o", suffixes=("_a", "_b"))
+        m = m.loc[m["p_a"] < m["p_b"]]
+        pr = m.groupby(["p_a", "p_b"], as_index=False).size() \
+            .rename(columns={"size": "n_ab"})
+        it = g.groupby("p", as_index=False).size() \
+            .rename(columns={"size": "n_ab", "p": "p_a"})
+        it["p_b"] = np.int64(-1)
+        out = pd.concat([
+            pr.assign(kind="pair"),
+            it[["p_a", "p_b", "n_ab"]].assign(kind="item"),
+            pd.DataFrame({"p_a": [np.int64(-1)], "p_b": [np.int64(-1)],
+                          "n_ab": [np.int64(g["o"].nunique())],
+                          "kind": "n"}),
+        ], ignore_index=True)
+        out["n_ab"] = out["n_ab"].astype("int64")
+        return out
+
+    stats = (ds.map_batches(add_bucket, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("_b").map_groups(bucket_stats,
+                                       batch_format="pandas")
+             .materialize())
+    pairs = _bucketed_combine(
+        stats.filter(expr="kind == 'pair'"),
+        ["p_a", "p_b"], {"n_ab": "sum"})
+    pairs = pairs.loc[pairs["n_ab"] >= MINSUP]
+    small = stats.filter(expr="kind != 'pair'").to_pandas()
+    items = small.loc[small["kind"] == "item"] \
+        .groupby("p_a", as_index=False)["n_ab"].sum() \
+        .rename(columns={"p_a": "p", "n_ab": "n"})
+    n_orders = int(small.loc[small["kind"] == "n", "n_ab"].sum())
+    imap = dict(zip(items["p"].astype(int), items["n"].astype(int)))
+    rows = []
+    for _, r in pairs.iterrows():
+        a, b, nab = int(r["p_a"]), int(r["p_b"]), int(r["n_ab"])
+        na, nb = imap[a], imap[b]
+        lift = round(float(nab) * n_orders / (float(na) * nb), 6)
+        rows.append((a, b, nab, round(float(nab) / na, 6), lift))
+        rows.append((b, a, nab, round(float(nab) / nb, 6), lift))
+    out = pd.DataFrame(rows, columns=["antecedent", "consequent",
+                                      "n_ab", "confidence", "lift"])
+    for c in ("antecedent", "consequent", "n_ab"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lift", "antecedent", "consequent"],
+                           ascending=[False, True, True]) \
+        .head(10).reset_index(drop=True)
+
+
+SQL_ASSOCIATION_RULES = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pr AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+), it AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY p
+), nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM d),
+r AS (
+  SELECT pa AS antecedent, pb AS consequent, n_ab,
+         ROUND(CAST(n_ab AS DOUBLE) / ia.n, 6) AS confidence,
+         ROUND(CAST(n_ab AS DOUBLE) * nn.n_orders / (CAST(ia.n AS DOUBLE)
+               * ib.n), 6) AS lift
+  FROM pr JOIN it ia ON ia.p = pr.pa JOIN it ib ON ib.p = pr.pb
+  CROSS JOIN nn
+  UNION ALL
+  SELECT pb, pa, n_ab,
+         ROUND(CAST(n_ab AS DOUBLE) / ib.n, 6),
+         ROUND(CAST(n_ab AS DOUBLE) * nn.n_orders / (CAST(ia.n AS DOUBLE)
+               * ib.n), 6)
+  FROM pr JOIN it ia ON ia.p = pr.pa JOIN it ib ON ib.p = pr.pb
+  CROSS JOIN nn
+)
+SELECT CAST(antecedent AS BIGINT) AS antecedent,
+       CAST(consequent AS BIGINT) AS consequent, n_ab, confidence, lift
+FROM r ORDER BY lift DESC, antecedent, consequent LIMIT 10
+"""
+
+
 def q_basket_triples(sf_dir: str):
     """Frequent-itemset mining at k=3 (the A-Priori step above
     :func:`q_basket_pairs`): top-10 part TRIPLES most often bought
@@ -14273,6 +14384,7 @@ QUERIES = {
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "token_burstiness": q_token_burstiness,
     "basket_triples": q_basket_triples,
+    "association_rules": q_association_rules,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14465,4 +14577,5 @@ ORACLE_SQL = {
     "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
     "token_burstiness": SQL_TOKEN_BURSTINESS,
     "basket_triples": SQL_BASKET_TRIPLES,
+    "association_rules": SQL_ASSOCIATION_RULES,
 }

@@ -2431,3 +2431,31 @@ def test_basket_triples_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["basket_triples"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_association_rules_hand_checked(ray_session, tmp_path):
+    """Rules by hand: baskets {1,2} x3, {1} x1, {2,3} x3 (7 orders).
+    Pair (1,2): n=3 >= minsup; rules 1->2 conf 3/4, 2->1 conf 3/6;
+    lift = 3*7/(4*6) = 0.875. Pair (2,3): n=3; 2->3 conf 3/6,
+    3->2 conf 3/3 = 1.0; lift = 3*7/(6*3) = 7/6."""
+    rows = []
+    oid = 0
+    for basket, k in [((1, 2), 3), ((1,), 1), ((2, 3), 3)]:
+        for _ in range(k):
+            oid += 1
+            rows.extend((oid, p) for p in basket)
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    sf = str(tmp_path)
+    li.to_parquet(f"{sf}/lineitem.parquet")
+    mine = Q.QUERIES["association_rules"](sf)
+    got = {(int(r["antecedent"]), int(r["consequent"])):
+           (float(r["confidence"]), float(r["lift"]))
+           for _, r in mine.iterrows()}
+    assert got[(1, 2)] == (0.75, 0.875)
+    assert got[(2, 1)] == (0.5, 0.875)
+    assert got[(3, 2)][0] == 1.0
+    assert abs(got[(2, 3)][1] - 7/6) < 1e-6
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["association_rules"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
