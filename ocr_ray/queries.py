@@ -8173,6 +8173,78 @@ GROUP BY n_name
 """
 
 
+def q_centroid_split_drift(sf_dir: str):
+    """Per-label centroid drift between the two vec_id-parity halves of
+    the corpus — the embedding-health check run after any resharding or
+    re-embedding job (halves of an i.i.d. corpus must agree; a label
+    whose halves disagree marks an embedding-version mix or a skewed
+    shard). Same blob-riding (sum-vector, count) partials as
+    :func:`q_label_centroids`, one per (label, half) per batch; the
+    driver folds O(labels x 2 x dim) state and emits the L2 distance
+    between the two ROUND-6 centroids (rounding BEFORE the distance
+    makes both engines consume identical inputs; the 64-term sum-order
+    slack dies in the final round-6)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        half = (df["vec_id"].astype("int64") % 2).to_numpy()
+        rows = []
+        for (lab, h), sub in df.assign(_h=half).groupby(["label", "_h"]):
+            m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+            rows.append((int(lab), int(h), m.sum(axis=0).tobytes(),
+                         len(sub)))
+        return pd.DataFrame(rows, columns=["label", "h", "s", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=8192).to_pandas()
+    cents, counts = {}, {}
+    for (lab, h), sub in parts.groupby(["label", "h"]):
+        s = np.sum([np.frombuffer(b, dtype=np.float64)
+                    for b in sub["s"]], axis=0)
+        n = int(sub["n"].sum())
+        cents[(int(lab), int(h))] = (s / n).round(6)
+        counts[(int(lab), int(h))] = n
+    rows = []
+    for lab in sorted({k[0] for k in cents}):
+        if (lab, 0) not in cents or (lab, 1) not in cents:
+            continue
+        d = cents[(lab, 0)] - cents[(lab, 1)]
+        rows.append((lab, counts[(lab, 0)], counts[(lab, 1)],
+                     round(float(np.sqrt(np.sum(d * d))), 6)))
+    out = pd.DataFrame(rows, columns=["label", "n_even", "n_odd",
+                                      "drift"])
+    for c in ("label", "n_even", "n_odd"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_CENTROID_SPLIT_DRIFT = """
+WITH e AS (
+  SELECT label, vec_id % 2 AS h, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), c AS (
+  SELECT label, h, dim, ROUND(AVG(v), 6) AS centroid,
+         COUNT(*) AS nv
+  FROM e GROUP BY label, h, dim
+), n AS (
+  SELECT label, vec_id % 2 AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label, vec_id % 2
+), d AS (
+  SELECT a.label,
+         ROUND(sqrt(SUM((a.centroid - b.centroid)
+                        * (a.centroid - b.centroid))), 6) AS drift
+  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+   AND a.h = 0 AND b.h = 1
+  GROUP BY a.label
+)
+SELECT CAST(d.label AS BIGINT) AS label,
+       ne.n AS n_even, no.n AS n_odd, d.drift
+FROM d JOIN n ne ON ne.label = d.label AND ne.h = 0
+       JOIN n no ON no.label = d.label AND no.h = 1
+"""
+
+
 def q_label_centroids(sf_dir: str):
     """Vector aggregate over the embedding column: per-label centroid
     (the building block for k-means init, class prototypes, and
@@ -14385,6 +14457,7 @@ QUERIES = {
     "token_burstiness": q_token_burstiness,
     "basket_triples": q_basket_triples,
     "association_rules": q_association_rules,
+    "centroid_split_drift": q_centroid_split_drift,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14578,4 +14651,5 @@ ORACLE_SQL = {
     "token_burstiness": SQL_TOKEN_BURSTINESS,
     "basket_triples": SQL_BASKET_TRIPLES,
     "association_rules": SQL_ASSOCIATION_RULES,
+    "centroid_split_drift": SQL_CENTROID_SPLIT_DRIFT,
 }

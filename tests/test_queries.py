@@ -2459,3 +2459,30 @@ def test_association_rules_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["association_rules"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_centroid_split_drift_planted(ray_session, tmp_path):
+    """Planted drift: label 1's even vectors sit at +1 and odd at -1
+    along dim 0 -> drift exactly 2.0; label 2 identical halves ->
+    drift 0; label 3 present in only one half emits no row."""
+    vecs, labs, ids = [], [], []
+    for i in range(8):
+        v = np.zeros(4, dtype=np.float32)
+        v[0] = 1.0 if i % 2 == 0 else -1.0
+        vecs.append(v); labs.append(1); ids.append(i)
+    for i in range(8, 12):
+        vecs.append(np.full(4, 0.5, dtype=np.float32))
+        labs.append(2); ids.append(i)
+    vecs.append(np.ones(4, dtype=np.float32)); labs.append(3); ids.append(12)
+    emb = pd.DataFrame({"vec_id": ids, "label": labs,
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sf = str(tmp_path)
+    emb.to_parquet(f"{sf}/embeddings.parquet")
+    mine = Q.QUERIES["centroid_split_drift"](sf)
+    got = {int(r["label"]): float(r["drift"]) for _, r in mine.iterrows()}
+    assert got == {1: 2.0, 2: 0.0}
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["centroid_split_drift"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
