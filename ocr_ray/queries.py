@@ -8759,6 +8759,166 @@ SELECT * FROM (
 """
 
 
+_BFS_DEPTH = 3
+
+
+def _bfs_sql(k: int) -> str:
+    """Generate the bounded-depth BFS oracle: enumerate walks up to k
+    hops from the seed, take MIN(level) per node, count per level (one
+    CTE per hop — no recursive visited-set semantics needed)."""
+    hops = []
+    prev = "l0"
+    for i in range(1, k + 1):
+        hops.append(f"""l{i} AS (
+  SELECT DISTINCT e.dst AS node FROM edges e
+  JOIN {prev} p ON p.node = e.src
+)""")
+        prev = f"l{i}"
+    lvls = ",\n".join(hops)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT node, {i} AS lvl FROM l{i}" for i in range(k + 1))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), seed AS (
+  SELECT MIN(src) AS node FROM edges WHERE src % 2 = 0
+), l0 AS (SELECT node FROM seed),
+{lvls},
+alllv AS ({unions}),
+m AS (SELECT node, MIN(lvl) AS lvl FROM alllv GROUP BY node)
+SELECT CAST(lvl AS BIGINT) AS lvl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM m GROUP BY lvl
+"""
+
+
+def q_bfs_levels(sf_dir: str):
+    """Bounded-depth BFS from the smallest customer node over the
+    undirected customer–supplier graph — the frontier-expansion shape
+    (reachability, blast-radius, '2 hops of this entity') that
+    completes the graph family next to pagerank (fixpoint), kcore
+    (peeling) and dedup_clusters (contraction). ``_BFS_DEPTH`` levels;
+    output is nodes-per-level.
+
+    Distributed frontier discipline: the edge set is built once with
+    the pagerank machinery and materialized bucketed BY SRC; each hop
+    is exactly two bounded shuffles — (1) frontier rows co-locate with
+    edges by src bucket and emit per-bucket DISTINCT neighbor partials,
+    (2) neighbors co-locate with the visited set by node bucket and
+    only unseen nodes survive. The visited set lives in the object
+    store as a Dataset keyed by the SAME node bucketing (so the
+    anti-join is a bucket-local isin, never a broadcast); the driver
+    holds one count per level. The oracle is generated walk
+    enumeration + MIN(level), sound because depth is bounded."""
+    B = _pair_buckets()
+    W = max(8, _cpus())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(t["o_custkey"], pa.int64()),
+            "side": pa.array(["o"] * t.num_rows),
+        })
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
+             .group_by(["key", "val"]).aggregate([]))
+        key = d["key"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(d["val"], pa.int64()),
+            "side": pa.array(["l"] * d.num_rows),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == "o", ["key", "val"]].rename(
+            columns={"val": "c"})
+        l = g.loc[g["side"] == "l", ["key", "val"]].rename(
+            columns={"val": "s"})
+        p = o.merge(l, on="key")[["c", "s"]].drop_duplicates()
+        c = (p["c"].to_numpy() * 2).astype(np.int64)
+        s = (p["s"].to_numpy() * 2 + 1).astype(np.int64)
+        pb = ((c * np.int64(1000003)) ^ s) & (B - 1)
+        return pd.DataFrame({"pb": pb.astype("int32"), "c": c, "s": s})
+
+    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.drop_duplicates(["c", "s"])
+        src = np.concatenate([p["c"].to_numpy(), p["s"].to_numpy()])
+        dst = np.concatenate([p["s"].to_numpy(), p["c"].to_numpy()])
+        return pd.DataFrame({"bucket": (src & (B - 1)).astype("int32"),
+                             "src": src, "dst": dst, "side": "e"})
+
+    edges = (
+        orders.map_batches(o_prep, batch_format="pyarrow")
+        .union(li.map_batches(l_prep, batch_format="pyarrow"))
+        .repartition(W)
+        .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+        .repartition(W)
+        .groupby("pb").map_groups(pair_distinct, batch_format="pandas")
+        .repartition(W).materialize()
+    )
+    mins = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [df.loc[df["src"] % 2 == 0, "src"].min()]}),
+        batch_format="pandas").to_pandas()
+    seed = int(np.nanmin(mins["m"].to_numpy(np.float64)))
+
+    def node_frame(nodes: np.ndarray, side: str) -> pd.DataFrame:
+        return pd.DataFrame({"bucket": (nodes & (B - 1)).astype("int32"),
+                             "src": nodes.astype(np.int64),
+                             "dst": np.int64(-1), "side": side})
+
+    frontier = ray.data.from_pandas(
+        node_frame(np.array([seed], dtype=np.int64), "f"))
+    visited = ray.data.from_pandas(
+        node_frame(np.array([seed], dtype=np.int64), "v"))
+    counts = [(0, 1)]
+    for lvl in range(1, _BFS_DEPTH + 1):
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            f = g.loc[g["side"] == "f", ["src"]]
+            e = g.loc[g["side"] == "e", ["src", "dst"]]
+            nb = e.merge(f, on="src")["dst"].drop_duplicates().to_numpy()
+            return node_frame(nb, "n")
+
+        def unseen(g: pd.DataFrame) -> pd.DataFrame:
+            seen = set(g.loc[g["side"] == "v", "src"].to_numpy())
+            n = g.loc[g["side"] == "n", "src"].drop_duplicates()
+            new = n[~n.isin(seen)].to_numpy()
+            return node_frame(new, "f")
+
+        nbrs = (edges.union(frontier)
+                .groupby("bucket").map_groups(expand,
+                                              batch_format="pandas"))
+        frontier = (nbrs.union(visited).repartition(W)
+                    .groupby("bucket").map_groups(
+                        unseen, batch_format="pandas").materialize())
+        n_new = frontier.count()
+        counts.append((lvl, n_new))
+        if n_new == 0:
+            break
+        visited = visited.union(
+            frontier.map_batches(
+                lambda df: df.assign(side="v"),
+                batch_format="pandas")).materialize()
+    out = pd.DataFrame(counts, columns=["lvl", "n_nodes"])
+    out = out[out["n_nodes"] > 0]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_BFS_LEVELS = _bfs_sql(_BFS_DEPTH)
+
+
 def q_hits_scores(sf_dir: str):
     """HITS hubs & authorities (Kleinberg) over the DIRECTED
     customer -> supplier graph induced by orders |><| lineitem —
@@ -14458,6 +14618,7 @@ QUERIES = {
     "basket_triples": q_basket_triples,
     "association_rules": q_association_rules,
     "centroid_split_drift": q_centroid_split_drift,
+    "bfs_levels": q_bfs_levels,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14652,4 +14813,5 @@ ORACLE_SQL = {
     "basket_triples": SQL_BASKET_TRIPLES,
     "association_rules": SQL_ASSOCIATION_RULES,
     "centroid_split_drift": SQL_CENTROID_SPLIT_DRIFT,
+    "bfs_levels": SQL_BFS_LEVELS,
 }

@@ -2486,3 +2486,24 @@ def test_centroid_split_drift_planted(ray_session, tmp_path):
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["centroid_split_drift"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_bfs_levels_hand_checked(ray_session, tmp_path):
+    """BFS on a planted path graph: c1-s1-c2-s2 plus isolated c9-s9.
+    Seed = min customer node (c1). Levels: 0:{c1}, 1:{s1}, 2:{c2},
+    3:{s2}; the isolated component is never reached."""
+    pd.DataFrame({"o_orderkey": [1, 2, 3, 9],
+                  "o_custkey": [1, 2, 2, 9]}).to_parquet(
+        f"{tmp_path}/orders.parquet")
+    pd.DataFrame({"l_orderkey": [1, 2, 3, 9],
+                  "l_suppkey": [1, 1, 2, 9]}).to_parquet(
+        f"{tmp_path}/lineitem.parquet")
+    sf = str(tmp_path)
+    mine = Q.QUERIES["bfs_levels"](sf)
+    got = {int(r["lvl"]): int(r["n_nodes"]) for _, r in mine.iterrows()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+    con2 = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["bfs_levels"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
