@@ -8759,6 +8759,181 @@ SELECT * FROM (
 """
 
 
+_BF_HOPS = 3
+
+
+def _cheapest_sql(k: int) -> str:
+    """Generate the bounded min-plus oracle: enumerate walks up to k
+    hops from the seed with summed integer edge costs, MIN per node."""
+    hops = []
+    prev = "w0"
+    for i in range(1, k + 1):
+        hops.append(f"""w{i} AS (
+  SELECT e.dst AS node, MIN(p.cost + e.cost) AS cost
+  FROM edges e JOIN {prev} p ON p.node = e.src
+  GROUP BY e.dst
+)""")
+        prev = f"w{i}"
+    lvls = ",\n".join(hops)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT node, cost FROM w{i}" for i in range(k + 1))
+    return f"""
+WITH pairs AS (
+  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+), edges AS (
+  SELECT c AS src, s AS dst, 10000 // n AS cost FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst, 10000 // n AS cost FROM pairs
+), seed AS (SELECT MIN(src) AS node FROM edges WHERE src % 2 = 0),
+w0 AS (SELECT node, CAST(0 AS BIGINT) AS cost FROM seed),
+{lvls},
+alllv AS ({unions}),
+m AS (SELECT node, MIN(cost) AS cost FROM alllv GROUP BY node)
+SELECT CAST((node - 1) // 2 AS BIGINT) AS suppkey,
+       CAST(cost AS BIGINT) AS cost
+FROM m WHERE node % 2 = 1
+ORDER BY cost, suppkey LIMIT 10
+"""
+
+
+def q_cheapest_suppliers(sf_dir: str):
+    """Bounded Bellman–Ford (min-plus relaxation) — weighted shortest
+    paths from the smallest customer over the customer–supplier graph,
+    edge cost 10000 // n_orders (stronger trading ties are cheaper):
+    the 10 'closest' suppliers within ``_BF_HOPS`` hops. Completes the
+    graph-algorithm family with the MIN-PLUS SEMIRING shape (pagerank
+    is sum-times, BFS is reach, this is min-plus): each round is the
+    SAME two bounded shuffles, but the combine is MIN instead of SUM —
+    distances are exact integers end to end, so the comparison is
+    bit-exact with the generated walk-enumeration oracle (sound
+    because hops are bounded).
+
+    Distributed shape: weighted distinct edges built once via the
+    orderkey-bucketed join (per-(c,s) DISTINCT order counts fold in the
+    pair-bucketed stage), materialized bucketed by src; the distance
+    vector is a Dataset, updated per round by (1) src-bucket join +
+    per-bucket MIN partial by dst, (2) dst-bucket MIN combine with the
+    previous distances. Driver holds only the loop counter; the top-10
+    cut prunes per block before one tiny driver sort."""
+    B = _pair_buckets()
+    W = max(8, _cpus())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(t["o_custkey"], pa.int64()),
+            "side": pa.array(["o"] * t.num_rows),
+        })
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
+             .group_by(["key", "val"]).aggregate([]))
+        key = d["key"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(d["val"], pa.int64()),
+            "side": pa.array(["l"] * d.num_rows),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == "o", ["key", "val"]].rename(
+            columns={"val": "c"})
+        l = g.loc[g["side"] == "l", ["key", "val"]].rename(
+            columns={"val": "s"})
+        # per-(c,s) DISTINCT order count partial (orders are disjoint
+        # across orderkey buckets, so these sum to the global count)
+        p = o.merge(l, on="key").groupby(["c", "s"], as_index=False) \
+            .agg(n=("key", "nunique"))
+        c = (p["c"].to_numpy() * 2).astype(np.int64)
+        s = (p["s"].to_numpy() * 2 + 1).astype(np.int64)
+        pb = ((c * np.int64(1000003)) ^ s) & (B - 1)
+        return pd.DataFrame({"pb": pb.astype("int32"), "c": c, "s": s,
+                             "n": p["n"].astype("int64")})
+
+    def edge_emit(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby(["c", "s"], as_index=False)["n"].sum()
+        cost = (10_000 // p["n"].to_numpy(np.int64)).astype(np.int64)
+        src = np.concatenate([p["c"].to_numpy(), p["s"].to_numpy()])
+        dst = np.concatenate([p["s"].to_numpy(), p["c"].to_numpy()])
+        w = np.concatenate([cost, cost])
+        return pd.DataFrame({"bucket": (src & (B - 1)).astype("int32"),
+                             "src": src, "dst": dst, "cost": w,
+                             "side": "e"})
+
+    edges = (
+        orders.map_batches(o_prep, batch_format="pyarrow")
+        .union(li.map_batches(l_prep, batch_format="pyarrow"))
+        .repartition(W)
+        .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+        .repartition(W)
+        .groupby("pb").map_groups(edge_emit, batch_format="pandas")
+        .repartition(W).materialize()
+    )
+    mins = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [df.loc[df["src"] % 2 == 0, "src"].min()]}),
+        batch_format="pandas").to_pandas()
+    seed = int(np.nanmin(mins["m"].to_numpy(np.float64)))
+
+    def dist_frame(nodes, costs) -> pd.DataFrame:
+        nodes = np.asarray(nodes, dtype=np.int64)
+        return pd.DataFrame({"bucket": (nodes & (B - 1)).astype("int32"),
+                             "src": nodes, "dst": np.int64(-1),
+                             "cost": np.asarray(costs, dtype=np.int64),
+                             "side": "d"})
+
+    dist = ray.data.from_pandas(dist_frame([seed], [0]))
+    for _ in range(_BF_HOPS):
+        def relax(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.loc[g["side"] == "d", ["src", "cost"]] \
+                .groupby("src", as_index=False)["cost"].min()
+            e = g.loc[g["side"] == "e", ["src", "dst", "cost"]]
+            m = e.merge(d, on="src", suffixes=("_e", "_d"))
+            if m.empty:
+                return dist_frame([], [])
+            m["cost"] = m["cost_e"] + m["cost_d"]
+            out = m.groupby("dst", as_index=False)["cost"].min()
+            return dist_frame(out["dst"].to_numpy(),
+                              out["cost"].to_numpy())
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("src", as_index=False)["cost"].min()
+            return dist_frame(out["src"].to_numpy(),
+                              out["cost"].to_numpy())
+
+        relaxed = (edges.union(dist)
+                   .groupby("bucket").map_groups(relax,
+                                                 batch_format="pandas"))
+        dist = (relaxed.union(dist).repartition(W)
+                .groupby("bucket").map_groups(combine,
+                                              batch_format="pandas")
+                .materialize())
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.loc[df["src"] % 2 == 1]
+        out = pd.DataFrame({"suppkey": (s["src"] - 1) // 2,
+                            "cost": s["cost"]})
+        return out.sort_values(["cost", "suppkey"]).head(10)
+
+    out = dist.map_batches(topk, batch_format="pandas").to_pandas()
+    out = out.sort_values(["cost", "suppkey"]).head(10) \
+        .reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_CHEAPEST_SUPPLIERS = _cheapest_sql(_BF_HOPS)
+
+
 _BFS_DEPTH = 3
 
 
@@ -14619,6 +14794,7 @@ QUERIES = {
     "association_rules": q_association_rules,
     "centroid_split_drift": q_centroid_split_drift,
     "bfs_levels": q_bfs_levels,
+    "cheapest_suppliers": q_cheapest_suppliers,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14814,4 +14990,5 @@ ORACLE_SQL = {
     "association_rules": SQL_ASSOCIATION_RULES,
     "centroid_split_drift": SQL_CENTROID_SPLIT_DRIFT,
     "bfs_levels": SQL_BFS_LEVELS,
+    "cheapest_suppliers": SQL_CHEAPEST_SUPPLIERS,
 }

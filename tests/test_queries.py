@@ -2507,3 +2507,27 @@ def test_bfs_levels_hand_checked(ray_session, tmp_path):
         con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["bfs_levels"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_cheapest_suppliers_hand_checked(ray_session, tmp_path):
+    """Min-plus by hand: c1 trades with s1 via 2 orders (cost 5000)
+    and s2 via 1 (cost 10000); c2 trades with s1 (1 order) and s3
+    (2 orders, cost 5000). From seed c1: s1=5000, s2=10000,
+    s3 = 5000 + 10000 + 5000 = 20000 via c1-s1-c2-s3 (3 hops).
+    A strictly cheaper multi-hop path must beat a direct one: s2 stays
+    10000 because no 3-hop alternative is cheaper."""
+    pd.DataFrame({"o_orderkey": [1, 2, 3, 4, 5, 6],
+                  "o_custkey": [1, 1, 1, 2, 2, 2]}).to_parquet(
+        f"{tmp_path}/orders.parquet")
+    pd.DataFrame({"l_orderkey": [1, 2, 3, 4, 5, 6],
+                  "l_suppkey": [1, 1, 2, 1, 3, 3]}).to_parquet(
+        f"{tmp_path}/lineitem.parquet")
+    sf = str(tmp_path)
+    mine = Q.QUERIES["cheapest_suppliers"](sf)
+    got = {int(r["suppkey"]): int(r["cost"]) for _, r in mine.iterrows()}
+    assert got == {1: 5000, 2: 10000, 3: 20000}
+    con2 = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["cheapest_suppliers"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
