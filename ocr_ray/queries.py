@@ -6728,6 +6728,114 @@ FROM lineitem
 """
 
 
+def q_hll_overlap(sf_dir: str):
+    """Sketch set algebra — the audience-overlap question (how many
+    users were active BOTH in the first half of the month AND the
+    second?) answered entirely from mergeable HLL register arrays:
+    |A∩B| = est(A) + est(B) - est(A∪B), where the union sketch is the
+    elementwise register max — the ONLY way to intersect distincts at
+    10^12 scale without shuffling keys. Each leg's registers fold from
+    per-batch partials of a FILTER-pushed scan (no second read of the
+    other half's rows).
+
+    Hard-oracle discipline (the approx_distinct pattern): the exact
+    per-leg / union / intersection counts are also computed the
+    scalable way (per-batch unique tagged by leg -> one by-key bucketed
+    shuffle where a key's two leg flags meet -> O(buckets) partials),
+    and the THREE sketch estimates are asserted within tolerance
+    in-query (inclusion-exclusion compounds the per-sketch 1.6% error,
+    so the intersection gate is proportionally wider). The
+    SQL-checkable exact integers + constant flag are what the driver
+    hashes."""
+    cutoff = pd.Timestamp("2024-01-16")
+
+    def leg_regs(flt) -> np.ndarray:
+        ds = _read(sf_dir, "events", ["user_id", "ts"], filter=flt)
+
+        def regs(df: pd.DataFrame) -> pd.DataFrame:
+            r = H.hll_registers(df["user_id"].to_numpy(dtype=np.uint64))
+            return pd.DataFrame({"regs": [r.tobytes()]})
+
+        parts = ds.map_batches(regs, batch_format="pandas",
+                               batch_size=65536).to_pandas()
+        merged = np.zeros(4096, dtype=np.uint8)
+        for b in parts["regs"]:
+            merged = H.hll_merge(merged, np.frombuffer(b, dtype=np.uint8))
+        return merged
+
+    ra = leg_regs(pc.field("ts") < cutoff.to_datetime64())
+    rb = leg_regs(pc.field("ts") >= cutoff.to_datetime64())
+    ea = H.hll_estimate(ra)
+    eb = H.hll_estimate(rb)
+    eu = H.hll_estimate(H.hll_merge(ra, rb))
+    ei = ea + eb - eu
+
+    # exact legs/union/intersection via ONE bucketed pass over tagged
+    # distinct (user, leg) partials — a user's two flags meet in its
+    # bucket, so bucket-local set ops are global
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    B = _pair_buckets()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        leg = np.where(df["ts"].to_numpy() < cutoff.to_datetime64(),
+                       "a", "b")
+        out = pd.DataFrame({"u": u, "leg": leg}).drop_duplicates()
+        return out.assign(_b=out["u"] % B)
+
+    def bucket_sets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "leg"])
+        piv = g.assign(one=1).pivot_table(index="u", columns="leg",
+                                          values="one", fill_value=0)
+        a = piv["a"].to_numpy() if "a" in piv else np.zeros(len(piv))
+        b = piv["b"].to_numpy() if "b" in piv else np.zeros(len(piv))
+        return pd.DataFrame({
+            "n_a": [int(a.sum())], "n_b": [int(b.sum())],
+            "n_union": [len(piv)], "n_both": [int(((a > 0) & (b > 0)).sum())],
+        })
+
+    tot = (ds.map_batches(tag, batch_format="pandas", batch_size=65536)
+           .groupby("_b").map_groups(bucket_sets, batch_format="pandas")
+           .to_pandas().sum())
+    n_a, n_b = int(tot["n_a"]), int(tot["n_b"])
+    n_union, n_both = int(tot["n_union"]), int(tot["n_both"])
+    for est, exact, tol, what in ((ea, n_a, 0.05, "A"),
+                                  (eb, n_b, 0.05, "B"),
+                                  (eu, n_union, 0.05, "union"),
+                                  (ei, n_both, 0.15, "intersection")):
+        if exact > 0 and abs(est - exact) > tol * max(exact, 1):
+            raise AssertionError(
+                f"hll_overlap: {what} estimate {est:.0f} outside the "
+                f"{tol:.0%} gate vs exact {exact}")
+    return pd.DataFrame({
+        "n_first_half": pd.Series([n_a], dtype="int64"),
+        "n_second_half": pd.Series([n_b], dtype="int64"),
+        "n_union": pd.Series([n_union], dtype="int64"),
+        "n_both": pd.Series([n_both], dtype="int64"),
+        "sketch_ok": [True],
+    })
+
+
+SQL_HLL_OVERLAP = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '2024-01-16'
+), b AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16'
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_first_half,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_second_half,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT user_id FROM a UNION SELECT user_id FROM b))
+         AS n_union,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT user_id FROM a INTERSECT SELECT user_id FROM b))
+         AS n_both,
+       TRUE AS sketch_ok
+"""
+
+
 def q_multimodal_image_stats(sf_dir: str):
     """Binary-payload decode + per-image features + resize as ONE
     streamed chain of actor-pool stages (warm setup in __init__, small
@@ -14795,6 +14903,7 @@ QUERIES = {
     "centroid_split_drift": q_centroid_split_drift,
     "bfs_levels": q_bfs_levels,
     "cheapest_suppliers": q_cheapest_suppliers,
+    "hll_overlap": q_hll_overlap,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -14991,4 +15100,5 @@ ORACLE_SQL = {
     "centroid_split_drift": SQL_CENTROID_SPLIT_DRIFT,
     "bfs_levels": SQL_BFS_LEVELS,
     "cheapest_suppliers": SQL_CHEAPEST_SUPPLIERS,
+    "hll_overlap": SQL_HLL_OVERLAP,
 }

@@ -2531,3 +2531,25 @@ def test_cheapest_suppliers_hand_checked(ray_session, tmp_path):
         con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["cheapest_suppliers"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_hll_overlap_exact_sets(ray_session, tmp_path):
+    """Exact leg/union/intersection on a planted overlap: users 1-6 in
+    the first half, 4-9 in the second -> legs 6/6, union 9, both 3;
+    the sketch gate passes trivially at this size."""
+    rows = []
+    for u in range(1, 7):
+        rows.append((u, pd.Timestamp("2024-01-05")))
+    for u in range(4, 10):
+        rows.append((u, pd.Timestamp("2024-01-20")))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["hll_overlap"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_first_half"]), int(r["n_second_half"]),
+            int(r["n_union"]), int(r["n_both"])) == (6, 6, 9, 3)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["hll_overlap"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
