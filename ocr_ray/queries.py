@@ -8642,6 +8642,210 @@ LIMIT 10
 """
 
 
+def _ppr_sql(k: int) -> str:
+    """Generate the iterative-CTE oracle for k personalized-PageRank
+    iterations (teleport mass concentrated on the seed node)."""
+    d = _PAGERANK_DAMPING
+    iters = []
+    for i in range(1, k + 1):
+        iters.append(f"""r{i} AS (
+  SELECT e.dst AS node,
+         CASE WHEN e.dst = (SELECT node FROM seed)
+              THEN {(1 - d)!r} ELSE 0.0 END
+         + {d!r} * SUM(r.pr / dg.d) AS pr
+  FROM edges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg dg ON dg.node = e.src
+  GROUP BY e.dst
+)""")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+), seed AS (SELECT MIN(node) AS node FROM deg WHERE node % 2 = 0),
+r0 AS (
+  SELECT node, CASE WHEN node = (SELECT node FROM seed)
+                    THEN 1.0 ELSE 0.0 END AS pr
+  FROM deg
+),
+{','.join(iters)}
+SELECT CASE WHEN node % 2 = 0 THEN 'C' ELSE 'S' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS key,
+       ROUND(pr, 6) AS pr
+FROM r{k}
+ORDER BY pr DESC, node_type, key
+LIMIT 10
+"""
+
+
+def q_ppr_seed(sf_dir: str):
+    """Personalized PageRank from the smallest customer node — graph
+    proximity as a RECOMMENDATION score ('suppliers/customers in this
+    entity's orbit'), the seeded-teleport variant of :func:`q_pagerank`
+    and the classic random-walk-with-restart primitive. Identical
+    distributed machinery (edges materialized once in static taggings,
+    two bounded bucketed shuffles per iteration, coalesced unions, the
+    driver holds one seed id); the ONLY differences are the initial
+    vector (all mass at the seed) and the teleport term landing on the
+    seed alone — mass stays concentrated near the seed, so top-10 ranks
+    read as proximity. Same round-6 float-parity envelope the pagerank
+    oracle established."""
+    B = _pair_buckets()
+    W = max(8, _cpus())
+    D, K = _PAGERANK_DAMPING, _PAGERANK_ITERS
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(t["o_custkey"], pa.int64()),
+            "side": pa.array(["o"] * t.num_rows),
+        })
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
+             .group_by(["key", "val"]).aggregate([]))
+        key = d["key"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(d["val"], pa.int64()),
+            "side": pa.array(["l"] * d.num_rows),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == "o", ["key", "val"]].rename(
+            columns={"val": "cust"})
+        l = g.loc[g["side"] == "l", ["key", "val"]].rename(
+            columns={"val": "supp"})
+        p = o.merge(l, on="key")[["cust", "supp"]].drop_duplicates()
+        c = (p["cust"].to_numpy() * 2).astype(np.int64)
+        s = (p["supp"].to_numpy() * 2 + 1).astype(np.int64)
+        pb = ((c * np.int64(1000003)) ^ s) & (B - 1)
+        return pd.DataFrame({"pb": pb.astype("int32"), "c": c, "s": s})
+
+    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.drop_duplicates(["c", "s"])
+        src = np.concatenate([p["c"].to_numpy(), p["s"].to_numpy()])
+        dst = np.concatenate([p["s"].to_numpy(), p["c"].to_numpy()])
+        return pd.DataFrame({"bucket": (src & (B - 1)).astype("int32"),
+                             "src": src, "dst": dst})
+
+    edges = (
+        orders.map_batches(o_prep, batch_format="pyarrow")
+        .union(li.map_batches(l_prep, batch_format="pyarrow"))
+        .repartition(W)
+        .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+        .repartition(W)
+        .groupby("pb").map_groups(pair_distinct, batch_format="pandas")
+        .materialize()
+    )
+
+    def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("src", as_index=False).agg(deg=("dst", "size")) \
+                .rename(columns={"src": "node"})
+
+    deg = edges.groupby("bucket").map_groups(
+        deg_bucket, batch_format="pandas").materialize()
+    mins = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [df.loc[df["node"] % 2 == 0, "node"].min()]}),
+        batch_format="pandas").to_pandas()
+    seed = int(np.nanmin(mins["m"].to_numpy(np.float64)))
+
+    ranks = deg.map_batches(
+        lambda df: df.assign(
+            pr=np.where(df["node"].to_numpy() == seed, 1.0, 0.0)),
+        batch_format="pandas").materialize()
+
+    def e_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket": df["bucket"], "node": df["src"],
+                             "dst": df["dst"], "val": np.nan,
+                             "side": "e"})
+
+    def r_tag(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy()
+        return pd.DataFrame({"bucket": (node & (B - 1)).astype("int32"),
+                             "node": node, "dst": np.int64(-1),
+                             "val": df["pr"].to_numpy()
+                             / df["deg"].to_numpy(),
+                             "side": "r"})
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.loc[g["side"] == "r", ["node", "val"]]
+        e = g.loc[g["side"] == "e", ["node", "dst"]]
+        m = e.merge(w, on="node")
+        out = m.groupby("dst", as_index=False)["val"].sum()
+        dst = out["dst"].to_numpy()
+        return pd.DataFrame({"bucket2": (dst & (B - 1)).astype("int32"),
+                             "node": dst, "val": out["val"].to_numpy(),
+                             "side": "c"})
+
+    def d_tag(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy()
+        return pd.DataFrame({"bucket2": (node & (B - 1)).astype("int32"),
+                             "node": node,
+                             "val": df["deg"].to_numpy().astype("float64"),
+                             "side": "d"})
+
+    def update(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["side"] == "c"].groupby("node",
+                                            as_index=False)["val"].sum()
+        d_ = g.loc[g["side"] == "d", ["node", "val"]].rename(
+            columns={"val": "deg"})
+        m = d_.merge(c, on="node", how="left")
+        m["val"] = m["val"].fillna(0.0)
+        m["pr"] = np.where(m["node"].to_numpy() == seed, 1.0 - D, 0.0) \
+            + D * m["val"].to_numpy()
+        m["deg"] = m["deg"].astype("int64")
+        return m[["node", "pr", "deg"]]
+
+    edges_t = edges.map_batches(e_tag, batch_format="pandas") \
+                   .repartition(W).materialize()
+    deg_t = deg.map_batches(d_tag, batch_format="pandas") \
+               .repartition(W).materialize()
+    del edges, deg
+
+    for _ in range(K):
+        parts = (
+            edges_t.union(ranks.map_batches(r_tag, batch_format="pandas"))
+            .groupby("bucket").map_groups(contrib, batch_format="pandas")
+        )
+        ranks = (
+            parts.union(deg_t)
+            .repartition(W)
+            .groupby("bucket2").map_groups(update, batch_format="pandas")
+            .materialize()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy()
+        out = pd.DataFrame({
+            "node_type": np.where(node % 2 == 0, "C", "S"),
+            "key": (node // 2).astype("int64"),
+            "pr": df["pr"].to_numpy().round(6),
+        })
+        return out.sort_values(["pr", "node_type", "key"],
+                               ascending=[False, True, True]).head(10)
+
+    top = ranks.map_batches(finalize, batch_format="pandas").to_pandas()
+    return top.sort_values(["pr", "node_type", "key"],
+                           ascending=[False, True, True]) \
+              .head(10).reset_index(drop=True)
+
+
+SQL_PPR_SEED = _ppr_sql(_PAGERANK_ITERS)
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (4 power iterations, damping 0.85) over the
     undirected customer–supplier bipartite graph induced by
@@ -14904,6 +15108,7 @@ QUERIES = {
     "bfs_levels": q_bfs_levels,
     "cheapest_suppliers": q_cheapest_suppliers,
     "hll_overlap": q_hll_overlap,
+    "ppr_seed": q_ppr_seed,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15101,4 +15306,5 @@ ORACLE_SQL = {
     "bfs_levels": SQL_BFS_LEVELS,
     "cheapest_suppliers": SQL_CHEAPEST_SUPPLIERS,
     "hll_overlap": SQL_HLL_OVERLAP,
+    "ppr_seed": SQL_PPR_SEED,
 }

@@ -2553,3 +2553,26 @@ def test_hll_overlap_exact_sets(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["hll_overlap"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_ppr_seed_mass_concentrates_near_seed(ray_session, tmp_path):
+    """On a path graph c1-s1-c2-s2, PPR from c1 must rank c1 first and
+    weight s1 (1 hop) above s2 (3 hops) — locality pagerank does NOT
+    have (uniform teleport spreads mass everywhere)."""
+    pd.DataFrame({"o_orderkey": [1, 2, 3],
+                  "o_custkey": [1, 2, 2]}).to_parquet(
+        f"{tmp_path}/orders.parquet")
+    pd.DataFrame({"l_orderkey": [1, 2, 3],
+                  "l_suppkey": [1, 1, 2]}).to_parquet(
+        f"{tmp_path}/lineitem.parquet")
+    sf = str(tmp_path)
+    mine = Q.QUERIES["ppr_seed"](sf)
+    pr = {(r["node_type"], int(r["key"])): float(r["pr"])
+          for _, r in mine.iterrows()}
+    assert mine.iloc[0]["node_type"] == "C" and int(mine.iloc[0]["key"]) == 1
+    assert pr[("S", 1)] > pr[("S", 2)]
+    con2 = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["ppr_seed"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
