@@ -893,6 +893,101 @@ SELECT rule, n_checked, n_violations, n_violations = 0 AS ok FROM u
 """
 
 
+def q_encoding_audit(sf_dir: str):
+    """Delta-varint encoding audit over the sorted distinct orderkey
+    sequence — the column-encoding decision quantified (dense sorted
+    int64 keys compress ~10x under delta+varint; this row measures the
+    EXACT byte counts so the 'should this column be delta-encoded'
+    choice is data-driven, the zorder_layout sibling for encodings).
+
+    Distributed sorted adjacency without a global sort: keys
+    range-partition monotonically into W contiguous buckets (bucket =
+    key * W // (max+1), from one tiny min/max pass), each bucket sorts
+    its own distinct keys and emits (n, varint byte sum, min, max) —
+    the W-1 boundary deltas between adjacent buckets' max/min are
+    stitched by the driver from O(W) numbers. Convention on both
+    sides: the first value's delta is the value itself (vs 0); varint
+    length = 7-bit groups via the same CASE thresholds. All exact
+    integers; ratio is one mirrored division."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    W = max(8, _cpus())
+    ext = ds.map_batches(
+        lambda df: pd.DataFrame({"lo": [df["l_orderkey"].min()],
+                                 "hi": [df["l_orderkey"].max()]}),
+        batch_format="pandas").to_pandas()
+    hi = int(ext["hi"].max())
+
+    _TH = [128 ** k for k in range(1, 10)]
+
+    def vbytes(d: np.ndarray) -> np.ndarray:
+        b = np.ones(len(d), dtype=np.int64)
+        for t in _TH:
+            b += (d >= t).astype(np.int64)
+        return b
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].drop_duplicates().astype("int64")
+        return pd.DataFrame({"k": k, "_b": (k * W // (hi + 1))
+                             .astype("int64")})
+
+    def bucket_enc(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(g["k"].unique())
+        d = np.diff(k)
+        return pd.DataFrame({
+            "_b": [int(g["_b"].iloc[0])], "n": [len(k)],
+            "inner_bytes": [int(vbytes(d).sum()) if len(d) else 0],
+            "kmin": [int(k[0])], "kmax": [int(k[-1])],
+        })
+
+    parts = (ds.map_batches(tag, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("_b").map_groups(bucket_enc,
+                                       batch_format="pandas")
+             .to_pandas().sort_values("_b").reset_index(drop=True))
+    n = int(parts["n"].sum())
+    total = int(parts["inner_bytes"].sum())
+    prev_max = 0  # first value's delta = the value itself
+    for _, r in parts.iterrows():
+        delta = np.array([int(r["kmin"]) - prev_max], dtype=np.int64)
+        total += int(vbytes(delta)[0])
+        prev_max = int(r["kmax"])
+    raw = 8 * n
+    return pd.DataFrame({
+        "n_values": pd.Series([n], dtype="int64"),
+        "raw_bytes": pd.Series([raw], dtype="int64"),
+        "varint_bytes": pd.Series([total], dtype="int64"),
+        "ratio": [round(total / float(raw), 6)],
+    })
+
+
+SQL_ENCODING_AUDIT = """
+WITH k AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem
+), d AS (
+  SELECT k - COALESCE(lag(k) OVER (ORDER BY k), 0) AS delta FROM k
+), b AS (
+  SELECT CASE
+           WHEN delta < 128 THEN 1
+           WHEN delta < 16384 THEN 2
+           WHEN delta < 2097152 THEN 3
+           WHEN delta < 268435456 THEN 4
+           WHEN delta < 34359738368 THEN 5
+           WHEN delta < 4398046511104 THEN 6
+           WHEN delta < 562949953421312 THEN 7
+           WHEN delta < 72057594037927936 THEN 8
+           ELSE 9
+         END AS nb
+  FROM d
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_values,
+       (SELECT CAST(8 * COUNT(*) AS BIGINT) FROM k) AS raw_bytes,
+       CAST(SUM(nb) AS BIGINT) AS varint_bytes,
+       ROUND(CAST(SUM(nb) AS DOUBLE)
+             / (SELECT 8.0 * COUNT(*) FROM k), 6) AS ratio
+FROM b
+"""
+
+
 _ZORDER_FILES = 64
 _ZORDER_BITS = 8
 
@@ -15109,6 +15204,7 @@ QUERIES = {
     "cheapest_suppliers": q_cheapest_suppliers,
     "hll_overlap": q_hll_overlap,
     "ppr_seed": q_ppr_seed,
+    "encoding_audit": q_encoding_audit,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15307,4 +15403,5 @@ ORACLE_SQL = {
     "cheapest_suppliers": SQL_CHEAPEST_SUPPLIERS,
     "hll_overlap": SQL_HLL_OVERLAP,
     "ppr_seed": SQL_PPR_SEED,
+    "encoding_audit": SQL_ENCODING_AUDIT,
 }

@@ -2576,3 +2576,22 @@ def test_ppr_seed_mass_concentrates_near_seed(ray_session, tmp_path):
         con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["ppr_seed"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_encoding_audit_hand_checked(ray_session, tmp_path):
+    """Byte math by hand: distinct keys [1, 100, 300, 20000].
+    Deltas vs prev (first vs 0): 1 (1B), 99 (1B), 200 (2B),
+    19700 (3B, >= 16384) -> varint 7 bytes vs raw 32; crossing the
+    128 and 16384 varint thresholds exercises the CASE ladder."""
+    li = pd.DataFrame({"l_orderkey": [1, 100, 100, 300, 20000]})
+    sf = str(tmp_path)
+    li.to_parquet(f"{sf}/lineitem.parquet")
+    mine = Q.QUERIES["encoding_audit"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_values"]), int(r["raw_bytes"]),
+            int(r["varint_bytes"])) == (4, 32, 7)
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["encoding_audit"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
