@@ -988,6 +988,98 @@ FROM b
 """
 
 
+def q_key_gaps(sf_dir: str):
+    """Dense-sequence gap detection over distinct orderkeys — the
+    data-integrity scan behind 'did the loader drop a shard?' (a dense
+    surrogate-key column with a 40k-wide hole names the missing batch
+    directly). Same monotone range-bucket machinery as
+    :func:`q_encoding_audit`: each bucket reports its internal gap
+    stats plus (min, max), and the W-1 boundary deltas stitch on the
+    driver — exact integers throughout, no global sort. Output: the
+    number of gaps (delta > 1 between sorted neighbors), the widest
+    gap's size and start key, and the total missing count
+    (range span minus distinct)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    W = max(8, _cpus())
+    ext = ds.map_batches(
+        lambda df: pd.DataFrame({"hi": [df["l_orderkey"].max()]}),
+        batch_format="pandas").to_pandas()
+    hi = int(ext["hi"].max())
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].drop_duplicates().astype("int64")
+        return pd.DataFrame({"k": k, "_b": (k * W // (hi + 1))
+                             .astype("int64")})
+
+    def bucket_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(g["k"].unique())
+        d = np.diff(k)
+        gaps = d[d > 1]
+        widest = int(gaps.max()) - 1 if len(gaps) else 0
+        wstart = int(k[:-1][d == (widest + 1)][0]) if widest else -1
+        return pd.DataFrame({
+            "_b": [int(g["_b"].iloc[0])], "n": [len(k)],
+            "n_gaps": [int(len(gaps))],
+            "widest": [widest], "wstart": [wstart],
+            "kmin": [int(k[0])], "kmax": [int(k[-1])],
+        })
+
+    parts = (ds.map_batches(tag, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("_b").map_groups(bucket_gaps,
+                                       batch_format="pandas")
+             .to_pandas().sort_values("_b").reset_index(drop=True))
+    n = int(parts["n"].sum())
+    n_gaps = int(parts["n_gaps"].sum())
+    # candidate widest gaps: each bucket's (max gap, earliest start)
+    # plus every boundary gap; global pick = (gap DESC, start ASC) —
+    # sound because a bucket reports ITS max, and any gap tying the
+    # global max is its own bucket's max too
+    cands = [(int(r["widest"]), int(r["wstart"]))
+             for _, r in parts.iterrows() if int(r["widest"]) > 0]
+    prev_max = None
+    for _, r in parts.iterrows():
+        if prev_max is not None:
+            d = int(r["kmin"]) - prev_max
+            if d > 1:
+                n_gaps += 1
+                cands.append((d - 1, prev_max))
+        prev_max = int(r["kmax"])
+    widest, wstart = (max(cands, key=lambda c: (c[0], -c[1]))
+                      if cands else (0, -1))
+    kmin = int(parts["kmin"].iloc[0])
+    kmax = int(parts["kmax"].iloc[-1])
+    missing = (kmax - kmin + 1) - n
+    return pd.DataFrame({
+        "n_distinct": pd.Series([n], dtype="int64"),
+        "n_gaps": pd.Series([n_gaps], dtype="int64"),
+        "widest_gap": pd.Series([widest], dtype="int64"),
+        "gap_after_key": pd.Series([wstart], dtype="int64"),
+        "n_missing": pd.Series([missing], dtype="int64"),
+    })
+
+
+SQL_KEY_GAPS = """
+WITH k AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem
+), d AS (
+  SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k
+), g AS (
+  SELECT pk AS start_key, k - pk - 1 AS gap
+  FROM d WHERE pk IS NOT NULL AND k - pk > 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS widest_gap,
+       CAST(COALESCE((SELECT start_key FROM g
+                      ORDER BY gap DESC, start_key LIMIT 1), -1)
+            AS BIGINT) AS gap_after_key,
+       (SELECT CAST(MAX(k) - MIN(k) + 1 - COUNT(*) AS BIGINT) FROM k)
+         AS n_missing
+FROM g
+"""
+
+
 _ZORDER_FILES = 64
 _ZORDER_BITS = 8
 
@@ -15205,6 +15297,7 @@ QUERIES = {
     "hll_overlap": q_hll_overlap,
     "ppr_seed": q_ppr_seed,
     "encoding_audit": q_encoding_audit,
+    "key_gaps": q_key_gaps,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15404,4 +15497,5 @@ ORACLE_SQL = {
     "hll_overlap": SQL_HLL_OVERLAP,
     "ppr_seed": SQL_PPR_SEED,
     "encoding_audit": SQL_ENCODING_AUDIT,
+    "key_gaps": SQL_KEY_GAPS,
 }

@@ -2595,3 +2595,24 @@ def test_encoding_audit_hand_checked(ray_session, tmp_path):
         f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["encoding_audit"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_key_gaps_planted_hole(ray_session, tmp_path):
+    """Planted holes: keys 1..10 plus 50..52 plus 100. Gaps: after 10
+    (width 39), after 52 (width 47) -> 2 gaps, widest 47 after key 52,
+    missing = 100 - 1 + 1 - 14 = 86. A tie in widest picks the
+    EARLIEST start on both sides."""
+    keys = list(range(1, 11)) + [50, 51, 52, 100]
+    li = pd.DataFrame({"l_orderkey": keys + keys})  # dups collapse
+    sf = str(tmp_path)
+    li.to_parquet(f"{sf}/lineitem.parquet")
+    mine = Q.QUERIES["key_gaps"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_distinct"]), int(r["n_gaps"]), int(r["widest_gap"]),
+            int(r["gap_after_key"]), int(r["n_missing"])) == \
+        (14, 2, 47, 52, 86)
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["key_gaps"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
