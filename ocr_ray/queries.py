@@ -1080,6 +1080,97 @@ FROM g
 """
 
 
+def q_rle_audit(sf_dir: str):
+    """Run-length sortedness audit — the third layout lever (with
+    Z-order and delta-varint): how well would o_orderpriority
+    RLE-compress under the table's natural (o_orderdate, o_orderkey)
+    order, vs the n_distinct-run floor a priority-clustered layout
+    achieves? runs/rows near 1 says the column is unsorted noise in
+    this layout (dictionary-encode it); near 0 says RLE wins.
+
+    Distributed ordered adjacency without a global sort: rows map to
+    the monotone composite m = day * 2^32 + orderkey and
+    range-partition into W contiguous buckets; each bucket sorts its
+    own rows and emits (rows, internal transitions, first/last
+    priority); the driver stitches W-1 boundary comparisons. Exact
+    integers; the ratio is one mirrored division."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    W = max(8, _cpus())
+    epoch = pd.Timestamp("1995-01-01")
+
+    def mkey(df: pd.DataFrame) -> pd.Series:
+        day = (df["o_orderdate"] - epoch).dt.days.astype("int64")
+        return day * (2 ** 32) + df["o_orderkey"].astype("int64")
+
+    ext = ds.map_batches(
+        lambda df: pd.DataFrame({"hi": [mkey(df).max()]}),
+        batch_format="pandas").to_pandas()
+    hi = int(ext["hi"].max())
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        m = mkey(df)
+        return pd.DataFrame({"m": m, "p": df["o_orderpriority"],
+                             "_b": (m * W // (hi + 1)).astype("int64")})
+
+    def bucket_runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("m")
+        p = g["p"].to_numpy()
+        trans = int((p[1:] != p[:-1]).sum()) if len(p) > 1 else 0
+        return pd.DataFrame({
+            "_b": [int(g["_b"].iloc[0])], "n": [len(p)],
+            "trans": [trans], "first": [p[0]], "last": [p[-1]],
+            "ndist": [int(pd.unique(p).size)],
+        })
+
+    parts = (ds.map_batches(tag, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("_b").map_groups(bucket_runs,
+                                       batch_format="pandas")
+             .to_pandas().sort_values("_b").reset_index(drop=True))
+    n = int(parts["n"].sum())
+    trans = int(parts["trans"].sum())
+    prev_last = None
+    for _, r in parts.iterrows():
+        if prev_last is not None and r["first"] != prev_last:
+            trans += 1
+        prev_last = r["last"]
+    runs = trans + 1
+    # distinct priorities: union of tiny per-bucket distinct counts
+    # would overcount across buckets — rebuild from first/last plus a
+    # dedicated tiny fold instead
+    dvals = (ds.map_batches(
+        lambda df: df[["o_orderpriority"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()["o_orderpriority"]
+        .nunique())
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype="int64"),
+        "runs_date_order": pd.Series([runs], dtype="int64"),
+        "runs_floor": pd.Series([int(dvals)], dtype="int64"),
+        "rle_ratio": [round(runs / float(n), 6)],
+    })
+
+
+SQL_RLE_AUDIT = """
+WITH o AS (
+  SELECT o_orderpriority AS p,
+         lag(o_orderpriority) OVER (
+           ORDER BY o_orderdate, o_orderkey) AS pp
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 + SUM(CASE WHEN pp IS NOT NULL AND p <> pp
+                         THEN 1 ELSE 0 END) AS BIGINT)
+         AS runs_date_order,
+       (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+        FROM orders) AS runs_floor,
+       ROUND(CAST(1 + SUM(CASE WHEN pp IS NOT NULL AND p <> pp
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS rle_ratio
+FROM o
+"""
+
+
 _ZORDER_FILES = 64
 _ZORDER_BITS = 8
 
@@ -15298,6 +15389,7 @@ QUERIES = {
     "ppr_seed": q_ppr_seed,
     "encoding_audit": q_encoding_audit,
     "key_gaps": q_key_gaps,
+    "rle_audit": q_rle_audit,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15498,4 +15590,5 @@ ORACLE_SQL = {
     "ppr_seed": SQL_PPR_SEED,
     "encoding_audit": SQL_ENCODING_AUDIT,
     "key_gaps": SQL_KEY_GAPS,
+    "rle_audit": SQL_RLE_AUDIT,
 }

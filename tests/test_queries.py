@@ -2616,3 +2616,27 @@ def test_key_gaps_planted_hole(ray_session, tmp_path):
         f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["key_gaps"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_rle_audit_hand_checked(ray_session, tmp_path):
+    """Runs by hand: priorities in (date, key) order are
+    A A B B A -> 3 runs over 5 rows; floor = 2 distinct. The planted
+    same-day rows pin the o_orderkey tiebreak inside the composite
+    sort key."""
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5],
+        "o_orderdate": pd.to_datetime(
+            ["1995-01-01", "1995-01-01", "1995-01-02",
+             "1995-01-03", "1995-01-03"]),
+        "o_orderpriority": ["A", "A", "B", "B", "A"],
+    })
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["rle_audit"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_rows"]), int(r["runs_date_order"]),
+            int(r["runs_floor"])) == (5, 3, 2)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["rle_audit"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
