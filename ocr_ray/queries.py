@@ -988,6 +988,63 @@ FROM b
 """
 
 
+def q_target_encoding(sf_dir: str):
+    """Smoothed target encoding — the categorical feature-engineering
+    primitive (replace a category with its smoothed target mean so
+    rare categories shrink toward the global mean instead of
+    memorizing noise): enc(c) = (sum_c + m * global_mean) / (n_c + m)
+    with m = 100, target = price cents, categories = order priority.
+    One streamed scan emits per-category exact integer (n, sum cents)
+    partials; the driver folds O(categories) rows. The global mean and
+    every encoding are the SAME float expression over exact integers
+    on both sides (global_mean division first, then the smoothing
+    formula — mirrored order), round-6 dollars."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    M = 100.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({"grp": df["o_orderpriority"],
+                          "n": np.int64(1), "s": c})
+        return g.groupby("grp", as_index=False).sum()
+
+    parts = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+             .groupby("grp", as_index=False).sum())
+    n_tot = int(parts["n"].sum())
+    s_tot = sum(int(v) for v in parts["s"])
+    gmean = float(s_tot) / n_tot
+    rows = []
+    for _, r in parts.iterrows():
+        n, s = int(r["n"]), int(r["s"])
+        enc = (float(s) + M * gmean) / (n + M)
+        rows.append((r["grp"], n, round(enc / 100.0, 6)))
+    out = pd.DataFrame(rows, columns=["o_orderpriority", "n",
+                                      "encoded_dollars"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_TARGET_ENCODING = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), s AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sc
+  FROM c GROUP BY o_orderpriority
+), g AS (
+  SELECT CAST(SUM(sc) AS DOUBLE) / SUM(n) AS gmean FROM s
+)
+SELECT o_orderpriority, n,
+       ROUND(((CAST(sc AS DOUBLE) + 100.0 * g.gmean) / (n + 100.0))
+             / 100.0, 6) AS encoded_dollars
+FROM s CROSS JOIN g
+"""
+
+
 def q_key_gaps(sf_dir: str):
     """Dense-sequence gap detection over distinct orderkeys — the
     data-integrity scan behind 'did the loader drop a shard?' (a dense
@@ -15390,6 +15447,7 @@ QUERIES = {
     "encoding_audit": q_encoding_audit,
     "key_gaps": q_key_gaps,
     "rle_audit": q_rle_audit,
+    "target_encoding": q_target_encoding,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15591,4 +15649,5 @@ ORACLE_SQL = {
     "encoding_audit": SQL_ENCODING_AUDIT,
     "key_gaps": SQL_KEY_GAPS,
     "rle_audit": SQL_RLE_AUDIT,
+    "target_encoding": SQL_TARGET_ENCODING,
 }

@@ -2640,3 +2640,27 @@ def test_rle_audit_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["rle_audit"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_target_encoding_shrinks_rare_categories(ray_session, tmp_path):
+    """The smoothing point: a single-row category at $1000 must encode
+    FAR closer to the global mean than to its own mean, while a
+    1000-row category at $10 encodes near $10. Exact formula checked
+    against hand arithmetic."""
+    rows = [("COMMON", 10.0)] * 1000 + [("RARE", 1000.0)]
+    orders = pd.DataFrame(rows, columns=["o_orderpriority",
+                                         "o_totalprice"])
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["target_encoding"](sf)
+    got = {r["o_orderpriority"]: float(r["encoded_dollars"])
+           for _, r in mine.iterrows()}
+    gmean = (1000 * 1000 + 100000) / 1001.0  # cents
+    rare = (100000 + 100.0 * gmean) / 101.0 / 100.0
+    assert abs(got["RARE"] - round(rare, 6)) < 1e-9
+    assert got["RARE"] < 25.0       # shrunk toward ~$11, not $1000
+    assert abs(got["COMMON"] - 10.0) < 0.2
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["target_encoding"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
