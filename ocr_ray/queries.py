@@ -14913,6 +14913,153 @@ FROM ({unions})
 SQL_LOGREG_TRAIN = _logreg_sql(_LOGREG_ITERS, _LOGREG_LR)
 
 
+def _logreg_cv_sql(iters: int, lr: float) -> str:
+    """Generated 2-fold CV mirror: one full fixed-point GD chain per
+    fold (train on orderkey parity f, evaluate with the FINAL weights
+    on the complementary fold)."""
+    cte = ["""featk AS MATERIALIZED (
+  SELECT o_orderkey % 2 AS fold,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+)"""]
+    outs = []
+    for f in (0, 1):
+        cte.append(f"""tr{f} AS MATERIALIZED (
+  SELECT cents, y FROM featk WHERE fold = {f}
+)""")
+        cte.append(f"nn{f} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n "
+                   f"FROM tr{f})")
+        cte.append(f"f{f}it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, "
+                   f"CAST(0.0 AS DOUBLE) AS w1)")
+        for i in range(1, iters + 1):
+            p = i - 1
+            z = (f"((SELECT w0 FROM f{f}it{p}) + "
+                 f"(SELECT w1 FROM f{f}it{p}) * (cents * 1e-08))")
+            cte.append(f"""f{f}g{i} AS MATERIALIZED (
+  SELECT CAST(SUM(r) AS DOUBLE) AS g0,
+         CAST(SUM(r * cents) AS DOUBLE) AS g1
+  FROM (
+    SELECT cents,
+           CAST(FLOOR((1.0 / (1.0 + EXP(-{z})) - y) * 1000000.0)
+                AS BIGINT) AS r
+    FROM tr{f})
+)""")
+            cte.append(f"""f{f}it{i} AS MATERIALIZED (
+  SELECT (SELECT w0 FROM f{f}it{p})
+           - {lr!r} * ((SELECT g0 FROM f{f}g{i}) / 1000000.0)
+             / (SELECT n FROM nn{f}) AS w0,
+         (SELECT w1 FROM f{f}it{p})
+           - {lr!r} * (((SELECT g1 FROM f{f}g{i}) / 1000000.0)
+                       / 100000000.0)
+             / (SELECT n FROM nn{f}) AS w1
+)""")
+        cte.append(f"""ev{f} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS test_n,
+         CAST(SUM(CASE WHEN (((SELECT w0 FROM f{f}it{iters})
+                   + (SELECT w1 FROM f{f}it{iters}) * (cents * 1e-08))
+                   >= 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM featk WHERE fold = {1 - f}
+)""")
+        outs.append(
+            f"SELECT {f} AS fold, (SELECT CAST(n AS BIGINT) FROM "
+            f"(SELECT COUNT(*) AS n FROM tr{f})) AS train_n, "
+            f"(SELECT test_n FROM ev{f}) AS test_n, "
+            f"(SELECT w0 FROM f{f}it{iters}) AS w0, "
+            f"(SELECT w1 FROM f{f}it{iters}) AS w1, "
+            f"CAST((SELECT m FROM ev{f}) AS DOUBLE)"
+            f" / (SELECT test_n FROM ev{f}) AS test_acc")
+    unions = "\nUNION ALL\n".join(outs)
+    return f"""
+WITH {','.join(cte)}
+SELECT CAST(fold AS BIGINT) AS fold, train_n, test_n,
+       ROUND(w0, 9) AS w0, ROUND(w1, 9) AS w1,
+       ROUND(test_acc, 9) AS test_acc
+FROM ({unions})
+"""
+
+
+def q_logreg_cv(sf_dir: str):
+    """2-fold cross-validated logistic regression — the honest eval
+    protocol on top of :func:`q_logreg_train` (training accuracy
+    flatters; held-out accuracy is the number a model card reports).
+    Folds are the deterministic orderkey parity (no RNG, stable across
+    cluster sizes); each fold trains the same fixed-point GD loop on
+    its half and evaluates the FINAL weights on the complement. All
+    gradient sums stay exact integers (Python big-int folds / HUGEINT),
+    the weight trajectories and accuracies are mirrored double
+    expressions — the whole 2x(5-iteration) protocol is bit-checkable.
+    Per iteration and fold: ONE streamed scan, O(features) driver
+    state."""
+    import math
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def feat(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        y = pc.cast(pc.equal(t["o_orderpriority"], "1-URGENT"),
+                    pa.int64())
+        fold = pc.cast(pc.bit_wise_and(t["o_orderkey"], 1), pa.int64())
+        return pa.table({"fold": fold, "cents": cents, "y": y})
+
+    fds = ds.map_batches(feat, batch_format="pyarrow").materialize()
+    rows = []
+    for f in (0, 1):
+        cnt = fds.map_batches(
+            lambda df, _f=f: pd.DataFrame(
+                {"tr": [int((df["fold"] == _f).sum())],
+                 "te": [int((df["fold"] != _f).sum())]}),
+            batch_format="pandas").to_pandas().sum()
+        train_n, test_n = int(cnt["tr"]), int(cnt["te"])
+        w0, w1 = 0.0, 0.0
+        for _ in range(_LOGREG_ITERS):
+            ref = ray.put((w0, w1, f))
+
+            def grad(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+                a, b, ff = ray.get(_r)
+                sub = df.loc[df["fold"] == ff]
+                c = sub["cents"].to_numpy(np.int64)
+                yv = sub["y"].to_numpy(np.int64)
+                z = a + b * (c * 1e-08)
+                s = np.array([1.0 / (1.0 + math.exp(-v)) for v in z],
+                             dtype=np.float64)
+                r = np.floor((s - yv) * 1000000.0).astype(np.int64)
+                return pd.DataFrame({"g0": [int(r.sum())],
+                                     "g1": [int((r * c).sum())]})
+
+            p = fds.map_batches(grad, batch_format="pandas",
+                                batch_size=8192).to_pandas()
+            g0 = sum(int(v) for v in p["g0"])
+            g1 = sum(int(v) for v in p["g1"])
+            w0 = w0 - _LOGREG_LR * (float(g0) / 1000000.0) / float(train_n)
+            w1 = w1 - _LOGREG_LR * ((float(g1) / 1000000.0)
+                                    / 100000000.0) / float(train_n)
+        ref = ray.put((w0, w1, f))
+
+        def ev(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            a, b, ff = ray.get(_r)
+            sub = df.loc[df["fold"] != ff]
+            c = sub["cents"].to_numpy(np.int64)
+            yv = sub["y"].to_numpy(np.int64)
+            z = a + b * (c * 1e-08)
+            return pd.DataFrame({"m": [int(((z >= 0) == (yv == 1)).sum())]})
+
+        m = int(fds.map_batches(ev, batch_format="pandas",
+                                batch_size=8192).to_pandas()["m"].sum())
+        rows.append((f, train_n, test_n, round(w0, 9), round(w1, 9),
+                     round(float(m) / float(test_n), 9)))
+    out = pd.DataFrame(rows, columns=["fold", "train_n", "test_n",
+                                      "w0", "w1", "test_acc"])
+    for c in ("fold", "train_n", "test_n"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_LOGREG_CV = _logreg_cv_sql(_LOGREG_ITERS, _LOGREG_LR)
+
+
 _REDACT_PAT = r"\b[a-z]{5,}er\b"   # RE2-safe PII-surrogate span pattern
 
 
@@ -15448,6 +15595,7 @@ QUERIES = {
     "key_gaps": q_key_gaps,
     "rle_audit": q_rle_audit,
     "target_encoding": q_target_encoding,
+    "logreg_cv": q_logreg_cv,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15650,4 +15798,5 @@ ORACLE_SQL = {
     "key_gaps": SQL_KEY_GAPS,
     "rle_audit": SQL_RLE_AUDIT,
     "target_encoding": SQL_TARGET_ENCODING,
+    "logreg_cv": SQL_LOGREG_CV,
 }

@@ -2664,3 +2664,28 @@ def test_target_encoding_shrinks_rare_categories(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["target_encoding"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_logreg_cv_folds_disjoint_and_learnable(ray_session, tmp_path):
+    """On a separable planted problem (urgent iff price > $500) both
+    folds must recover a high held-out accuracy, fold sizes must
+    partition the table by orderkey parity, and weights must differ
+    between folds (they saw different halves)."""
+    n = 400
+    keys = np.arange(1, n + 1)
+    price = np.where(keys % 3 == 0, 900.0, 100.0)
+    prio = np.where(price > 500.0, "1-URGENT", "5-LOW")
+    orders = pd.DataFrame({"o_orderkey": keys, "o_totalprice": price,
+                           "o_orderpriority": prio})
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["logreg_cv"](sf)
+    assert list(mine["fold"]) == [0, 1]
+    assert int(mine["train_n"].sum()) == n
+    for _, r in mine.iterrows():
+        assert int(r["train_n"]) + int(r["test_n"]) == n
+        assert float(r["test_acc"]) > 0.6
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["logreg_cv"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
