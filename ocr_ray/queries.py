@@ -3694,6 +3694,70 @@ FROM d GROUP BY detected_type, reject_reason
 """
 
 
+def q_noise_distribution(sf_dir: str):
+    """word2vec negative-sampling noise table: the unigram distribution
+    raised to 3/4 (Mikolov's smoothing — lifts rare words, damps the
+    head) over the top-20 tokens, with exact integer counts and the
+    smoothed probability as ROUND(pow(cf, 0.75) / total, 6). The
+    denominator is the 3/4-power mass of the FULL vocabulary (not just
+    the head), accumulated as one mirrored SUM over per-token doubles —
+    term order differs between engines but the ~1e-15 slack dies in
+    round-6 (the label_centroids argument). Counts fold through the
+    standard bucketed combine; the driver holds the head plus one
+    scalar mass."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+") \
+            .explode().dropna()
+        c = toks.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(),
+                             "cf": c.to_numpy().astype(np.int64)})
+
+    # full-vocabulary combine WITHOUT a top-k prune: the smoothed mass
+    # needs every token's cf^0.75; the per-bucket prune emits the
+    # bucket's partial mass alongside its top rows
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        mass = float(np.power(g["cf"].to_numpy(np.float64), 0.75).sum())
+        top = g.sort_values(["cf", "token"],
+                            ascending=[False, True]).head(20)
+        out = top.copy()
+        out["mass"] = 0.0
+        sentinel = pd.DataFrame({"token": [""], "cf": [np.int64(0)],
+                                 "mass": [mass]})
+        return pd.concat([out, sentinel], ignore_index=True)
+
+    rowsdf = _bucketed_combine(
+        ds.map_batches(counts, batch_format="pandas", batch_size=8192),
+        ["token"], {"cf": "sum"}, prune=prune)
+    mass = float(rowsdf["mass"].sum())
+    head = rowsdf.loc[rowsdf["token"] != ""] \
+        .sort_values(["cf", "token"], ascending=[False, True]).head(20)
+    cf = head["cf"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "token": head["token"].to_numpy(),
+        "cf": cf,
+        "noise_p": np.round(np.power(cf.astype(np.float64), 0.75)
+                            / mass, 6),
+    }).reset_index(drop=True)
+
+
+SQL_NOISE_DISTRIBUTION = """
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM t GROUP BY token
+), m AS (
+  SELECT SUM(POWER(CAST(cf AS DOUBLE), 0.75)) AS mass FROM c
+)
+SELECT token, cf,
+       ROUND(POWER(CAST(cf AS DOUBLE), 0.75) / m.mass, 6) AS noise_p
+FROM c CROSS JOIN m
+ORDER BY cf DESC, token LIMIT 20
+"""
+
+
 def q_token_burstiness(sf_dir: str):
     """Token burstiness (Church–Gale): for the top-20 tokens by corpus
     frequency, cf / df — the mean occurrences per CONTAINING document.
@@ -15596,6 +15660,7 @@ QUERIES = {
     "rle_audit": q_rle_audit,
     "target_encoding": q_target_encoding,
     "logreg_cv": q_logreg_cv,
+    "noise_distribution": q_noise_distribution,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15799,4 +15864,5 @@ ORACLE_SQL = {
     "rle_audit": SQL_RLE_AUDIT,
     "target_encoding": SQL_TARGET_ENCODING,
     "logreg_cv": SQL_LOGREG_CV,
+    "noise_distribution": SQL_NOISE_DISTRIBUTION,
 }

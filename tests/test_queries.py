@@ -2689,3 +2689,22 @@ def test_logreg_cv_folds_disjoint_and_learnable(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["logreg_cv"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_noise_distribution_smoothing_property(ray_session, tmp_path):
+    """The 3/4-power point: with counts 16 and 1, raw probabilities are
+    16/17 vs 1/17 but smoothed are 8/9 vs 1/9 (16^0.75 = 8) — the rare
+    token's noise probability RISES. Exact values checked."""
+    docs = pd.DataFrame({"doc_id": [1], "text": [" ".join(["a"] * 16 + ["b"])]})
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["noise_distribution"](sf)
+    got = {r["token"]: (int(r["cf"]), float(r["noise_p"]))
+           for _, r in mine.iterrows()}
+    assert got["a"] == (16, round(8 / 9, 6))
+    assert got["b"] == (1, round(1 / 9, 6))
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["noise_distribution"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
