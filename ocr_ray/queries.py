@@ -3694,6 +3694,64 @@ FROM d GROUP BY detected_type, reject_reason
 """
 
 
+_MIX_SLOTS = 64
+
+
+def q_mixing_schedule(sf_dir: str):
+    """Deterministic data-mixing schedule — the ORDER a trainer reads
+    sources in so that every prefix of the stream matches the target
+    mixture (stride scheduling / smooth weighted round-robin, the
+    standard alternative to RNG interleaving: reproducible across
+    cluster sizes and resumable from any slot). Source s with weight
+    n_s (its doc count) emits ticks (2k+1)/(2 n_s); the first
+    ``_MIX_SLOTS`` events by (tick, source) are the schedule.
+
+    Shape: weights are one map-side fold; the schedule itself is
+    O(sources x slots) driver work — the whole point is that the
+    SCHEDULE is tiny while the data it orders is not. Ticks are the
+    same two-integer division on both sides and ties break on the
+    source name, so the slot sequence is bit-deterministic."""
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    w = (ds.map_batches(partial, batch_format="pandas",
+                        batch_size=65536).to_pandas()
+         .groupby("source", as_index=False)["n"].sum())
+    ticks = []
+    for _, r in w.iterrows():
+        n = int(r["n"])
+        for k in range(_MIX_SLOTS):
+            ticks.append(((2 * k + 1) / (2.0 * n), str(r["source"])))
+    ticks.sort()
+    out = pd.DataFrame({
+        "slot": np.arange(1, _MIX_SLOTS + 1, dtype=np.int64),
+        "source": [s for _, s in ticks[:_MIX_SLOTS]],
+    })
+    return out
+
+
+SQL_MIXING_SCHEDULE = """
+WITH w AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, (2 * k + 1) / (2.0 * n) AS tick
+  FROM w, LATERAL (SELECT unnest(generate_series(0, {S} - 1)) AS k)
+), r AS (
+  SELECT source,
+         row_number() OVER (ORDER BY tick, source) AS slot
+  FROM t
+)
+SELECT CAST(slot AS BIGINT) AS slot, source
+FROM r WHERE slot <= {S}
+""".replace("{S}", str(_MIX_SLOTS))
+
+
 def q_noise_distribution(sf_dir: str):
     """word2vec negative-sampling noise table: the unigram distribution
     raised to 3/4 (Mikolov's smoothing — lifts rare words, damps the
@@ -15661,6 +15719,7 @@ QUERIES = {
     "target_encoding": q_target_encoding,
     "logreg_cv": q_logreg_cv,
     "noise_distribution": q_noise_distribution,
+    "mixing_schedule": q_mixing_schedule,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15865,4 +15924,5 @@ ORACLE_SQL = {
     "target_encoding": SQL_TARGET_ENCODING,
     "logreg_cv": SQL_LOGREG_CV,
     "noise_distribution": SQL_NOISE_DISTRIBUTION,
+    "mixing_schedule": SQL_MIXING_SCHEDULE,
 }

@@ -2708,3 +2708,26 @@ def test_noise_distribution_smoothing_property(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["noise_distribution"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_mixing_schedule_prefix_property(ray_session, tmp_path):
+    """Stride scheduling's defining property: with weights 3:1, every
+    4-slot prefix carries exactly three 'big' and one 'small', and the
+    very first slot goes to the heavier source (earliest tick)."""
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "source": ["big"] * 6 + ["small"] * 2,  # 3:1
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["mixing_schedule"](sf)
+    seq = list(mine["source"])
+    assert seq[0] == "big"
+    for i in range(0, 64, 4):
+        window = seq[i:i + 4]
+        assert window.count("big") == 3 and window.count("small") == 1
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["mixing_schedule"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
