@@ -3694,6 +3694,76 @@ FROM d GROUP BY detected_type, reject_reason
 """
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve — the tokenizer-size decision chart:
+    what fraction of ALL token occurrences does the top-k vocabulary
+    cover, at k = 1, 2, 4, ... 4096? (Zipf makes this curve steep; the
+    knee picks the vocab size.) Counts fold through the bucketed
+    combine with a per-bucket top-4096 prune (the global top-4096 is a
+    subset of the union of bucket top-4096s) PLUS a per-bucket total
+    sentinel so the denominator is the exact FULL occurrence mass, not
+    the pruned head's. Ranks use the deterministic (cf DESC, token)
+    order, ties included; shares are the same two-integer division
+    both sides, round-6."""
+    ds = _read(sf_dir, "documents", ["text"])
+    KS = [2 ** i for i in range(13)]  # 1 .. 4096
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+") \
+            .explode().dropna()
+        c = toks.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(),
+                             "cf": c.to_numpy().astype(np.int64)})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        total = int(g["cf"].sum())
+        top = g.sort_values(["cf", "token"],
+                            ascending=[False, True]).head(4096).copy()
+        top["total"] = np.int64(0)
+        sentinel = pd.DataFrame({"token": [""], "cf": [np.int64(0)],
+                                 "total": [np.int64(total)]})
+        return pd.concat([top, sentinel], ignore_index=True)
+
+    rows = _bucketed_combine(
+        ds.map_batches(counts, batch_format="pandas", batch_size=8192),
+        ["token"], {"cf": "sum"}, prune=prune)
+    total = int(rows["total"].sum())
+    head = rows.loc[rows["token"] != ""] \
+        .sort_values(["cf", "token"], ascending=[False, True]) \
+        .head(4096).reset_index(drop=True)
+    cum = np.cumsum(head["cf"].to_numpy(np.int64))
+    out = []
+    for k in KS:
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        out.append((k, covered, round(covered / float(total), 6)))
+    res = pd.DataFrame(out, columns=["k", "covered_tokens", "share"])
+    for c in ("k", "covered_tokens"):
+        res[c] = res[c].astype("int64")
+    return res
+
+
+SQL_VOCAB_COVERAGE = """
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM t GROUP BY token
+), r AS (
+  SELECT cf, row_number() OVER (ORDER BY cf DESC, token) AS rk,
+         SUM(cf) OVER (ORDER BY cf DESC, token
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+), tot AS (SELECT SUM(cf) AS total FROM c),
+ks AS (SELECT unnest([1,2,4,8,16,32,64,128,256,512,1024,2048,4096]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COALESCE(MAX(r.cum), 0) AS BIGINT) AS covered_tokens,
+       ROUND(CAST(COALESCE(MAX(r.cum), 0) AS DOUBLE)
+             / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS share
+FROM ks LEFT JOIN r ON r.rk <= ks.k
+GROUP BY ks.k
+"""
+
+
 _MIX_SLOTS = 64
 
 
@@ -15720,6 +15790,7 @@ QUERIES = {
     "logreg_cv": q_logreg_cv,
     "noise_distribution": q_noise_distribution,
     "mixing_schedule": q_mixing_schedule,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15925,4 +15996,5 @@ ORACLE_SQL = {
     "logreg_cv": SQL_LOGREG_CV,
     "noise_distribution": SQL_NOISE_DISTRIBUTION,
     "mixing_schedule": SQL_MIXING_SCHEDULE,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
 }

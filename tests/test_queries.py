@@ -2731,3 +2731,25 @@ def test_mixing_schedule_prefix_property(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["mixing_schedule"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_vocab_coverage_hand_checked(ray_session, tmp_path):
+    """Coverage by hand: counts a:8, b:4, c:2, d:1 (total 15).
+    k=1 -> 8/15, k=2 -> 12/15, k=4 -> 15/15; k beyond the vocabulary
+    stays at full coverage on both sides."""
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = pd.DataFrame({"doc_id": [1], "text": [text]})
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["vocab_coverage"](sf)
+    got = {int(r["k"]): (int(r["covered_tokens"]), float(r["share"]))
+           for _, r in mine.iterrows()}
+    assert got[1] == (8, round(8 / 15, 6))
+    assert got[2] == (12, round(12 / 15, 6))
+    assert got[4] == (15, 1.0)
+    assert got[4096] == (15, 1.0)
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["vocab_coverage"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
