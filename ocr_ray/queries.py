@@ -3694,6 +3694,84 @@ FROM d GROUP BY detected_type, reject_reason
 """
 
 
+def q_self_bleu(sf_dir: str):
+    """Self-BLEU-2 over a deterministic 50-doc sample — the corpus
+    DIVERSITY metric (high self-overlap = templated/mode-collapsed
+    text; the complement of the dedup family's near-duplicate hunt):
+    for every ordered pair (a, b) of sample docs, the bigram precision
+    |distinct bigrams(a) AND distinct bigrams(b)| / |distinct
+    bigrams(a)|, averaged. The sample (doc_id < 50) is the documented
+    sample-scale kernel — the metric is an O(sample^2) statistic by
+    definition, the corpus-scale work is only the filter-pushed read +
+    per-doc bigram-set extraction; at 10^12 docs the sample stays 50.
+
+    Exactness: intersections and per-doc bigram counts are exact
+    integers; the average of the 2450 ratio terms is a float sum whose
+    term order matches neither engine exactly, but ~1e-13 slack dies in
+    round-6 (the label_centroids argument)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < 50)
+
+    def bigram_sets(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, txt in zip(df["doc_id"], df["text"]):
+            toks = str(txt).lower().split()
+            bgs = sorted({f"{a} {b}" for a, b in zip(toks, toks[1:])})
+            rows.append((int(did), "\x1f".join(bgs), len(bgs)))
+        return pd.DataFrame(rows, columns=["doc_id", "bgs", "n_bg"])
+
+    docs = ds.map_batches(bigram_sets, batch_format="pandas") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    sets = [set(b.split("\x1f")) if b else set() for b in docs["bgs"]]
+    n = len(sets)
+    terms = []
+    for i in range(n):
+        if not sets[i]:
+            continue
+        for j in range(n):
+            # j must also have bigrams: the oracle's pair table only
+            # contains bigram-bearing docs on both sides
+            if i != j and sets[j]:
+                terms.append(len(sets[i] & sets[j]) / float(len(sets[i])))
+    val = round(float(np.sum(np.array(terms, dtype=np.float64)))
+                / len(terms), 6) if terms else 0.0
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "n_pairs": pd.Series([len(terms)], dtype="int64"),
+        "self_bleu2": [val],
+    })
+
+
+SQL_SELF_BLEU = r"""
+WITH s AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+  FROM documents WHERE doc_id < 50
+), bg AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS b
+  FROM (SELECT doc_id, string_split(nt, ' ') AS t
+        FROM s WHERE length(nt) > 0),
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+), nb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS x
+  FROM bg a JOIN bg b ON a.b = b.b AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT na.doc_id AS da, nbd.doc_id AS db,
+         CAST(COALESCE(i.x, 0) AS DOUBLE) / na.n AS p
+  FROM nb na JOIN nb nbd ON na.doc_id <> nbd.doc_id
+  LEFT JOIN inter i ON i.da = na.doc_id AND i.db = nbd.doc_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(p) / COUNT(*), 6) AS self_bleu2
+FROM pairs
+"""
+
+
 def q_vocab_coverage(sf_dir: str):
     """Vocabulary coverage curve — the tokenizer-size decision chart:
     what fraction of ALL token occurrences does the top-k vocabulary
@@ -15791,6 +15869,7 @@ QUERIES = {
     "noise_distribution": q_noise_distribution,
     "mixing_schedule": q_mixing_schedule,
     "vocab_coverage": q_vocab_coverage,
+    "self_bleu": q_self_bleu,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -15808,7 +15887,8 @@ for _n in ("SQL_FINGERPRINTS", "SQL_DEDUP_MINHASH", "SQL_DEDUP_SIMHASH",
            "SQL_CORPUS_FAMILIARITY", "SQL_VOCAB_GROWTH",
            "SQL_NGRAM_NOVELTY", "SQL_BIGRAM_FAMILIARITY",
            "SQL_SEGMENT_DEDUP", "SQL_DISTRIBUTION_DRIFT",
-           "SQL_CMS_TOKEN_COUNTS", "SQL_SKIPGRAM_COUNTS"):
+           "SQL_CMS_TOKEN_COUNTS", "SQL_SKIPGRAM_COUNTS",
+           "SQL_SELF_BLEU"):
     # import-time assert: a reformatted literal would make the replace
     # a silent no-op and revert that oracle to RE2's narrower \s
     assert r"'\s+'" in globals()[_n], f"{_n} lost its '\\s+' anchor"
@@ -15997,4 +16077,5 @@ ORACLE_SQL = {
     "noise_distribution": SQL_NOISE_DISTRIBUTION,
     "mixing_schedule": SQL_MIXING_SCHEDULE,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "self_bleu": SQL_SELF_BLEU,
 }

@@ -2753,3 +2753,26 @@ def test_vocab_coverage_hand_checked(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["vocab_coverage"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_self_bleu_hand_checked(ray_session, tmp_path):
+    """Bigram precision by hand on 3 tiny docs: doc0 'a b c'
+    {ab, bc}, doc1 'a b d' {ab, bd}, doc2 'x y' {xy}.
+    p(0->1)=1/2, p(1->0)=1/2, all pairs with doc2 = 0 ->
+    mean over 6 ordered pairs = 1/6. A one-token doc contributes
+    no pairs on either side."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c", "a b d", "x y", "solo"],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["self_bleu"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_docs"]), int(r["n_pairs"])) == (4, 6)
+    assert abs(float(r["self_bleu2"]) - round(1 / 6, 6)) < 1e-9
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["self_bleu"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
