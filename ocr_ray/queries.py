@@ -1702,6 +1702,71 @@ GROUP BY s.source, s.ns, t.nn
 """
 
 
+def q_arrival_rates(sf_dir: str):
+    """Per-event-type arrival-rate estimate from per-user streams: the
+    exponential-MLE mean inter-arrival (and its reciprocal rate) over
+    every user's consecutive same-type event gaps — the traffic-model
+    statistic behind capacity planning and synthetic-load generation.
+    Gaps are whole-second boundary counts (floor both endpoints — the
+    session_stats convention), summed as EXACT integers; the mean is
+    ONE division of two integers per type, round-6.
+
+    Shape: the user-bucket shuffle; each bucket computes every user's
+    per-type diffs in one vectorized sort+shift pass and emits
+    O(types) integer partials; the driver folds buckets x types tiny
+    rows. Types with no gaps anywhere are absent on both sides."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return df.assign(_b=u % B)
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        sec = g["ts"].dt.floor("s")
+        same = (g["user_id"].eq(g["user_id"].shift())
+                & g["event_type"].eq(g["event_type"].shift()))
+        d = (sec - sec.shift()).dt.total_seconds()
+        out = pd.DataFrame({
+            "event_type": g["event_type"][same],
+            "n_gaps": np.int64(1),
+            "gap_sec": d[same].astype("int64"),
+        })
+        return out.groupby("event_type", as_index=False).sum()
+
+    parts = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("_b").map_groups(gaps_bucket,
+                                       batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("event_type", as_index=False).agg(
+        n_gaps=("n_gaps", "sum"), gap_sec=("gap_sec", "sum"))
+    for c in ("n_gaps", "gap_sec"):
+        agg[c] = agg[c].astype("int64")
+    agg["mean_gap_sec"] = np.round(
+        agg["gap_sec"].to_numpy(np.float64)
+        / agg["n_gaps"].to_numpy(np.int64), 6)
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_ARRIVAL_RATES = """
+WITH g AS (
+  SELECT event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id), ts) AS d
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(d) AS BIGINT) AS n_gaps,
+       CAST(SUM(d) AS BIGINT) AS gap_sec,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(d), 6) AS mean_gap_sec
+FROM g WHERE d IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_ooo_inversions(sf_dir: str):
     """Out-of-order accounting — the watermark/late-data statistic a
     streaming ingester needs: within each user's stream, how many PAIRS
@@ -15870,6 +15935,7 @@ QUERIES = {
     "mixing_schedule": q_mixing_schedule,
     "vocab_coverage": q_vocab_coverage,
     "self_bleu": q_self_bleu,
+    "arrival_rates": q_arrival_rates,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16078,4 +16144,5 @@ ORACLE_SQL = {
     "mixing_schedule": SQL_MIXING_SCHEDULE,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "self_bleu": SQL_SELF_BLEU,
+    "arrival_rates": SQL_ARRIVAL_RATES,
 }

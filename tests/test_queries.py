@@ -2776,3 +2776,30 @@ def test_self_bleu_hand_checked(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["self_bleu"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_arrival_rates_hand_checked(ray_session, tmp_path):
+    """Gaps by hand: user 1 'click' at t0, t0+10s, t0+30s -> gaps 10,
+    20 (n=2, sum 30, mean 15); the interleaved 'view' at t0+5s must
+    NOT split the click stream; user 2's single click adds no gap;
+    sub-second fractions floor away (10.9s -> 10)."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, t0, 1, "click"),
+        (1, t0 + pd.Timedelta(seconds=5), 2, "view"),
+        (1, t0 + pd.Timedelta(seconds=10, milliseconds=900), 3, "click"),
+        (1, t0 + pd.Timedelta(seconds=30), 4, "click"),
+        (2, t0, 5, "click"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["arrival_rates"](sf)
+    got = {r["event_type"]: (int(r["n_gaps"]), int(r["gap_sec"]))
+           for _, r in mine.iterrows()}
+    assert got == {"click": (2, 30)}
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["arrival_rates"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
