@@ -1158,7 +1158,15 @@ def q_rle_audit(sf_dir: str):
 
     def mkey(df: pd.DataFrame) -> pd.Series:
         day = (df["o_orderdate"] - epoch).dt.days.astype("int64")
-        return day * (2 ** 32) + df["o_orderkey"].astype("int64")
+        k = df["o_orderkey"].astype("int64")
+        # envelope: orderkey bits must not overflow into the day field
+        # — a violation would silently reorder vs the oracle's
+        # (date, key) sort, so raise instead (the sibling-guard rule)
+        if len(k) and int(k.max()) >= 2 ** 32:
+            raise AssertionError(
+                "rle_audit: o_orderkey >= 2^32 breaks the composite "
+                "sort key — widen the key layout")
+        return day * (2 ** 32) + k
 
     ext = ds.map_batches(
         lambda df: pd.DataFrame({"hi": [mkey(df).max()]}),
@@ -1177,7 +1185,9 @@ def q_rle_audit(sf_dir: str):
         return pd.DataFrame({
             "_b": [int(g["_b"].iloc[0])], "n": [len(p)],
             "trans": [trans], "first": [p[0]], "last": [p[-1]],
-            "ndist": [int(pd.unique(p).size)],
+            # catalog-bounded distinct VALUES ride along so the floor
+            # needs no second table scan
+            "dvals": ["\x1f".join(sorted(pd.unique(p)))],
         })
 
     parts = (ds.map_batches(tag, batch_format="pandas",
@@ -1193,13 +1203,8 @@ def q_rle_audit(sf_dir: str):
             trans += 1
         prev_last = r["last"]
     runs = trans + 1
-    # distinct priorities: union of tiny per-bucket distinct counts
-    # would overcount across buckets — rebuild from first/last plus a
-    # dedicated tiny fold instead
-    dvals = (ds.map_batches(
-        lambda df: df[["o_orderpriority"]].drop_duplicates(),
-        batch_format="pandas").to_pandas()["o_orderpriority"]
-        .nunique())
+    dvals = len(set().union(
+        *(set(v.split("\x1f")) for v in parts["dvals"] if v)))
     return pd.DataFrame({
         "n_rows": pd.Series([n], dtype="int64"),
         "runs_date_order": pd.Series([runs], dtype="int64"),
@@ -1278,7 +1283,9 @@ def q_zorder_layout(sf_dir: str):
             "day": (df["o_orderdate"] - epoch).dt.days.astype("int64"),
         })
 
-    rows = ds.map_batches(base, batch_format="pandas", batch_size=65536)
+    # materialized: consumed by the extent fold AND the keyed expansion
+    rows = ds.map_batches(base, batch_format="pandas",
+                          batch_size=65536).materialize()
 
     ext = rows.map_batches(
         lambda df: pd.DataFrame({
@@ -1308,8 +1315,11 @@ def q_zorder_layout(sf_dir: str):
             }))
         return pd.concat(out, ignore_index=True)
 
+    # materialized: the key-histogram fold and the zone-map shuffle
+    # both consume it — lazy re-execution would double the 2x-row
+    # layout expansion
     tagged = rows.map_batches(keyed, batch_format="pandas",
-                              batch_size=65536)
+                              batch_size=65536).materialize()
 
     # key histogram -> exclusive cumulative offsets per layout (distinct
     # keys bounded by day range / 2^16 Morton codes — never corpus)
@@ -10154,6 +10164,10 @@ def q_hits_scores(sf_dir: str):
         .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
         .repartition(W)
         .groupby("pb").map_groups(pair_distinct, batch_format="pandas")
+        # materialized HERE: both taggings below consume this pipeline,
+        # and a lazy Dataset re-executes per consumer — without this the
+        # dominant edge-build shuffles run twice
+        .materialize()
     )
 
     # two static taggings of the edge set, materialized once: the
@@ -12181,21 +12195,32 @@ def q_association_rules(sf_dir: str):
         stats.filter(expr="kind == 'pair'"),
         ["p_a", "p_b"], {"n_ab": "sum"})
     pairs = pairs.loc[pairs["n_ab"] >= MINSUP]
-    small = stats.filter(expr="kind != 'pair'").to_pandas()
-    items = small.loc[small["kind"] == "item"] \
-        .groupby("p_a", as_index=False)["n_ab"].sum() \
-        .rename(columns={"p_a": "p", "n_ab": "n"})
-    n_orders = int(small.loc[small["kind"] == "n", "n_ab"].sum())
-    imap = dict(zip(items["p"].astype(int), items["n"].astype(int)))
-    rows = []
-    for _, r in pairs.iterrows():
-        a, b, nab = int(r["p_a"]), int(r["p_b"]), int(r["n_ab"])
-        na, nb = imap[a], imap[b]
-        lift = round(float(nab) * n_orders / (float(na) * nb), 6)
-        rows.append((a, b, nab, round(float(nab) / na, 6), lift))
-        rows.append((b, a, nab, round(float(nab) / nb, 6), lift))
-    out = pd.DataFrame(rows, columns=["antecedent", "consequent",
-                                      "n_ab", "confidence", "lift"])
+    # item partials fold IN THE CLUSTER (O(buckets x parts) rows never
+    # reach the driver — only the catalog-bounded distinct parts do);
+    # the basket-count sentinels are O(buckets)
+    items = _bucketed_combine(
+        stats.filter(expr="kind == 'item'"), ["p_a"], {"n_ab": "sum"}) \
+        .rename(columns={"p_a": "p", "n_ab": "n"})[["p", "n"]]
+    n_orders = int(stats.filter(expr="kind == 'n'")
+                   .to_pandas()["n_ab"].sum())
+    # vectorized rule construction: two merges + column arithmetic,
+    # no per-pair Python
+    m = pairs.merge(items.rename(columns={"p": "p_a", "n": "na"}),
+                    on="p_a") \
+        .merge(items.rename(columns={"p": "p_b", "n": "nb"}), on="p_b")
+    nab = m["n_ab"].to_numpy(np.int64).astype(np.float64)
+    na = m["na"].to_numpy(np.int64)
+    nb = m["nb"].to_numpy(np.int64)
+    lift = np.round(nab * n_orders / (na.astype(np.float64) * nb), 6)
+    fwd = pd.DataFrame({"antecedent": m["p_a"], "consequent": m["p_b"],
+                        "n_ab": m["n_ab"],
+                        "confidence": np.round(nab / na, 6),
+                        "lift": lift})
+    rev = pd.DataFrame({"antecedent": m["p_b"], "consequent": m["p_a"],
+                        "n_ab": m["n_ab"],
+                        "confidence": np.round(nab / nb, 6),
+                        "lift": lift})
+    out = pd.concat([fwd, rev], ignore_index=True)
     for c in ("antecedent", "consequent", "n_ab"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["lift", "antecedent", "consequent"],
