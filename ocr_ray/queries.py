@@ -9284,6 +9284,88 @@ _PAGERANK_ITERS = 4
 _PAGERANK_DAMPING = 0.85
 
 
+def _cs_pairs(sf_dir: str, B: int, W: int,
+              counted: bool = False) -> ray.data.Dataset:
+    """Shared edge builder for every graph operator over the
+    customer–supplier bipartite graph (pagerank / ppr / BFS /
+    Bellman-Ford / HITS — one implementation, five consumers): the
+    DISTINCT node-encoded pairs (c = custkey*2, s = suppkey*2+1 — int64
+    shuffle keys) from orders |><| lineitem via ONE orderkey-bucketed
+    join with per-bucket combiners, then a pair-bucketed global
+    distinct. ``counted=True`` additionally carries n = the pair's
+    DISTINCT order count (disjoint orderkey buckets make the partial
+    nunique sums exact). Lazy — callers decide where to materialize.
+    Columns: (pb, c, s[, n])."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(t["o_custkey"], pa.int64()),
+            "side": pa.array(["o"] * t.num_rows),
+        })
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
+             .group_by(["key", "val"]).aggregate([]))
+        key = d["key"]
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
+            "key": key,
+            "val": pc.cast(d["val"], pa.int64()),
+            "side": pa.array(["l"] * d.num_rows),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == "o", ["key", "val"]].rename(
+            columns={"val": "cust"})
+        l = g.loc[g["side"] == "l", ["key", "val"]].rename(
+            columns={"val": "supp"})
+        m = o.merge(l, on="key")
+        if counted:
+            p = m.groupby(["cust", "supp"], as_index=False) \
+                .agg(n=("key", "nunique"))
+        else:
+            p = m[["cust", "supp"]].drop_duplicates()
+        c = (p["cust"].to_numpy() * 2).astype(np.int64)
+        s = (p["supp"].to_numpy() * 2 + 1).astype(np.int64)
+        pb = ((c * np.int64(1000003)) ^ s) & (B - 1)
+        out = {"pb": pb.astype("int32"), "c": c, "s": s}
+        if counted:
+            out["n"] = p["n"].to_numpy(np.int64)
+        return pd.DataFrame(out)
+
+    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        if counted:
+            return g.groupby(["pb", "c", "s"], as_index=False)["n"].sum()
+        return g.drop_duplicates(["c", "s"])[["pb", "c", "s"]]
+
+    return (orders.map_batches(o_prep, batch_format="pyarrow")
+            .union(li.map_batches(l_prep, batch_format="pyarrow"))
+            .repartition(W)
+            .groupby("bucket").map_groups(join_bucket,
+                                          batch_format="pandas")
+            .repartition(W)
+            .groupby("pb").map_groups(pair_distinct,
+                                      batch_format="pandas"))
+
+
+def _both_dir_edges(pairs: ray.data.Dataset, B: int) -> ray.data.Dataset:
+    """Undirected view of :func:`_cs_pairs`: every pair emitted in both
+    directions, bucketed by src — the layout pagerank / ppr / BFS
+    consume. Lazy."""
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.concatenate([df["c"].to_numpy(), df["s"].to_numpy()])
+        dst = np.concatenate([df["s"].to_numpy(), df["c"].to_numpy()])
+        return pd.DataFrame({"bucket": (src & (B - 1)).astype("int32"),
+                             "src": src, "dst": dst})
+
+    return pairs.map_batches(emit, batch_format="pandas")
+
+
 def _pagerank_sql(k: int) -> str:
     """Generate the iterative-CTE oracle for k power iterations (the
     SQL mirror of q_pagerank's loop — one CTE per iteration)."""
@@ -9379,56 +9461,9 @@ def q_ppr_seed(sf_dir: str):
     B = _pair_buckets()
     W = max(8, _cpus())
     D, K = _PAGERANK_DAMPING, _PAGERANK_ITERS
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-
-    def o_prep(t: pa.Table) -> pa.Table:
-        key = t["o_orderkey"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(t["o_custkey"], pa.int64()),
-            "side": pa.array(["o"] * t.num_rows),
-        })
-
-    def l_prep(t: pa.Table) -> pa.Table:
-        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
-             .group_by(["key", "val"]).aggregate([]))
-        key = d["key"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(d["val"], pa.int64()),
-            "side": pa.array(["l"] * d.num_rows),
-        })
-
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        o = g.loc[g["side"] == "o", ["key", "val"]].rename(
-            columns={"val": "cust"})
-        l = g.loc[g["side"] == "l", ["key", "val"]].rename(
-            columns={"val": "supp"})
-        p = o.merge(l, on="key")[["cust", "supp"]].drop_duplicates()
-        c = (p["cust"].to_numpy() * 2).astype(np.int64)
-        s = (p["supp"].to_numpy() * 2 + 1).astype(np.int64)
-        pb = ((c * np.int64(1000003)) ^ s) & (B - 1)
-        return pd.DataFrame({"pb": pb.astype("int32"), "c": c, "s": s})
-
-    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        p = g.drop_duplicates(["c", "s"])
-        src = np.concatenate([p["c"].to_numpy(), p["s"].to_numpy()])
-        dst = np.concatenate([p["s"].to_numpy(), p["c"].to_numpy()])
-        return pd.DataFrame({"bucket": (src & (B - 1)).astype("int32"),
-                             "src": src, "dst": dst})
-
-    edges = (
-        orders.map_batches(o_prep, batch_format="pyarrow")
-        .union(li.map_batches(l_prep, batch_format="pyarrow"))
-        .repartition(W)
-        .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
-        .repartition(W)
-        .groupby("pb").map_groups(pair_distinct, batch_format="pandas")
-        .materialize()
-    )
+    # shared edge builder (one implementation, five graph consumers)
+    edges = _both_dir_edges(_cs_pairs(sf_dir, B, W), B) \
+        .repartition(W).materialize()
 
     def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("src", as_index=False).agg(deg=("dst", "size")) \
@@ -9559,58 +9594,9 @@ def q_pagerank(sf_dir: str):
     B = _pair_buckets()
     W = max(8, _cpus())  # physical blocks per shuffle stage
     D, K = _PAGERANK_DAMPING, _PAGERANK_ITERS
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-
-    def o_prep(t: pa.Table) -> pa.Table:
-        key = t["o_orderkey"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(t["o_custkey"], pa.int64()),
-            "side": pa.array(["o"] * t.num_rows),
-        })
-
-    def l_prep(t: pa.Table) -> pa.Table:
-        # combiner: distinct (orderkey, suppkey) per batch before the
-        # shuffle (~7 line items per order share a few suppliers)
-        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
-             .group_by(["key", "val"]).aggregate([]))
-        key = d["key"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(d["val"], pa.int64()),
-            "side": pa.array(["l"] * d.num_rows),
-        })
-
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        o = g.loc[g["side"] == "o", ["key", "val"]].rename(columns={"val": "cust"})
-        l = g.loc[g["side"] == "l", ["key", "val"]].rename(columns={"val": "supp"})
-        p = o.merge(l, on="key")[["cust", "supp"]].drop_duplicates()
-        c = (p["cust"].to_numpy() * 2).astype(np.int64)
-        s = (p["supp"].to_numpy() * 2 + 1).astype(np.int64)
-        pb = ((c * np.int64(1000003)) ^ s) & (B - 1)  # pair bucket
-        return pd.DataFrame({"pb": pb.astype("int32"), "c": c, "s": s})
-
-    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        # same (c,s) always hashes to the same pair bucket, so
-        # per-bucket distinct == global distinct; emit both directions
-        p = g.drop_duplicates(["c", "s"])
-        src = np.concatenate([p["c"].to_numpy(), p["s"].to_numpy()])
-        dst = np.concatenate([p["s"].to_numpy(), p["c"].to_numpy()])
-        return pd.DataFrame({"bucket": (src & (B - 1)).astype("int32"),
-                             "src": src, "dst": dst})
-
-    edges = (
-        orders.map_batches(o_prep, batch_format="pyarrow")
-        .union(li.map_batches(l_prep, batch_format="pyarrow"))
-        .repartition(W)
-        .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
-        .repartition(W)
-        .groupby("pb").map_groups(pair_distinct, batch_format="pandas")
-        .materialize()
-    )
+    # shared edge builder (one implementation, five graph consumers)
+    edges = _both_dir_edges(_cs_pairs(sf_dir, B, W), B) \
+        .repartition(W).materialize()
 
     def deg_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("src", as_index=False).agg(deg=("dst", "size")) \
@@ -9812,63 +9798,19 @@ def q_cheapest_suppliers(sf_dir: str):
     cut prunes per block before one tiny driver sort."""
     B = _pair_buckets()
     W = max(8, _cpus())
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-
-    def o_prep(t: pa.Table) -> pa.Table:
-        key = t["o_orderkey"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(t["o_custkey"], pa.int64()),
-            "side": pa.array(["o"] * t.num_rows),
-        })
-
-    def l_prep(t: pa.Table) -> pa.Table:
-        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
-             .group_by(["key", "val"]).aggregate([]))
-        key = d["key"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(d["val"], pa.int64()),
-            "side": pa.array(["l"] * d.num_rows),
-        })
-
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        o = g.loc[g["side"] == "o", ["key", "val"]].rename(
-            columns={"val": "c"})
-        l = g.loc[g["side"] == "l", ["key", "val"]].rename(
-            columns={"val": "s"})
-        # per-(c,s) DISTINCT order count partial (orders are disjoint
-        # across orderkey buckets, so these sum to the global count)
-        p = o.merge(l, on="key").groupby(["c", "s"], as_index=False) \
-            .agg(n=("key", "nunique"))
-        c = (p["c"].to_numpy() * 2).astype(np.int64)
-        s = (p["s"].to_numpy() * 2 + 1).astype(np.int64)
-        pb = ((c * np.int64(1000003)) ^ s) & (B - 1)
-        return pd.DataFrame({"pb": pb.astype("int32"), "c": c, "s": s,
-                             "n": p["n"].astype("int64")})
-
-    def edge_emit(g: pd.DataFrame) -> pd.DataFrame:
-        p = g.groupby(["c", "s"], as_index=False)["n"].sum()
-        cost = (10_000 // p["n"].to_numpy(np.int64)).astype(np.int64)
-        src = np.concatenate([p["c"].to_numpy(), p["s"].to_numpy()])
-        dst = np.concatenate([p["s"].to_numpy(), p["c"].to_numpy()])
+    def edge_emit(df: pd.DataFrame) -> pd.DataFrame:
+        cost = (10_000 // df["n"].to_numpy(np.int64)).astype(np.int64)
+        src_ = np.concatenate([df["c"].to_numpy(), df["s"].to_numpy()])
+        dst = np.concatenate([df["s"].to_numpy(), df["c"].to_numpy()])
         w = np.concatenate([cost, cost])
-        return pd.DataFrame({"bucket": (src & (B - 1)).astype("int32"),
-                             "src": src, "dst": dst, "cost": w,
+        return pd.DataFrame({"bucket": (src_ & (B - 1)).astype("int32"),
+                             "src": src_, "dst": dst, "cost": w,
                              "side": "e"})
 
-    edges = (
-        orders.map_batches(o_prep, batch_format="pyarrow")
-        .union(li.map_batches(l_prep, batch_format="pyarrow"))
-        .repartition(W)
-        .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
-        .repartition(W)
-        .groupby("pb").map_groups(edge_emit, batch_format="pandas")
-        .repartition(W).materialize()
-    )
+    # shared edge builder with per-pair distinct-order counts
+    edges = (_cs_pairs(sf_dir, B, W, counted=True)
+             .map_batches(edge_emit, batch_format="pandas")
+             .repartition(W).materialize())
     mins = edges.map_batches(
         lambda df: pd.DataFrame(
             {"m": [df.loc[df["src"] % 2 == 0, "src"].min()]}),
@@ -9983,56 +9925,12 @@ def q_bfs_levels(sf_dir: str):
     enumeration + MIN(level), sound because depth is bounded."""
     B = _pair_buckets()
     W = max(8, _cpus())
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-
-    def o_prep(t: pa.Table) -> pa.Table:
-        key = t["o_orderkey"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(t["o_custkey"], pa.int64()),
-            "side": pa.array(["o"] * t.num_rows),
-        })
-
-    def l_prep(t: pa.Table) -> pa.Table:
-        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
-             .group_by(["key", "val"]).aggregate([]))
-        key = d["key"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(d["val"], pa.int64()),
-            "side": pa.array(["l"] * d.num_rows),
-        })
-
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        o = g.loc[g["side"] == "o", ["key", "val"]].rename(
-            columns={"val": "c"})
-        l = g.loc[g["side"] == "l", ["key", "val"]].rename(
-            columns={"val": "s"})
-        p = o.merge(l, on="key")[["c", "s"]].drop_duplicates()
-        c = (p["c"].to_numpy() * 2).astype(np.int64)
-        s = (p["s"].to_numpy() * 2 + 1).astype(np.int64)
-        pb = ((c * np.int64(1000003)) ^ s) & (B - 1)
-        return pd.DataFrame({"pb": pb.astype("int32"), "c": c, "s": s})
-
-    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        p = g.drop_duplicates(["c", "s"])
-        src = np.concatenate([p["c"].to_numpy(), p["s"].to_numpy()])
-        dst = np.concatenate([p["s"].to_numpy(), p["c"].to_numpy()])
-        return pd.DataFrame({"bucket": (src & (B - 1)).astype("int32"),
-                             "src": src, "dst": dst, "side": "e"})
-
-    edges = (
-        orders.map_batches(o_prep, batch_format="pyarrow")
-        .union(li.map_batches(l_prep, batch_format="pyarrow"))
-        .repartition(W)
-        .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
-        .repartition(W)
-        .groupby("pb").map_groups(pair_distinct, batch_format="pandas")
-        .repartition(W).materialize()
-    )
+    # shared edge builder; BFS rides the undirected view with a
+    # side tag for the frontier union
+    edges = (_both_dir_edges(_cs_pairs(sf_dir, B, W), B)
+             .map_batches(lambda df: df.assign(side="e"),
+                          batch_format="pandas")
+             .repartition(W).materialize())
     mins = edges.map_batches(
         lambda df: pd.DataFrame(
             {"m": [df.loc[df["src"] % 2 == 0, "src"].min()]}),
@@ -10119,56 +10017,8 @@ def q_hits_scores(sf_dir: str):
     B = _pair_buckets()
     W = max(8, _cpus())
     R = _HITS_ROUNDS
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-
-    def o_prep(t: pa.Table) -> pa.Table:
-        key = t["o_orderkey"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(t["o_custkey"], pa.int64()),
-            "side": pa.array(["o"] * t.num_rows),
-        })
-
-    def l_prep(t: pa.Table) -> pa.Table:
-        d = (pa.table({"key": t["l_orderkey"], "val": t["l_suppkey"]})
-             .group_by(["key", "val"]).aggregate([]))
-        key = d["key"]
-        return pa.table({
-            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int32()),
-            "key": key,
-            "val": pc.cast(d["val"], pa.int64()),
-            "side": pa.array(["l"] * d.num_rows),
-        })
-
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        o = g.loc[g["side"] == "o", ["key", "val"]].rename(
-            columns={"val": "c"})
-        l = g.loc[g["side"] == "l", ["key", "val"]].rename(
-            columns={"val": "s"})
-        p = o.merge(l, on="key")[["c", "s"]].drop_duplicates()
-        pb = ((p["c"].to_numpy() * np.int64(1000003))
-              ^ p["s"].to_numpy()) & (B - 1)
-        return pd.DataFrame({"pb": pb.astype("int32"),
-                             "c": p["c"].to_numpy(),
-                             "s": p["s"].to_numpy()})
-
-    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["c", "s"])[["c", "s"]]
-
-    edges = (
-        orders.map_batches(o_prep, batch_format="pyarrow")
-        .union(li.map_batches(l_prep, batch_format="pyarrow"))
-        .repartition(W)
-        .groupby("bucket").map_groups(join_bucket, batch_format="pandas")
-        .repartition(W)
-        .groupby("pb").map_groups(pair_distinct, batch_format="pandas")
-        # materialized HERE: both taggings below consume this pipeline,
-        # and a lazy Dataset re-executes per consumer — without this the
-        # dominant edge-build shuffles run twice
-        .materialize()
-    )
+    # shared edge builder; HITS tags the raw (c, s) pairs itself
+    edges = _cs_pairs(sf_dir, B, W).materialize()
 
     # two static taggings of the edge set, materialized once: the
     # c-keyed copy drives auth steps, the s-keyed copy hub steps
@@ -10249,8 +10099,10 @@ def q_hits_scores(sf_dir: str):
 
     def topk(tag: str):
         def cut(df: pd.DataFrame) -> pd.DataFrame:
+            # decode _cs_pairs' node ids back to raw keys (c = 2k,
+            # s = 2k+1 — // 2 recovers both)
             out = pd.DataFrame({"node_type": tag,
-                                "key": df["node"].astype("int64"),
+                                "key": (df["node"] // 2).astype("int64"),
                                 "score": df["score"].astype("int64")})
             return out.sort_values(["score", "key"],
                                    ascending=[False, True]).head(10)
