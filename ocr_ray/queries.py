@@ -1712,6 +1712,86 @@ GROUP BY s.source, s.ns, t.nn
 """
 
 
+def q_sign_test(sf_dir: str):
+    """Paired sign test — did per-user spend RISE from the first half
+    of the month to the second? The paired complement of the unpaired
+    Welch/Mann-Whitney rows: each user is their own control, so
+    between-user variance cancels. Per user the exact cent totals of
+    both halves pair up (users active in only one half are excluded —
+    no pair); k = #(second > first), ties dropped (the classic sign
+    test), z = (k - n/2) / sqrt(n/4) under the null, one mirrored
+    float expression over exact integers, round-6.
+
+    Shape: ONE user-bucketed shuffle; per bucket a vectorized pivot
+    gives every user's two totals; O(1) integer partials out."""
+    cutoff = pd.Timestamp("2024-01-16")
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        c = np.floor(df["value"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        half = np.where(df["ts"].to_numpy() < cutoff.to_datetime64(),
+                        "a", "b")
+        return pd.DataFrame({"u": u, "h": half, "c": c, "_b": u % B})
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["u", "h"], as_index=False)["c"].sum()
+        piv = agg.pivot_table(index="u", columns="h", values="c")
+        if "a" not in piv or "b" not in piv:
+            return pd.DataFrame({"n_pairs": [0], "k_up": [0],
+                                 "n_ties": [0]})
+        both = piv.dropna()
+        a = both["a"].to_numpy(np.int64)
+        b = both["b"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_pairs": [int((a != b).sum())],
+            "k_up": [int((b > a).sum())],
+            "n_ties": [int((a == b).sum())],
+        })
+
+    tot = (ds.map_batches(add_bucket, batch_format="pandas",
+                          batch_size=65536)
+           .groupby("_b").map_groups(pair_bucket, batch_format="pandas")
+           .to_pandas().sum())
+    n, k, ties = int(tot["n_pairs"]), int(tot["k_up"]), int(tot["n_ties"])
+    z = (float(k) - n / 2.0) / np.sqrt(n / 4.0)
+    return pd.DataFrame({
+        "n_pairs": pd.Series([n], dtype="int64"),
+        "k_up": pd.Series([k], dtype="int64"),
+        "n_ties": pd.Series([ties], dtype="int64"),
+        "z_stat": [round(float(z), 6)],
+    })
+
+
+SQL_SIGN_TEST = """
+WITH h AS (
+  SELECT user_id,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
+           AS half,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+), p AS (
+  SELECT user_id,
+         SUM(CASE WHEN half = 'a' THEN c END) AS ca,
+         SUM(CASE WHEN half = 'b' THEN c END) AS cb
+  FROM h GROUP BY user_id
+  HAVING SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) > 0
+), s AS (
+  SELECT CAST(SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN cb > ca THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+           AS ties
+  FROM p
+)
+SELECT n AS n_pairs, k AS k_up, ties AS n_ties,
+       ROUND((CAST(k AS DOUBLE) - n / 2.0) / sqrt(n / 4.0), 6) AS z_stat
+FROM s
+"""
+
+
 def q_arrival_rates(sf_dir: str):
     """Per-event-type arrival-rate estimate from per-user streams: the
     exponential-MLE mean inter-arrival (and its reciprocal rate) over
@@ -15813,6 +15893,7 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "self_bleu": q_self_bleu,
     "arrival_rates": q_arrival_rates,
+    "sign_test": q_sign_test,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16022,4 +16103,5 @@ ORACLE_SQL = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "self_bleu": SQL_SELF_BLEU,
     "arrival_rates": SQL_ARRIVAL_RATES,
+    "sign_test": SQL_SIGN_TEST,
 }

@@ -2803,3 +2803,27 @@ def test_arrival_rates_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["arrival_rates"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_sign_test_hand_checked(ray_session, tmp_path):
+    """Pairs by hand: u1 spends 1.00 then 2.00 (up), u2 3.00 then
+    1.00 (down), u3 2.00 both halves (tie -> dropped), u4 only in the
+    first half (no pair) -> n=2, k=1, ties=1, z=0."""
+    rows = [
+        (1, "2024-01-05", 1.00), (1, "2024-01-20", 2.00),
+        (2, "2024-01-05", 3.00), (2, "2024-01-20", 1.00),
+        (3, "2024-01-05", 2.00), (3, "2024-01-20", 2.00),
+        (4, "2024-01-05", 9.00),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["sign_test"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_pairs"]), int(r["k_up"]), int(r["n_ties"]),
+            float(r["z_stat"])) == (2, 1, 1, 0.0)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["sign_test"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
