@@ -88,6 +88,18 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None,
     )
 
 
+def _round_away(x, nd: int = 6):
+    """ROUND-half-AWAY-from-zero at nd decimals — DuckDB ROUND's tie
+    rule, which Python round()/np.round (half-even) silently disagree
+    with on exact dyadic ties (e.g. 1/128 at nd=6). Mirrors the
+    floor(|x|*10^nd + 0.5) formulation so both engines produce the
+    identical double at EVERY input, ties included. Scalar or ndarray."""
+    scale = 10.0 ** nd
+    ax = np.floor(np.abs(x) * scale + 0.5) / scale
+    return np.where(np.signbit(x), -ax, ax) if isinstance(
+        x, np.ndarray) else float(-ax if x < 0 else ax)
+
+
 def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     for c, nd in cols.items():
         df[c] = df[c].astype(float).round(nd)
@@ -1761,7 +1773,7 @@ def q_sign_test(sf_dir: str):
         "n_pairs": pd.Series([n], dtype="int64"),
         "k_up": pd.Series([k], dtype="int64"),
         "n_ties": pd.Series([ties], dtype="int64"),
-        "z_stat": [round(float(z), 6)],
+        "z_stat": [_round_away(float(z), 6)],
     })
 
 
@@ -1834,7 +1846,7 @@ def q_arrival_rates(sf_dir: str):
         n_gaps=("n_gaps", "sum"), gap_sec=("gap_sec", "sum"))
     for c in ("n_gaps", "gap_sec"):
         agg[c] = agg[c].astype("int64")
-    agg["mean_gap_sec"] = np.round(
+    agg["mean_gap_sec"] = _round_away(
         agg["gap_sec"].to_numpy(np.float64)
         / agg["n_gaps"].to_numpy(np.int64), 6)
     return agg.sort_values("event_type").reset_index(drop=True)
@@ -3890,8 +3902,8 @@ def q_self_bleu(sf_dir: str):
             # contains bigram-bearing docs on both sides
             if i != j and sets[j]:
                 terms.append(len(sets[i] & sets[j]) / float(len(sets[i])))
-    val = round(float(np.sum(np.array(terms, dtype=np.float64)))
-                / len(terms), 6) if terms else 0.0
+    val = _round_away(float(np.sum(np.array(terms, dtype=np.float64)))
+                      / len(terms), 6) if terms else 0.0
     return pd.DataFrame({
         "n_docs": pd.Series([n], dtype="int64"),
         "n_pairs": pd.Series([len(terms)], dtype="int64"),
@@ -3922,7 +3934,7 @@ WITH s AS (
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(SUM(p) / COUNT(*), 6) AS self_bleu2
+       COALESCE(ROUND(SUM(p) / COUNT(*), 6), 0.0) AS self_bleu2
 FROM pairs
 """
 
@@ -3968,7 +3980,8 @@ def q_vocab_coverage(sf_dir: str):
     out = []
     for k in KS:
         covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
-        out.append((k, covered, round(covered / float(total), 6)))
+        out.append((k, covered,
+                    _round_away(covered / float(total), 6)))
     res = pd.DataFrame(out, columns=["k", "covered_tokens", "share"])
     for c in ("k", "covered_tokens"):
         res[c] = res[c].astype("int64")
@@ -4031,9 +4044,10 @@ def q_mixing_schedule(sf_dir: str):
         for k in range(_MIX_SLOTS):
             ticks.append(((2 * k + 1) / (2.0 * n), str(r["source"])))
     ticks.sort()
+    picked = [s for _, s in ticks[:_MIX_SLOTS]]
     out = pd.DataFrame({
-        "slot": np.arange(1, _MIX_SLOTS + 1, dtype=np.int64),
-        "source": [s for _, s in ticks[:_MIX_SLOTS]],
+        "slot": np.arange(1, len(picked) + 1, dtype=np.int64),
+        "source": pd.Series(picked, dtype="object"),
     })
     return out
 
