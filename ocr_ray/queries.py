@@ -1724,6 +1724,86 @@ GROUP BY s.source, s.ns, t.nn
 """
 
 
+def q_mcnemar_test(sf_dir: str):
+    """McNemar's test on paired binary outcomes — did the set of users
+    who PURCHASE change between the two month halves? Only the
+    discordant cells matter (b = purchased first half only, c = second
+    half only); chi2 = (b - c)^2 / (b + c). The paired-binary cell of
+    the inference family (sign_test is its paired-numeric sibling).
+    Counts are exact integers from ONE user-bucketed pass (per user a
+    vectorized any-purchase flag per half); chi2 is one mirrored
+    division, round-6. Users with no events in a half count as
+    not-purchasing in that half (both sides)."""
+    cutoff = pd.Timestamp("2024-01-16")
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return pd.DataFrame({
+            "u": u,
+            "first_buy": ((df["event_type"] == "purchase")
+                          & (df["ts"] < cutoff)).astype("int64"),
+            "second_buy": ((df["event_type"] == "purchase")
+                           & (df["ts"] >= cutoff)).astype("int64"),
+            "_b": u % B,
+        })
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("u").agg(a=("first_buy", "max"),
+                                 b=("second_buy", "max"))
+        return pd.DataFrame({
+            "b_only": [int(((agg["a"] == 1) & (agg["b"] == 0)).sum())],
+            "c_only": [int(((agg["a"] == 0) & (agg["b"] == 1)).sum())],
+            "both": [int(((agg["a"] == 1) & (agg["b"] == 1)).sum())],
+            "neither": [int(((agg["a"] == 0) & (agg["b"] == 0)).sum())],
+        })
+
+    tot = (ds.map_batches(add_bucket, batch_format="pandas",
+                          batch_size=65536)
+           .groupby("_b").map_groups(cells, batch_format="pandas")
+           .to_pandas().sum())
+    b, c = int(tot["b_only"]), int(tot["c_only"])
+    chi2 = (float((b - c) * (b - c)) / (b + c)) if (b + c) else 0.0
+    return pd.DataFrame({
+        "n_first_only": pd.Series([b], dtype="int64"),
+        "n_second_only": pd.Series([c], dtype="int64"),
+        "n_both": pd.Series([int(tot["both"])], dtype="int64"),
+        "n_neither": pd.Series([int(tot["neither"])], dtype="int64"),
+        "chi2": [_round_away(chi2, 6)],
+    })
+
+
+SQL_MCNEMAR_TEST = """
+WITH p AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                  AND ts < TIMESTAMP '2024-01-16'
+                  THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-16'
+                  THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bo,
+         CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS co,
+         CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nn
+  FROM p
+)
+SELECT bo AS n_first_only, co AS n_second_only, nb AS n_both,
+       nn AS n_neither,
+       CASE WHEN bo + co = 0 THEN 0.0
+            ELSE ROUND(CAST((bo - co) * (bo - co) AS DOUBLE)
+                       / (bo + co), 6) END AS chi2
+FROM s
+"""
+
+
 def q_sign_test(sf_dir: str):
     """Paired sign test — did per-user spend RISE from the first half
     of the month to the second? The paired complement of the unpaired
@@ -15908,6 +15988,7 @@ QUERIES = {
     "self_bleu": q_self_bleu,
     "arrival_rates": q_arrival_rates,
     "sign_test": q_sign_test,
+    "mcnemar_test": q_mcnemar_test,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16118,4 +16199,5 @@ ORACLE_SQL = {
     "self_bleu": SQL_SELF_BLEU,
     "arrival_rates": SQL_ARRIVAL_RATES,
     "sign_test": SQL_SIGN_TEST,
+    "mcnemar_test": SQL_MCNEMAR_TEST,
 }

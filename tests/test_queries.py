@@ -2827,3 +2827,29 @@ def test_sign_test_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["sign_test"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_mcnemar_test_hand_checked(ray_session, tmp_path):
+    """Cells by hand: u1 bought only first half, u2+u3 only second,
+    u4 both, u5 neither (view only) -> b=1, c=2, both=1, neither=1,
+    chi2 = (1-2)^2 / 3 = 1/3."""
+    rows = [
+        (1, "2024-01-05", "purchase"), (1, "2024-01-20", "view"),
+        (2, "2024-01-05", "view"), (2, "2024-01-20", "purchase"),
+        (3, "2024-01-20", "purchase"),
+        (4, "2024-01-05", "purchase"), (4, "2024-01-20", "purchase"),
+        (5, "2024-01-05", "view"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["mcnemar_test"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_first_only"]), int(r["n_second_only"]),
+            int(r["n_both"]), int(r["n_neither"])) == (1, 2, 1, 1)
+    assert abs(float(r["chi2"]) - Q._round_away(1 / 3, 6)) < 1e-12
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["mcnemar_test"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
