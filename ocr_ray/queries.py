@@ -1724,6 +1724,112 @@ GROUP BY s.source, s.ns, t.nn
 """
 
 
+def q_degree_spend_corr(sf_dir: str):
+    """Graph x relational composition: does a customer's supplier
+    DEGREE (distinct suppliers, from the shared :func:`_cs_pairs` edge
+    builder) correlate with their total spend? The cross-domain join a
+    real platform runs constantly (graph feature -> tabular metric),
+    demonstrating that the graph family's edge machinery composes with
+    the join machinery. ONE custkey-bucketed shuffle co-locates degree
+    partials with spend partials; each bucket joins vectorized and
+    emits SIX integer moment partials (the value_hour_corr shape);
+    Pearson r is one mirrored float expression over Python-big-int
+    folded sums, round-6. A per-bucket 2^62 mass guard raises before
+    int64 partials could wrap."""
+    B = _pair_buckets()
+    W = max(8, _cpus())
+    pairs = _cs_pairs(sf_dir, B, W)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df["c"] // 2).astype("int64")
+        out = pd.DataFrame({"key": c}).groupby(
+            "key", as_index=False).size().rename(columns={"size": "v"})
+        out["v"] = out["v"].astype("int64")
+        return out.assign(_b=out["key"] % B, side="d")
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        out = pd.DataFrame({"key": df["o_custkey"].astype("int64"),
+                            "v": cents}).groupby(
+            "key", as_index=False)["v"].sum()
+        return out.assign(_b=out["key"] % B, side="s")
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.loc[g["side"] == "d"].groupby("key",
+                                            as_index=False)["v"].sum() \
+            .rename(columns={"v": "x"})
+        s = g.loc[g["side"] == "s"].groupby("key",
+                                            as_index=False)["v"].sum() \
+            .rename(columns={"v": "y"})
+        m = d.merge(s, on="key")
+        x = m["x"].to_numpy(np.int64)
+        y = m["y"].to_numpy(np.int64)
+        parts = {"n": len(m), "sx": int(x.sum()), "sy": int(y.sum()),
+                 "sxx": int((x * x).sum()), "syy": 0,
+                 "sxy": int((x * y).sum())}
+        # y^2 via object dtype: spend^2 passes int64 at modest scale
+        parts["syy"] = int((y.astype(object) ** 2).sum())
+        if abs(parts["sxy"]) >= 2**62:
+            raise AssertionError(
+                "degree_spend_corr: bucket moment mass near int64 — "
+                "shrink buckets or split accumulation")
+        return pd.DataFrame({k: [v] for k, v in parts.items()})
+
+    parts = (pairs.map_batches(deg_partial, batch_format="pandas")
+             .union(orders.map_batches(spend_partial,
+                                       batch_format="pandas",
+                                       batch_size=65536))
+             .groupby("_b").map_groups(moments, batch_format="pandas")
+             .to_pandas())
+    n = int(parts["n"].sum())
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    syy = sum(int(v) for v in parts["syy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    nf = float(n)
+    cov = float(sxy) - float(sx) * float(sy) / nf
+    vx = float(sxx) - float(sx) * float(sx) / nf
+    vy = float(syy) - float(sy) * float(sy) / nf
+    r = cov / np.sqrt(vx * vy)
+    return pd.DataFrame({
+        "n_customers": pd.Series([n], dtype="int64"),
+        "corr_degree_spend": [_round_away(float(r), 6)],
+    })
+
+
+SQL_DEGREE_SPEND_CORR = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), deg AS (
+  SELECT c, CAST(COUNT(*) AS HUGEINT) AS x FROM pairs GROUP BY c
+), sp AS (
+  SELECT o_custkey AS c,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS HUGEINT) AS y
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT x, y FROM deg JOIN sp USING (c)
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+         AS corr_degree_spend
+FROM m
+"""
+
+
 def q_mcnemar_test(sf_dir: str):
     """McNemar's test on paired binary outcomes — did the set of users
     who PURCHASE change between the two month halves? Only the
@@ -15989,6 +16095,7 @@ QUERIES = {
     "arrival_rates": q_arrival_rates,
     "sign_test": q_sign_test,
     "mcnemar_test": q_mcnemar_test,
+    "degree_spend_corr": q_degree_spend_corr,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16200,4 +16307,5 @@ ORACLE_SQL = {
     "arrival_rates": SQL_ARRIVAL_RATES,
     "sign_test": SQL_SIGN_TEST,
     "mcnemar_test": SQL_MCNEMAR_TEST,
+    "degree_spend_corr": SQL_DEGREE_SPEND_CORR,
 }

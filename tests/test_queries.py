@@ -2853,3 +2853,32 @@ def test_mcnemar_test_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["mcnemar_test"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_degree_spend_corr_planted(ray_session, tmp_path):
+    """Planted perfect correlation: customer k has k suppliers and
+    spends exactly k dollars -> r = 1.0; a customer with orders but no
+    lineitems is excluded (inner join, both sides)."""
+    orows, lrows, oid = [], [], 0
+    for k in (1, 2, 3, 4):
+        oid += 1
+        orows.append((oid, k, float(k)))
+        for s in range(1, k + 1):
+            lrows.append((oid, s))
+    oid += 1
+    orows.append((oid, 99, 1000.0))  # no lineitems -> excluded
+    pd.DataFrame(orows, columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice"]).to_parquet(
+        f"{tmp_path}/orders.parquet")
+    pd.DataFrame(lrows, columns=["l_orderkey", "l_suppkey"]).to_parquet(
+        f"{tmp_path}/lineitem.parquet")
+    sf = str(tmp_path)
+    mine = Q.QUERIES["degree_spend_corr"](sf)
+    r = mine.iloc[0]
+    assert int(r["n_customers"]) == 4
+    assert float(r["corr_degree_spend"]) == 1.0
+    con2 = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["degree_spend_corr"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
