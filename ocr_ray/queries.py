@@ -1595,6 +1595,88 @@ FROM u GROUP BY event_type
 """
 
 
+def q_lang_text_stats(sf_dir: str):
+    """Per-language lexical profile: total tokens, DISTINCT tokens
+    (vocabulary), type-token ratio and mean word length — the
+    language-quality panel a multilingual curation run reports (a
+    lang whose TTR collapses is template spam; word length shifts
+    flag lang-ID errors). Totals and character sums are map-side
+    exact integers; the vocabulary count needs ONE by-token bucketed
+    shuffle of DISTINCT (token, lang) partials (a token-lang pair
+    lives in one bucket, so bucket counts are global). Ratios are
+    mirrored two-integer divisions, round-6."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    B = _pair_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        e = pd.DataFrame({"lang": df["lang"], "tok": toks}).explode("tok") \
+            .dropna(subset=["tok"])
+        tot = e.groupby("lang", as_index=False).agg(
+            n_tokens=("tok", "size"))
+        tot["n_chars"] = e.assign(l=e["tok"].str.len()) \
+            .groupby("lang")["l"].sum().reindex(tot["lang"]).to_numpy()
+        d = e.drop_duplicates(["lang", "tok"])
+        h = pd.util.hash_pandas_object(d["tok"], index=False).to_numpy()
+        dd = d.assign(_b=(h % B).astype("int64"))
+        tot["kind"] = "t"
+        dd = dd.assign(kind="d", n_tokens=np.int64(0),
+                       n_chars=np.int64(0))
+        return pd.concat([
+            tot.assign(tok="", _b=np.int64(-1)),
+            dd[["lang", "n_tokens", "n_chars", "kind", "tok", "_b"]],
+        ], ignore_index=True)
+
+    raw = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=8192).materialize()
+    totals = (raw.filter(expr="kind == 't'").to_pandas()
+              .groupby("lang", as_index=False).agg(
+                  n_tokens=("n_tokens", "sum"),
+                  n_chars=("n_chars", "sum")))
+
+    def vocab_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["lang", "tok"])
+        out = d.groupby("lang", as_index=False).size() \
+            .rename(columns={"size": "v"})
+        out["v"] = out["v"].astype("int64")
+        return out
+
+    vocab = (raw.filter(expr="kind == 'd'")
+             .groupby("_b").map_groups(vocab_bucket,
+                                       batch_format="pandas")
+             .to_pandas().groupby("lang", as_index=False)["v"].sum())
+    m = totals.merge(vocab, on="lang")
+    nt = m["n_tokens"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "lang": m["lang"],
+        "n_tokens": nt,
+        "n_vocab": m["v"].astype("int64"),
+        "ttr": _round_away(m["v"].to_numpy(np.int64)
+                           / nt.astype(np.float64), 6),
+        "mean_word_len": _round_away(
+            m["n_chars"].to_numpy(np.int64) / nt.astype(np.float64), 6),
+    })
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_LANG_TEXT_STATS = """
+WITH t AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab
+  FROM t GROUP BY lang
+)
+SELECT lang, n_tokens, n_vocab,
+       ROUND(CAST(n_vocab AS DOUBLE) / n_tokens, 6) AS ttr,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS mean_word_len
+FROM s
+"""
+
+
 def q_lang_rollup(sf_dir: str):
     """Top-3 languages + an OTHER bucket — the long-tail rollup every
     corpus report leads with (a 200-language table is unreadable; the
@@ -16096,6 +16178,7 @@ QUERIES = {
     "sign_test": q_sign_test,
     "mcnemar_test": q_mcnemar_test,
     "degree_spend_corr": q_degree_spend_corr,
+    "lang_text_stats": q_lang_text_stats,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16308,4 +16391,5 @@ ORACLE_SQL = {
     "sign_test": SQL_SIGN_TEST,
     "mcnemar_test": SQL_MCNEMAR_TEST,
     "degree_spend_corr": SQL_DEGREE_SPEND_CORR,
+    "lang_text_stats": SQL_LANG_TEXT_STATS,
 }

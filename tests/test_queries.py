@@ -2882,3 +2882,27 @@ def test_degree_spend_corr_planted(ray_session, tmp_path):
         con2.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["degree_spend_corr"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_lang_text_stats_hand_checked(ray_session, tmp_path):
+    """TTR by hand: lang en has tokens [aa aa bb] across two docs ->
+    n_tokens 3, vocab 2, ttr 2/3, mean len 2.0; lang fr [ccc] -> ttr 1,
+    len 3. Cross-doc duplicate vocab must not double count."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lang": ["en", "en", "fr"],
+        "text": ["aa aa", "bb", "ccc"],
+    })
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    mine = Q.QUERIES["lang_text_stats"](sf)
+    got = {r["lang"]: (int(r["n_tokens"]), int(r["n_vocab"]),
+                       float(r["ttr"]), float(r["mean_word_len"]))
+           for _, r in mine.iterrows()}
+    assert got["en"] == (3, 2, Q._round_away(2 / 3, 6), 2.0)
+    assert got["fr"] == (1, 1, 1.0, 3.0)
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["lang_text_stats"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
