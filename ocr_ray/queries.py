@@ -13592,6 +13592,80 @@ FROM orders
 """
 
 
+def q_cramers_v(sf_dir: str):
+    """Cramér's V effect size for event_type x day-of-week — the
+    normalized [0,1] companion to the chi-square screen (chi2 grows
+    with n, so only V is comparable across corpora; near 0 = usage is
+    weekday-independent). Contingency counts fold map-side over the
+    provably tiny key space (types x 7); the driver completes the
+    R x C grid (absent cells are observed zeros), chi2 and V =
+    sqrt(chi2 / (n * min(R-1, C-1))) — every input an exact integer,
+    the two outputs mirrored float expressions, round-6. Zero
+    shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "dow": df["ts"].dt.dayofweek.astype("int64"),
+        }).groupby(["event_type", "dow"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    base = (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+            .groupby(["event_type", "dow"], as_index=False)["n"].sum())
+    grid = base.pivot(index="event_type", columns="dow",
+                      values="n").fillna(0).to_numpy(np.float64)
+    n = grid.sum()
+    rm = grid.sum(axis=1, keepdims=True)
+    cm = grid.sum(axis=0, keepdims=True)
+    exp = rm * cm / n
+    chi2 = float(((grid - exp) ** 2 / exp).sum())
+    r, c = grid.shape
+    v = np.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    return pd.DataFrame({
+        "n_events": pd.Series([int(n)], dtype="int64"),
+        "chi2": [_round_away(chi2, 6)],
+        "cramers_v": [_round_away(float(v), 6)],
+    })
+
+
+SQL_CRAMERS_V = """
+WITH c AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, dayofweek(ts)
+), dims AS (
+  SELECT (SELECT COUNT(DISTINCT event_type) FROM c) AS r,
+         (SELECT COUNT(DISTINCT dow) FROM c) AS cc,
+         (SELECT CAST(SUM(n) AS DOUBLE) FROM c) AS n
+), full_grid AS (
+  SELECT et.event_type, d.dow, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM c) et
+  CROSS JOIN (SELECT DISTINCT dow FROM c) d
+  LEFT JOIN c ON c.event_type = et.event_type AND c.dow = d.dow
+), m AS (
+  SELECT g.event_type, g.dow, CAST(g.n AS DOUBLE) AS o,
+         rm.s * cm.s / dims.n AS e
+  FROM full_grid g
+  JOIN (SELECT event_type, CAST(SUM(n) AS DOUBLE) AS s
+        FROM full_grid GROUP BY event_type) rm USING (event_type)
+  JOIN (SELECT dow, CAST(SUM(n) AS DOUBLE) AS s
+        FROM full_grid GROUP BY dow) cm USING (dow)
+  CROSS JOIN dims
+), s AS (
+  SELECT SUM((o - e) * (o - e) / e) AS chi2 FROM m
+)
+SELECT CAST(dims.n AS BIGINT) AS n_events,
+       ROUND(s.chi2, 6) AS chi2,
+       ROUND(sqrt(s.chi2 / (dims.n
+             * LEAST(dims.r - 1, dims.cc - 1))), 6) AS cramers_v
+FROM s CROSS JOIN dims
+"""
+
+
 def q_independence_stats(sf_dir: str):
     """Chi-square independence test + mutual information between two
     categorical dimensions (o_orderstatus x o_orderpriority) — the
@@ -16179,6 +16253,7 @@ QUERIES = {
     "mcnemar_test": q_mcnemar_test,
     "degree_spend_corr": q_degree_spend_corr,
     "lang_text_stats": q_lang_text_stats,
+    "cramers_v": q_cramers_v,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16392,4 +16467,5 @@ ORACLE_SQL = {
     "mcnemar_test": SQL_MCNEMAR_TEST,
     "degree_spend_corr": SQL_DEGREE_SPEND_CORR,
     "lang_text_stats": SQL_LANG_TEXT_STATS,
+    "cramers_v": SQL_CRAMERS_V,
 }

@@ -2906,3 +2906,34 @@ def test_lang_text_stats_hand_checked(ray_session, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["lang_text_stats"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_cramers_v_extremes(ray_session, tmp_path):
+    """V = 1 on a perfectly dependent 2x2 grid (type determines
+    weekday) and V = 0 on a perfectly independent one — with counts
+    chosen so absent cells exercise the observed-zero handling."""
+    # dependent: 'a' only on Monday (2024-01-01), 'b' only on Tuesday
+    ev = pd.DataFrame({
+        "event_type": ["a"] * 5 + ["b"] * 7,
+        "ts": pd.to_datetime(["2024-01-01"] * 5 + ["2024-01-02"] * 7),
+    })
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    r = Q.QUERIES["cramers_v"](sf).iloc[0]
+    assert float(r["cramers_v"]) == 1.0
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["cramers_v"]).df())
+    pd.testing.assert_frame_equal(_norm(Q.QUERIES["cramers_v"](sf)), orc,
+                                  check_dtype=False)
+    # independent: same type mix on both days
+    sf2 = str(tmp_path) + "/b"
+    os.makedirs(sf2)
+    ev2 = pd.DataFrame({
+        "event_type": ["a", "b"] * 4,
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01",
+                              "2024-01-02", "2024-01-02"] * 2),
+    })
+    ev2.to_parquet(f"{sf2}/events.parquet")
+    r2 = Q.QUERIES["cramers_v"](sf2).iloc[0]
+    assert float(r2["cramers_v"]) == 0.0
