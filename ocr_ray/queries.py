@@ -11072,6 +11072,118 @@ FROM x{k} ORDER BY a
 """
 
 
+def q_markov_backtest(sf_dir: str):
+    """Sequence-model backtest — train the Markov next-event predictor
+    on the FIRST half of the month, serve it on the SECOND: per
+    prev_type the prediction is the most frequent successor in
+    training (ties break to the lexicographically smallest — DuckDB's
+    arg_max tie order is unspecified, so the mirror pins it
+    explicitly), and accuracy is measured over every held-out
+    transition whose prev_type was seen in training. The temporal
+    train/serve split is the honest protocol for sequence models (the
+    logreg_cv sibling for the Markov family); all counts are exact
+    integers, accuracy is one mirrored division, round-6.
+
+    Shape: two user-bucketed passes (the event_transitions machinery
+    with a time filter — transitions never straddle the cutoff on
+    either side because pairs are formed within a half); the S x S
+    prediction table is catalog-sized and folds driver-side."""
+    cutoff = pd.Timestamp("2024-01-16")
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return df.assign(_b=u % B)
+
+    def trans_half(half: str):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            if half == "a":
+                g = g.loc[g["ts"] < cutoff]
+            else:
+                g = g.loc[g["ts"] >= cutoff]
+            g = g.sort_values(["user_id", "ts", "event_id"])
+            same = g["user_id"].eq(g["user_id"].shift())
+            prev = g["event_type"].shift()
+            p = pd.DataFrame({"prev_type": prev[same],
+                              "next_type": g["event_type"][same]})
+            out = p.groupby(["prev_type", "next_type"],
+                            as_index=False).size() \
+                .rename(columns={"size": "n"})
+            out["n"] = out["n"].astype("int64")
+            return out
+        return f
+
+    tagged = ds.map_batches(add_bucket, batch_format="pandas",
+                            batch_size=65536).materialize()
+    train = (tagged.groupby("_b").map_groups(trans_half("a"),
+                                             batch_format="pandas")
+             .to_pandas()
+             .groupby(["prev_type", "next_type"], as_index=False)["n"]
+             .sum())
+    # argmax successor per prev, ties to the smallest next_type
+    train = train.sort_values(["prev_type", "n", "next_type"],
+                              ascending=[True, False, True])
+    pred = train.groupby("prev_type", as_index=False).first() \
+        .rename(columns={"next_type": "pred"})[["prev_type", "pred"]]
+    pmap = dict(zip(pred["prev_type"], pred["pred"]))
+    test = (tagged.groupby("_b").map_groups(trans_half("b"),
+                                            batch_format="pandas")
+            .to_pandas()
+            .groupby(["prev_type", "next_type"], as_index=False)["n"]
+            .sum())
+    test = test.loc[test["prev_type"].isin(pmap)]
+    n_test = int(test["n"].sum())
+    hits = int(test.loc[
+        test["next_type"] == test["prev_type"].map(pmap), "n"].sum())
+    return pd.DataFrame({
+        "n_test": pd.Series([n_test], dtype="int64"),
+        "n_hits": pd.Series([hits], dtype="int64"),
+        "accuracy": [_round_away(hits / float(n_test), 6)
+                     if n_test else 0.0],
+    })
+
+
+SQL_MARKOV_BACKTEST = """
+WITH lagged AS (
+  SELECT ts, event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), tr AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lagged
+  WHERE prev_type IS NOT NULL
+    AND ts < TIMESTAMP '2024-01-16' AND prev_ts < TIMESTAMP '2024-01-16'
+  GROUP BY prev_type, next_type
+), pred AS (
+  SELECT prev_type, next_type AS pred,
+         row_number() OVER (PARTITION BY prev_type
+                            ORDER BY n DESC, next_type) AS rk
+  FROM tr
+), p AS (SELECT prev_type, pred FROM pred WHERE rk = 1),
+te AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lagged
+  WHERE prev_type IS NOT NULL
+    AND ts >= TIMESTAMP '2024-01-16'
+    AND prev_ts >= TIMESTAMP '2024-01-16'
+  GROUP BY prev_type, next_type
+), s AS (
+  SELECT CAST(SUM(te.n) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN te.next_type = p.pred
+                       THEN te.n ELSE 0 END) AS BIGINT) AS n_hits
+  FROM te JOIN p USING (prev_type)
+)
+SELECT n_test, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_test, 6) AS accuracy
+FROM s
+"""
+
+
 def q_markov_stationary(sf_dir: str):
     """Stationary distribution of the event-type Markov chain — which
     states the user behavior stream spends its time in — via
@@ -16254,6 +16366,7 @@ QUERIES = {
     "degree_spend_corr": q_degree_spend_corr,
     "lang_text_stats": q_lang_text_stats,
     "cramers_v": q_cramers_v,
+    "markov_backtest": q_markov_backtest,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16468,4 +16581,5 @@ ORACLE_SQL = {
     "degree_spend_corr": SQL_DEGREE_SPEND_CORR,
     "lang_text_stats": SQL_LANG_TEXT_STATS,
     "cramers_v": SQL_CRAMERS_V,
+    "markov_backtest": SQL_MARKOV_BACKTEST,
 }

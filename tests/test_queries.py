@@ -2937,3 +2937,31 @@ def test_cramers_v_extremes(ray_session, tmp_path):
     ev2.to_parquet(f"{sf2}/events.parquet")
     r2 = Q.QUERIES["cramers_v"](sf2).iloc[0]
     assert float(r2["cramers_v"]) == 0.0
+
+
+def test_markov_backtest_hand_checked(ray_session, tmp_path):
+    """Train half: user 1 stream A,B,A,B -> P(B|A) wins, P(A|B) wins.
+    Test half: user 1 stream A,B,C: transitions (A->B) hit,
+    (B->C) miss -> accuracy 1/2. A cutoff-straddling pair (last train
+    event -> first test event) must count in NEITHER half. Test
+    transitions from an UNSEEN prev (C->A for user 2) are excluded."""
+    t, rows = pd.Timestamp("2024-01-05"), []
+    for i, et in enumerate(["A", "B", "A", "B"]):
+        rows.append((1, t + pd.Timedelta(minutes=i), i, et))
+    t2 = pd.Timestamp("2024-01-20")
+    for i, et in enumerate(["A", "B", "C"]):
+        rows.append((1, t2 + pd.Timedelta(minutes=i), 10 + i, et))
+    rows.append((2, t2, 20, "C"))
+    rows.append((2, t2 + pd.Timedelta(minutes=1), 21, "A"))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["markov_backtest"](sf)
+    r = mine.iloc[0]
+    assert (int(r["n_test"]), int(r["n_hits"])) == (2, 1)
+    assert float(r["accuracy"]) == 0.5
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["markov_backtest"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
