@@ -741,6 +741,65 @@ JOIN nation ON n_nationkey = c_nationkey
 """
 
 
+def q_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonality indices of order volume and value — the
+    multiplicative seasonal profile a forecaster divides out before
+    trend fitting (and the changepoint/anomaly rows' natural
+    companion): per weekday, orders count and exact cents total, plus
+    the index = day's mean order value / overall mean order value.
+    Map-side exact integer partials over a 7-key space, zero shuffle;
+    the two means are the same integer ratios on both sides and the
+    index is ONE mirrored float division of those divisions, round-6.
+    Weekday key is pinned to pandas' Monday=0 convention via the
+    oracle's ISODOW-1 (DuckDB's dayofweek starts at Sunday=0 — the
+    explicit mapping keeps the OUTPUT keys identical, unlike
+    cramers_v where permutation invariance made it moot)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({"dow": df["o_orderdate"].dt.dayofweek
+                          .astype("int64"),
+                          "n": np.int64(1), "cents": c})
+        return g.groupby("dow", as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+           .groupby("dow", as_index=False).sum())
+    n_tot = int(agg["n"].sum())
+    c_tot = sum(int(v) for v in agg["cents"])
+    gmean = float(c_tot) / n_tot
+    n = agg["n"].to_numpy(np.int64)
+    cents = agg["cents"].to_numpy(np.int64).astype(np.float64)
+    out = pd.DataFrame({
+        "dow": agg["dow"].astype("int64"),
+        "n_orders": agg["n"].astype("int64"),
+        "cents": agg["cents"].astype("int64"),
+        "index_value": _round_away((cents / n) / gmean, 6),
+    })
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+SQL_DOW_SEASONALITY = """
+WITH d AS (
+  SELECT CAST(isodow(o_orderdate) - 1 AS BIGINT) AS dow,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), s AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(c) AS BIGINT) AS cents
+  FROM d GROUP BY dow
+), g AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) / SUM(n_orders) AS gmean FROM s
+)
+SELECT dow, n_orders, cents,
+       ROUND((CAST(cents AS DOUBLE) / n_orders) / g.gmean, 6)
+         AS index_value
+FROM s CROSS JOIN g
+"""
+
+
 def q_revenue_anomalies(sf_dir: str):
     """Rolling z-score anomaly scan over the daily revenue series —
     the ops-monitoring primitive (which days broke pattern?): a day is
@@ -16367,6 +16426,7 @@ QUERIES = {
     "lang_text_stats": q_lang_text_stats,
     "cramers_v": q_cramers_v,
     "markov_backtest": q_markov_backtest,
+    "dow_seasonality": q_dow_seasonality,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16582,4 +16642,5 @@ ORACLE_SQL = {
     "lang_text_stats": SQL_LANG_TEXT_STATS,
     "cramers_v": SQL_CRAMERS_V,
     "markov_backtest": SQL_MARKOV_BACKTEST,
+    "dow_seasonality": SQL_DOW_SEASONALITY,
 }

@@ -2965,3 +2965,24 @@ def test_markov_backtest_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["markov_backtest"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_dow_seasonality_hand_checked(ray_session, tmp_path):
+    """2024-01-01 was a Monday: orders on Mon ($10, $20) and Tue
+    ($30) give Mon mean 15 vs overall 20 -> index 0.75; Tue 30/20 ->
+    1.5. Pins the Monday=0 key convention on both sides."""
+    orders = pd.DataFrame({
+        "o_orderdate": pd.to_datetime(["2024-01-01", "2024-01-01",
+                                       "2024-01-02"]),
+        "o_totalprice": [10.0, 20.0, 30.0],
+    })
+    sf = str(tmp_path)
+    orders.to_parquet(f"{sf}/orders.parquet")
+    mine = Q.QUERIES["dow_seasonality"](sf)
+    got = {int(r["dow"]): (int(r["n_orders"]), float(r["index_value"]))
+           for _, r in mine.iterrows()}
+    assert got == {0: (2, 0.75), 1: (1, 1.5)}
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["dow_seasonality"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
