@@ -3335,6 +3335,79 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_session_entry_exit(sf_dir: str):
+    """Session landing/exit analysis — which event type OPENS a session
+    and which CLOSES it (the funnel designer's first question): top-10
+    (entry, exit) pairs by session count over the same gap>30min
+    sessions as q_session_stats, under the (ts, event_id) total order.
+    ONE user-bucketed shuffle; each bucket sessionizes thousands of
+    users in the vectorized sort+cumsum pass and takes first/last rows
+    per session with a C-level grouped head/tail; O(types^2) partials
+    fold driver-side. Exact counts, deterministic (n DESC, entry,
+    exit) cut ties included."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return df.assign(_b=u % B)
+
+    def entry_exit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = (new_user
+               | (g["ts"].diff() > pd.Timedelta(minutes=30))).astype("int64")
+        g = g.assign(sid=brk.cumsum())  # bucket-global session id
+        f = g.groupby("sid")["event_type"].first()
+        l = g.groupby("sid")["event_type"].last()
+        out = pd.DataFrame({"entry": f, "exit": l}) \
+            .groupby(["entry", "exit"], as_index=False).size() \
+            .rename(columns={"size": "n_sessions"})
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
+
+    parts = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("_b").map_groups(entry_exit, batch_format="pandas")
+             .to_pandas()
+             .groupby(["entry", "exit"], as_index=False)["n_sessions"]
+             .sum())
+    parts["n_sessions"] = parts["n_sessions"].astype("int64")
+    return parts.sort_values(["n_sessions", "entry", "exit"],
+                             ascending=[False, True, True]) \
+        .head(10).reset_index(drop=True)
+
+
+SQL_SESSION_ENTRY_EXIT = """
+WITH d AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), fe AS (
+  SELECT user_id, sid,
+         first_value(event_type) OVER ses AS entry,
+         last_value(event_type) OVER
+           (PARTITION BY user_id, sid ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS exit
+  FROM s WINDOW ses AS (PARTITION BY user_id, sid
+                        ORDER BY ts, event_id)
+), u AS (
+  SELECT DISTINCT user_id, sid, entry, exit FROM fe
+)
+SELECT entry, exit, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM u GROUP BY entry, exit
+ORDER BY n_sessions DESC, entry, exit LIMIT 10
+"""
+
+
 def q_max_concurrency(sf_dir: str):
     """Peak concurrent sessions (and the earliest instant it occurs) —
     the sweep-line / interval-overlap statistic (capacity planning,
@@ -16427,6 +16500,7 @@ QUERIES = {
     "cramers_v": q_cramers_v,
     "markov_backtest": q_markov_backtest,
     "dow_seasonality": q_dow_seasonality,
+    "session_entry_exit": q_session_entry_exit,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16643,4 +16717,5 @@ ORACLE_SQL = {
     "cramers_v": SQL_CRAMERS_V,
     "markov_backtest": SQL_MARKOV_BACKTEST,
     "dow_seasonality": SQL_DOW_SEASONALITY,
+    "session_entry_exit": SQL_SESSION_ENTRY_EXIT,
 }

@@ -2986,3 +2986,28 @@ def test_dow_seasonality_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["dow_seasonality"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_session_entry_exit_hand_checked(ray_session, tmp_path):
+    """User 1: session [A, B, C] (within 30min) then a 2h gap then
+    [B]; user 2: [C, A]. Pairs: (A,C):1, (B,B):1, (C,A):1 — the
+    single-event session maps entry == exit."""
+    t0 = pd.Timestamp("2024-01-01 00:00")
+    rows = [
+        (1, t0, 1, "A"), (1, t0 + pd.Timedelta(minutes=5), 2, "B"),
+        (1, t0 + pd.Timedelta(minutes=10), 3, "C"),
+        (1, t0 + pd.Timedelta(hours=3), 4, "B"),
+        (2, t0, 5, "C"), (2, t0 + pd.Timedelta(minutes=1), 6, "A"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["session_entry_exit"](sf)
+    got = {(r["entry"], r["exit"]): int(r["n_sessions"])
+           for _, r in mine.iterrows()}
+    assert got == {("A", "C"): 1, ("B", "B"): 1, ("C", "A"): 1}
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["session_entry_exit"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
