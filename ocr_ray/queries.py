@@ -3335,6 +3335,85 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_abandonment_rate(sf_dir: str):
+    """Session abandonment — the conversion-health metric: of sessions
+    that contain a 'view', what share end WITHOUT a 'purchase', broken
+    out by the weekday the session started (Monday=0, the
+    dow_seasonality convention)? Same gap>30min sessions; per bucket
+    the vectorized sessionize pass reduces each session to three
+    booleans/keys (has_view, has_purchase, start dow) and O(7) integer
+    partials leave. The rate is one mirrored division, round-6."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    B = _pair_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        return df.assign(_b=u % B)
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = (new_user
+               | (g["ts"].diff() > pd.Timedelta(minutes=30))).astype("int64")
+        g = g.assign(sid=brk.cumsum())
+        agg = g.groupby("sid").agg(
+            view=("event_type", lambda s: int((s == "view").any())),
+            buy=("event_type", lambda s: int((s == "purchase").any())),
+            t0=("ts", "min"))
+        agg["dow"] = agg["t0"].dt.dayofweek.astype("int64")
+        v = agg.loc[agg["view"] == 1]
+        out = v.assign(n=np.int64(1),
+                       aband=(v["buy"] == 0).astype("int64")) \
+            .groupby("dow", as_index=False).agg(
+                n_view_sessions=("n", "sum"),
+                n_abandoned=("aband", "sum"))
+        return out
+
+    parts = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("_b").map_groups(sess, batch_format="pandas")
+             .to_pandas()
+             .groupby("dow", as_index=False).agg(
+                 n_view_sessions=("n_view_sessions", "sum"),
+                 n_abandoned=("n_abandoned", "sum")))
+    for c in ("dow", "n_view_sessions", "n_abandoned"):
+        parts[c] = parts[c].astype("int64")
+    parts["abandon_rate"] = _round_away(
+        parts["n_abandoned"].to_numpy(np.int64)
+        / parts["n_view_sessions"].to_numpy(np.float64), 6)
+    return parts.sort_values("dow").reset_index(drop=True)
+
+
+SQL_ABANDONMENT_RATE = """
+WITH d AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), a AS (
+  SELECT user_id, sid,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b,
+         CAST(isodow(MIN(ts)) - 1 AS BIGINT) AS dow
+  FROM s GROUP BY user_id, sid
+)
+SELECT dow,
+       CAST(COUNT(*) AS BIGINT) AS n_view_sessions,
+       CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_abandoned,
+       ROUND(CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS abandon_rate
+FROM a WHERE v = 1
+GROUP BY dow
+"""
+
+
 def q_session_entry_exit(sf_dir: str):
     """Session landing/exit analysis — which event type OPENS a session
     and which CLOSES it (the funnel designer's first question): top-10
@@ -16501,6 +16580,7 @@ QUERIES = {
     "markov_backtest": q_markov_backtest,
     "dow_seasonality": q_dow_seasonality,
     "session_entry_exit": q_session_entry_exit,
+    "abandonment_rate": q_abandonment_rate,
 }
 
 # Python-whitespace RE2 class: the Ray kernels tokenize/normalize with
@@ -16718,4 +16798,5 @@ ORACLE_SQL = {
     "markov_backtest": SQL_MARKOV_BACKTEST,
     "dow_seasonality": SQL_DOW_SEASONALITY,
     "session_entry_exit": SQL_SESSION_ENTRY_EXIT,
+    "abandonment_rate": SQL_ABANDONMENT_RATE,
 }

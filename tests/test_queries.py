@@ -3011,3 +3011,30 @@ def test_session_entry_exit_hand_checked(ray_session, tmp_path):
     con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = _norm(con2.execute(Q.ORACLE_SQL["session_entry_exit"]).df())
     pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
+
+
+def test_abandonment_rate_hand_checked(ray_session, tmp_path):
+    """Monday sessions: [view] (abandoned), [view, purchase]
+    (converted), [purchase] (no view -> excluded) -> 2 view sessions,
+    1 abandoned, rate 0.5."""
+    t0 = pd.Timestamp("2024-01-01 08:00")  # a Monday
+    rows = [
+        (1, t0, 1, "view"),
+        (2, t0, 2, "view"), (2, t0 + pd.Timedelta(minutes=5), 3,
+                             "purchase"),
+        (3, t0, 4, "purchase"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    mine = Q.QUERIES["abandonment_rate"](sf)
+    assert len(mine) == 1
+    r = mine.iloc[0]
+    assert (int(r["dow"]), int(r["n_view_sessions"]),
+            int(r["n_abandoned"]), float(r["abandon_rate"])) == \
+        (0, 2, 1, 0.5)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = _norm(con2.execute(Q.ORACLE_SQL["abandonment_rate"]).df())
+    pd.testing.assert_frame_equal(_norm(mine), orc, check_dtype=False)
